@@ -1,0 +1,117 @@
+import numpy as np
+import jax.numpy as jnp
+
+from fftisdf_tpu.linalg import pivoted_cholesky, fft3, ifft3, get_coulG, solve_fitting
+from fftisdf_tpu.linalg.solvers import whiten_basis
+
+
+def random_psd(n, rank, seed=0, cplx=False):
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal((rank, n))
+    if cplx:
+        b = b + 1j * rng.standard_normal((rank, n))
+    return b.conj().T @ b
+
+
+def test_pivoted_cholesky_full_rank():
+    a = random_psd(30, 30, cplx=True)
+    L, piv, rank, hist = pivoted_cholesky(a)
+    L, piv, rank = np.asarray(L), np.asarray(piv), int(rank)
+    assert rank == 30
+    # reconstruction: a == L^H L (rows in original order)
+    np.testing.assert_allclose(L.conj().T @ L, a, atol=1e-9)
+    # pivot magnitudes decreasing
+    hist = np.asarray(hist)
+    assert (np.diff(hist) <= 1e-9).all()
+
+
+def test_pivoted_cholesky_low_rank():
+    a = random_psd(40, 7)
+    L, piv, rank, hist = pivoted_cholesky(a, tol=1e-10)
+    assert int(rank) == 7
+    np.testing.assert_allclose(
+        np.asarray(L[:7]).conj().T @ np.asarray(L[:7]), a, atol=1e-8
+    )
+    # pivots are distinct
+    piv = np.asarray(piv[:7])
+    assert len(set(piv.tolist())) == 7
+
+
+def test_pivoted_cholesky_max_rank_cap():
+    a = random_psd(25, 25)
+    L, piv, rank, hist = pivoted_cholesky(a, max_rank=10)
+    assert L.shape == (10, 25)
+    assert int(rank) == 10
+
+
+def test_fft3_roundtrip_and_planewave():
+    mesh = (4, 5, 6)
+    n = np.prod(mesh)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    y = ifft3(fft3(jnp.asarray(x), mesh), mesh)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-12)
+    # delta function -> constant spectrum
+    d = np.zeros(n)
+    d[0] = 1.0
+    np.testing.assert_allclose(np.asarray(fft3(jnp.asarray(d + 0j), mesh)), 1.0)
+
+
+def test_coulG_basic():
+    from fftisdf_tpu.lattice.cell import Cell
+
+    cell = Cell(a=np.eye(3) * 5.0, atom=[("He", (0, 0, 0))], basis="sto-3g",
+                pseudo=None, mesh=np.array([4, 4, 4]), unit="bohr").build()
+    cg = np.asarray(get_coulG(cell))
+    assert cg[0] == 0.0  # G=0 zeroed (exxdiv=None)
+    gv = cell.get_Gv()
+    absG2 = np.einsum("gi,gi->g", gv, gv)
+    np.testing.assert_allclose(cg[1:], 4 * np.pi / absG2[1:], atol=1e-12)
+    # shifted kernel has no zero entries for q inside the BZ
+    q = cell.reciprocal_vectors()[0] / 4
+    cgq = np.asarray(get_coulG(cell, q=q))
+    assert (cgq > 0).all()
+
+
+def test_solve_fitting_variants():
+    rng = np.random.default_rng(2)
+    a = random_psd(20, 20, cplx=True)
+    b = rng.standard_normal((20, 7)) + 1j * rng.standard_normal((20, 7))
+    z_ref = np.linalg.solve(a, b)
+    for method in ("lstsq", "pinv", "svd"):
+        z, rank = solve_fitting(jnp.asarray(a), jnp.asarray(b), method=method)
+        np.testing.assert_allclose(np.asarray(z), z_ref, atol=1e-8,
+                                   err_msg=method)
+        assert int(rank) == 20
+
+
+def test_solve_fitting_singular():
+    # rank-deficient system: minimum-norm solution, consistent across variants
+    a = random_psd(15, 6, cplx=True)
+    rng = np.random.default_rng(3)
+    x0 = rng.standard_normal((15, 2)) + 1j * rng.standard_normal((15, 2))
+    b = a @ x0
+    z1, r1 = solve_fitting(jnp.asarray(a), jnp.asarray(b), method="lstsq",
+                           rcond=1e-10)
+    z2, r2 = solve_fitting(jnp.asarray(a), jnp.asarray(b), method="svd",
+                           rcond=1e-10)
+    assert int(r1) == 6 and int(r2) == 6
+    np.testing.assert_allclose(np.asarray(a @ z1), np.asarray(b), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-8)
+
+
+def test_whiten_basis():
+    # whitened solve == direct solve of x4 z = y
+    rng = np.random.default_rng(4)
+    nk, nip, nao = 3, 10, 4
+    x_k = rng.standard_normal((nk, nip, nao)) + 1j * rng.standard_normal((nk, nip, nao))
+    x4 = np.stack([random_psd(nip, nip, seed=s, cplx=True) for s in range(nk)])
+    x_rot, winv = whiten_basis(jnp.asarray(x_k), jnp.asarray(x4))
+    # check the rotation diagonalizes: v^H x4 v = diag(w)
+    y = rng.standard_normal((nk, nip, 5)) + 1j * rng.standard_normal((nk, nip, 5))
+    for q in range(nk):
+        z_ref = np.linalg.solve(x4[q], y[q])
+        # whitened: z_rot = winv * (v^H y); back-rotate via v
+        w, v = np.linalg.eigh(x4[q])
+        z_rot = np.asarray(winv[q])[:, None] * (v.conj().T @ y[q])
+        np.testing.assert_allclose(v @ z_rot, z_ref, atol=1e-8)
