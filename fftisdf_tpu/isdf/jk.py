@@ -1,0 +1,48 @@
+"""ISDF J/K builders: pure dense algebra on the MXU.
+
+Native equivalents of ``get_j_kpts`` / ``get_k_kpts``
+(``/root/reference/fftisdf.py:133-228``).  Derivation (independent of the
+reference; verified against the exact plane-wave oracle in
+tests/test_isdf_kpoint.py):
+
+J:  vj[k]_{mn} = sum_I conj(x_{k,I,m}) x_{k,I,n} v_I,
+    v = w_{q=0} rho,   rho_I = (1/nk) sum_k (x_k dm_k x_k^H)_{II}.
+
+K:  the k2-sum  vk[k1] = (1/nk) sum_{k2} w^{k2-k1} (.) (x dm x^H)_{k2}
+    is a convolution over the k-grid, diagonalized by the image-space DFT:
+    with W[R] = sum_q phase[R,q] w_q / sqrt(nk) * nk-normalizations folded as
+    in the code, V[k1] = sum_R e^{i k1 R} W[R] (.) P[R]^T, using
+    P[-R] = P[R]^T for time-reversal-symmetric densities (that transpose is
+    the subtle step the reference derives in fftisdf-supercell-2.py:
+    "they are identical, but wrong!").
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def get_j_kpts(x_k, w0, dms):
+    """vj (nset, nk, nao, nao) from dms (nset, nk, nao, nao)."""
+    nk = x_k.shape[0]
+    rho = jnp.einsum("kIm,kIn,xkmn->xI", x_k, x_k.conj(), dms) / nk
+    v = jnp.einsum("IJ,xJ->xI", w0, rho)
+    vj = jnp.einsum("kIm,kIn,xI->xkmn", x_k.conj(), x_k, v)
+    return vj
+
+
+@jax.jit
+def get_k_kpts(x_k, wq, phase, dms):
+    """vk (nset, nk, nao, nao); phase (nimg, nk) unitary DFT matrix."""
+    nk = x_k.shape[0]
+    ws = jnp.einsum("Rq,qIJ->RIJ", phase, wq).real * jnp.sqrt(1.0 * nk)
+
+    def per_dm(dm):
+        rhok = jnp.einsum("kIm,kmn,kJn->kIJ", x_k, dm, x_k.conj()) / nk
+        rhos = jnp.einsum("Rk,kIJ->RIJ", phase, rhok).real
+        vs = ws * jnp.transpose(rhos, (0, 2, 1))
+        vk_q = jnp.einsum("Rk,RIJ->kIJ", phase, vs.astype(phase.dtype))
+        return jnp.einsum("kIm,kIJ,kJn->kmn", x_k.conj(), vk_q, x_k)
+
+    return jax.vmap(per_dm)(dms)

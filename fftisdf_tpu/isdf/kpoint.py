@@ -1,0 +1,316 @@
+"""FFT-ISDF with k-point sampling: the framework's flagship object.
+
+TPU-native re-design of the reference's build pipeline
+(``/root/reference/fftisdf.py:22-131,296-410``); same capability, different
+architecture:
+
+- interpolation-point selection on a coarse parent grid via pivoted Cholesky
+  of the squared AO gram matrix (ref ``fftisdf.py:357-388``);
+- the k<->supercell "stripe" trick for all quartic objects: transform k-space
+  blocks to translational-image space with the unitary phase DFT, square
+  elementwise, transform back (derived and unit-verified by the reference in
+  ``fftisdf-supercell-{1..5}.py``; re-derived independently in
+  tests/test_stripe_identities.py);
+- grid-swept right-hand side: instead of the reference's Python/C block loop
+  spilling to an HDF5 swap (``fftisdf.py:60-87``), the grid axis streams
+  through ``lax.map`` on device, and on multi-chip meshes shards over devices
+  (fftisdf_tpu.parallel);
+- per-q fitting solve + FFT Coulomb kernel -> w_q (ref ``fftisdf.py:97-124``)
+  batched with ``lax.map`` over the q axis (sharded over devices when
+  available).
+
+The built state is the pair ``(x_k, w_q)`` — (nkpt, nip, nao) interpolation
+vectors and (nkpt, nip, nip) Coulomb metrics — which fully determines J, K and
+all ERIs (ref ``fftisdf.py:125-128``); it is the serializable artifact.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fftisdf_tpu.lattice import kpoints as kpt_mod
+from fftisdf_tpu.basis.eval import make_evaluator
+from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky
+from fftisdf_tpu.linalg.solvers import solve_fitting
+from fftisdf_tpu.linalg.fft import fft3, ifft3
+from fftisdf_tpu.linalg.coulomb import get_coulG
+from fftisdf_tpu.utils.logging import Logger
+
+
+def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
+                                select_tol=None, log=None):
+    """Pivoted-Cholesky selection of interpolation points on the parent grid.
+
+    Returns (x_k (nk, nip, nao) device array, mask (nip,) host array, rank).
+    Mirrors the contract of ``fftisdf.py:357-388``: the pair-density gram
+    ``x4 = (sum_k X_k X_k^H)^2 / nk`` on the coarse m0 grid is pivoted; keep
+    ``nip = min(nao*c0, rank)`` pivots.  Host-syncs the pivots once (setup
+    step) so downstream shapes are static.
+    """
+    log = log or Logger()
+    t0 = time.perf_counter()
+    coords0 = cell.gen_uniform_grids(m0)
+    fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
+    x0 = fn(jnp.asarray(coords0, dtype=dtype))  # (nk, ng0, nao)
+    nk, ng0, nao = x0.shape
+
+    @jax.jit
+    def gram_sq(x0):
+        x2 = jnp.einsum("kgm,khm->gh", x0.conj(), x0).real
+        return (x2 * x2) / nk
+
+    x4 = gram_sq(x0)
+    max_rank = min(int(min(c0, 1e6) * nao), ng0)
+    _, piv, rank, hist = pivoted_cholesky(x4, max_rank=max_rank,
+                                          tol=select_tol)
+    piv = np.asarray(piv)
+    rank = int(rank)
+    nip = min(int(nao * c0), rank)
+    mask = piv[:nip]
+    err = float(np.asarray(hist)[min(nip, len(np.asarray(hist)) - 1)])
+    log.info("select_interpolation_points: ng0=%d rank=%d nip=%d "
+             "pivot-residual=%.2e (%.2fs)", ng0, rank, nip, err,
+             time.perf_counter() - t0)
+    x_k = x0[:, jnp.asarray(mask), :]
+    return x_k, mask, rank
+
+
+def _stripe_quartic(x_k, phase):
+    """x4_k[q] via the stripe trick: k -> image space, elementwise square,
+    back to k (ref fftisdf.py:38-48).  Equals (1/sqrt(nk)) * the normal
+    matrix A^q = sum_k x2_k (.) x2_{q-k}; the same global scale appears in the
+    RHS, so the fit is unchanged."""
+    nk, nip, _ = x_k.shape
+    x2_k = jnp.einsum("kIm,kJm->kIJ", x_k.conj(), x_k)
+    x2_s = jnp.einsum("Rk,kIJ->RIJ", phase, x2_k)
+    x4_s = (x2_s.real ** 2).astype(x2_s.dtype)  # imag is 0 up to roundoff
+    x4_k = jnp.einsum("Rk,RIJ->kIJ", phase.conj(), x4_s)
+    return x4_k
+
+
+def _rhs_block(f_k, x_k, phase):
+    """RHS contribution of one grid block: y_k (nk, bg, nip).
+
+    fx_k = conj(f_k) x_k^T per k; stripe, square, back with phase.T (no conj:
+    the y sector label satisfies k' = -q - k, see the derivation in
+    tests/test_stripe_identities.py and ref fftisdf.py:72-87)."""
+    fx_k = jnp.einsum("kgm,kIm->kgI", f_k.conj(), x_k)
+    fx_s = jnp.einsum("Rk,kgI->RgI", phase, fx_k)
+    y_s = (fx_s.real ** 2).astype(fx_s.dtype)
+    y_k = jnp.einsum("Rk,RgI->kgI", phase, y_s)
+    return y_k
+
+
+@partial(jax.jit, static_argnames=("solver", "mesh", "vol", "ngrid"))
+def _solve_coulomb_q(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
+                     solver="lstsq", rcond=1e-10):
+    """One momentum sector: fit z_q then apply the FFT Coulomb kernel.
+
+    w_q = zeta_q z_q^H with zeta_q = e^{iqr} IFFT[FFT[z_q e^{-iqr}] coulG(q)]
+    * vol/ngrid (ref fftisdf.py:108-121)."""
+    z_q, rank = solve_fitting(x4_q, y_q.T, method=solver, rcond=rcond)
+    zq_per = z_q * eiqr.conj()[None, :]
+    zeta = fft3(zq_per, mesh) * coulG_q
+    zeta = ifft3(zeta, mesh) * eiqr[None, :] * (vol / ngrid)
+    w_q = zeta @ z_q.conj().T
+    return w_q, rank
+
+
+@dataclass
+class FFTISDF:
+    """Interpolative separable density fitting with FFT Coulomb kernels.
+
+    Drop-in analog of the reference's ``InterpolativeSeparableDensityFitting``
+    (``fftisdf.py:296``): configure, ``build()``, then ``get_jk(dm)`` /
+    ``get_eri(...)``.
+
+    Knobs (mirroring ``fftisdf.py:297-306`` and the prototype kwargs):
+      c0       — interpolation points per AO (default 20.0; driver used 40.0)
+      m0       — parent (selection) mesh, default (15, 15, 15)
+      solver   — 'lstsq' | 'pinv' | 'svd' (fitting variants, SURVEY 2a#7-10)
+      rcond    — spectral cutoff of the fitting solve
+      blksize  — grid-streaming block length
+    """
+    cell: object
+    kpts: np.ndarray
+    c0: float = 20.0
+    m0: tuple = (15, 15, 15)
+    solver: str = "lstsq"
+    rcond: float = 1e-10
+    select_tol: float = None   # pivot threshold; ref isdf.py:45 uses 1e-20
+    blksize: int = 16384
+    dtype: object = jnp.float64
+    verbose: int = 3
+
+    # built state
+    x_k: object = None          # (nk, nip, nao)
+    wq: object = None           # (nk, nip, nip)
+    mask: np.ndarray = None     # (nip,) parent-grid pivot indices
+    kmesh: np.ndarray = None
+    _log: Logger = field(default=None, repr=False)
+
+    def __post_init__(self):
+        self.kpts = np.asarray(self.kpts)
+        self.kmesh = np.asarray(kpt_mod.kpts_to_kmesh(self.cell, self.kpts))
+        self._log = Logger(self.verbose)
+        self._kconserv2 = None
+        self._kconserv3 = None
+
+    # ------------------------------------------------------------------
+    @property
+    def nkpt(self):
+        return len(self.kpts)
+
+    @property
+    def nip(self):
+        return None if self.x_k is None else self.x_k.shape[1]
+
+    @property
+    def w0(self):
+        return None if self.wq is None else self.wq[0]
+
+    @property
+    def phase(self):
+        return kpt_mod.get_phase(self.cell, self.kpts, self.kmesh)
+
+    def kconserv2(self):
+        if self._kconserv2 is None:
+            self._kconserv2 = kpt_mod.get_kconserv2(self.cell, self.kpts)
+        return self._kconserv2
+
+    def kconserv3(self):
+        if self._kconserv3 is None:
+            self._kconserv3 = kpt_mod.get_kconserv3(self.cell, self.kpts)
+        return self._kconserv3
+
+    # ------------------------------------------------------------------
+    def build(self):
+        cell, kpts = self.cell, self.kpts
+        log = self._log
+        cdtype = jnp.complex128 if self.dtype == jnp.float64 else jnp.complex64
+        t_all = time.perf_counter()
+
+        x_k, mask, rank = select_interpolation_points(
+            cell, kpts, self.m0, self.c0, dtype=self.dtype,
+            select_tol=self.select_tol, log=log)
+        nk, nip, nao = x_k.shape
+        self.mask = mask
+
+        phase = jnp.asarray(self.phase, dtype=cdtype)
+        x4_k = _stripe_quartic(x_k, phase)
+
+        coords = cell.gen_uniform_grids()
+        ngrid = coords.shape[0]
+        mesh = tuple(int(m) for m in cell.mesh)
+        log.info("build: nk=%d nip=%d nao=%d ngrid=%d (y: %.2f GB)",
+                 nk, nip, nao, ngrid, nk * ngrid * nip * 16 / 1e9)
+
+        # ---- RHS sweep over the grid (ref HOT LOOP 1, fftisdf.py:72-87)
+        t0 = time.perf_counter()
+        fn = make_evaluator(cell, kpts=kpts, dtype=self.dtype)
+        blk = min(self.blksize, ngrid)
+        nblk = -(-ngrid // blk)
+        pad = nblk * blk - ngrid
+        coords_p = np.concatenate(
+            [coords, np.zeros((pad, 3))], axis=0).reshape(nblk, blk, 3)
+
+        def block_fn(c):
+            f_k = fn(c)
+            return _rhs_block(f_k, x_k, phase)
+
+        y_blocks = jax.lax.map(block_fn, jnp.asarray(coords_p, dtype=self.dtype))
+        # (nblk, nk, blk, nip) -> (nk, ngrid, nip)
+        y = jnp.transpose(y_blocks, (1, 0, 2, 3)).reshape(nk, nblk * blk, nip)
+        y = y[:, :ngrid, :]
+        y.block_until_ready()
+        log.info("build: rhs sweep done (%.2fs)", time.perf_counter() - t0)
+
+        # ---- per-q solve + FFT Coulomb (ref HOT LOOP 2, fftisdf.py:97-124)
+        t0 = time.perf_counter()
+        gv = cell.get_Gv(mesh)
+        coulG = np.stack([
+            np.asarray(get_coulG(cell, q=q, gv=gv)) for q in kpts
+        ])
+        eiqr = np.exp(1j * coords @ kpts.T).T  # (nk, ngrid)
+        vol = float(cell.vol)
+
+        def per_q(args):
+            x4_q, y_q, cg, ph = args
+            w_q, rank_q = _solve_coulomb_q(
+                x4_q, y_q, cg, ph, mesh, vol, ngrid,
+                solver=self.solver, rcond=self.rcond)
+            return w_q, rank_q
+
+        wq, ranks = jax.lax.map(
+            per_q,
+            (x4_k, y,
+             jnp.asarray(coulG, dtype=self.dtype),
+             jnp.asarray(eiqr, dtype=cdtype)),
+        )
+        wq.block_until_ready()
+        log.info("build: %d coulomb sectors done, fit ranks %s (%.2fs)",
+                 nk, np.asarray(ranks)[:8], time.perf_counter() - t0)
+
+        self.x_k = x_k
+        self.wq = wq
+        log.info("build: total %.2fs", time.perf_counter() - t_all)
+        return self
+
+    # ------------------------------------------------------------------
+    def get_jk(self, dm_kpts, with_j=True, with_k=True, exxdiv=None,
+               omega=None):
+        if omega is not None:
+            raise NotImplementedError("range separation not supported "
+                                      "(matches ref fftisdf.py:392)")
+        if exxdiv is not None:
+            raise NotImplementedError("exxdiv corrections not supported "
+                                      "(matches ref fftisdf.py:395)")
+        from fftisdf_tpu.isdf import jk as jk_mod
+
+        assert self.x_k is not None, "call build() first"
+        dm = jnp.asarray(dm_kpts)
+        single = dm.ndim == 3
+        if single:
+            dm = dm[None]
+        phase = jnp.asarray(self.phase,
+                            dtype=self.wq.dtype)
+        vj = vk = None
+        if with_j:
+            vj = jk_mod.get_j_kpts(self.x_k, self.wq[0], dm)
+        if with_k:
+            vk = jk_mod.get_k_kpts(self.x_k, self.wq, phase, dm)
+        if single:
+            vj = None if vj is None else vj[0]
+            vk = None if vk is None else vk[0]
+        return vj, vk
+
+    def get_eri(self, kidx, compact=False):
+        """ERI tensor for the momentum-conserving quadruple kidx=(k1,k2,k3,k4)
+        (ref consumer: fftdf-with-k.py:231)."""
+        from fftisdf_tpu.isdf.eri import assemble_eri
+
+        k1, k2, k3, k4 = kidx
+        q = self.kconserv2()[k1, k2]
+        assert self.kconserv3()[k1, k2, k3] == k4, "quadruple not conserving"
+        return assemble_eri(self.wq[q], self.x_k[k1], self.x_k[k2],
+                            self.x_k[k3], self.x_k[k4])
+
+    # ------------------------------------------------------------------
+    def save(self, path):
+        from fftisdf_tpu.utils import serialization
+
+        serialization.save_isdf_state(path, self)
+
+    @classmethod
+    def load(cls, path, cell, kpts):
+        from fftisdf_tpu.utils import serialization
+
+        return serialization.load_isdf_state(path, cls, cell, kpts)
+
+
+ISDF = FFTISDF

@@ -1,0 +1,42 @@
+"""Serialization of the ISDF build artifact.
+
+The pair (x_k, w_q) plus selection metadata fully determines J/K/ERIs
+(ref ``/root/reference/fftisdf.py:125-128``); the reference had no
+checkpointing (its H5 files were temporaries — SURVEY.md section 5), so this
+is the formalization: a single .npz holding the built state, reloadable
+against a compatible (cell, kpts) pair.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def save_isdf_state(path, df):
+    np.savez_compressed(
+        path,
+        x_k=np.asarray(df.x_k),
+        wq=np.asarray(df.wq),
+        mask=np.asarray(df.mask),
+        kpts=np.asarray(df.kpts),
+        kmesh=np.asarray(df.kmesh),
+        mesh=np.asarray(df.cell.mesh),
+        c0=df.c0,
+        m0=np.asarray(df.m0),
+        solver=df.solver,
+    )
+
+
+def load_isdf_state(path, cls, cell, kpts):
+    data = np.load(path, allow_pickle=False)
+    if not np.allclose(data["kpts"], np.asarray(kpts), atol=1e-10):
+        raise ValueError("stored k-points do not match")
+    if not np.array_equal(data["mesh"], np.asarray(cell.mesh)):
+        raise ValueError("stored FFT mesh does not match cell")
+    df = cls(cell=cell, kpts=np.asarray(kpts), c0=float(data["c0"]),
+             m0=tuple(int(v) for v in data["m0"]),
+             solver=str(data["solver"]))
+    df.x_k = jnp.asarray(data["x_k"])
+    df.wq = jnp.asarray(data["wq"])
+    df.mask = data["mask"]
+    return df
