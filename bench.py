@@ -1,0 +1,150 @@
+"""Benchmark: ISDF build + J/K vs the exact plane-wave (FFTDF-equivalent) path.
+
+Recreates the reference's only benchmark harness (``/root/reference/
+fftisdf.py:441-467``: FFTDF JK vs ISDF build+JK on the same system, with the
+vj/vk accuracy printed) as a reproducible script.  Prints ONE JSON line:
+
+    {"metric": "isdf_build_jk_wall_s", "value": <s>, "unit": "s",
+     "vs_baseline": <exact_jk_s / isdf_total_s>, ...}
+
+vs_baseline > 1 means ISDF (including its one-time build) beats the exact
+plane-wave J/K build it replaces, at the reported accuracy.  On TPU the run
+uses f32/complex64 (no c128 on TPU); on CPU f64.
+
+Flags: --quick (smaller system), --system diamond|nio, --c0, --ke.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--system", default="diamond", choices=["diamond", "nio"])
+    p.add_argument("--c0", type=float, default=20.0)
+    p.add_argument("--ke", type=float, default=None)
+    p.add_argument("--kmesh", type=int, nargs=3, default=None)
+    args = p.parse_args()
+
+    from fftisdf_tpu.lattice import structure
+    from fftisdf_tpu.basis.eval import make_evaluator
+    from fftisdf_tpu.isdf import FFTISDF
+    from fftisdf_tpu.isdf import jk as jk_mod
+    from fftisdf_tpu.pw import jk as pw_jk
+
+    backend = jax.default_backend()
+    on_cpu = backend == "cpu"
+    dtype = jnp.float64 if on_cpu else jnp.float32
+    if on_cpu:
+        jax.config.update("jax_enable_x64", True)
+
+    if args.system == "diamond":
+        ke = args.ke or (50.0 if args.quick else 100.0)
+        cell = structure.to_cell(*structure.bulk_diamond(), basis="gth-szv",
+                                 pseudo="gth-pade", ke_cutoff=ke)
+    else:
+        ke = args.ke or (100.0 if args.quick else 200.0)
+        cell = structure.to_cell(*structure.nio_afm(), basis="gth-szv",
+                                 pseudo="gth-pade", ke_cutoff=ke,
+                                 exp_to_discard=0.1)
+    kmesh = args.kmesh or ([1, 1, 2] if args.quick else [2, 2, 2])
+    kpts = cell.get_kpts(kmesh)
+    nk = len(kpts)
+    nao = cell.nao_nr()
+    ngrid = int(np.prod(cell.mesh))
+
+    # TRS hermitian test density
+    rng = np.random.default_rng(0)
+    from fftisdf_tpu.lattice import kpoints as kpt_mod
+    s = cell.get_scaled_kpts(kpts)
+    dm = rng.standard_normal((nk, nao, nao)) * 0.1 + np.eye(nao)[None]
+    dm = dm + dm.transpose(0, 2, 1)
+    dmc = dm.astype(np.complex128)
+    for k in range(nk):
+        km = kpt_mod.member(-s[k], s)
+        if km >= k:
+            avg = (dmc[k] + dmc[km].conj()) / 2
+            dmc[k], dmc[km] = avg, avg.conj()
+
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    dm_dev = jnp.asarray(dmc, dtype=cdtype)
+
+    # ---------------- ISDF: build + serve (the fast path) ----------------
+    m0 = tuple(min(15, int(m)) for m in cell.mesh) if not args.quick else (7, 7, 7)
+    t0 = time.perf_counter()
+    df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0, dtype=dtype).build()
+    jax.block_until_ready(df.wq)
+    t_build = time.perf_counter() - t0
+
+    phase = jnp.asarray(df.phase, dtype=df.wq.dtype)
+
+    @jax.jit
+    def isdf_jk(dm):
+        vj = jk_mod.get_j_kpts(df.x_k, df.wq[0], dm[None])[0]
+        vk = jk_mod.get_k_kpts(df.x_k, df.wq, phase, dm[None])[0]
+        return vj, vk
+
+    vj_i, vk_i = jax.block_until_ready(isdf_jk(dm_dev))  # compile
+    t0 = time.perf_counter()
+    vj_i, vk_i = jax.block_until_ready(isdf_jk(dm_dev))
+    t_isdf_jk = time.perf_counter() - t0
+
+    # ---------------- exact plane-wave baseline ----------------
+    fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
+    coords = jnp.asarray(cell.gen_uniform_grids(), dtype=dtype)
+    ao = jax.block_until_ready(fn(coords))
+
+    @jax.jit
+    def exact_jk(dm, ao):
+        vj = pw_jk.get_j_kpts(cell, dm, ao)
+        vk = pw_jk.get_k_kpts(cell, dm, ao, kpts, coords=coords)
+        return vj, vk
+
+    vj_e, vk_e = jax.block_until_ready(exact_jk(dm_dev, ao))  # compile
+    t0 = time.perf_counter()
+    vj_e, vk_e = jax.block_until_ready(exact_jk(dm_dev, ao))
+    t_exact = time.perf_counter() - t0
+
+    # errors, reduced on device (host transfers are slow on the TPU tunnel)
+    @jax.jit
+    def errs(a, b):
+        return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
+
+    ej, _ = errs(vj_i, vj_e)
+    ek, sk = errs(vk_i, vk_e)
+    ej, ek, sk = float(ej), float(ek), float(sk)
+
+    # the north-star comparison (BASELINE.md): build + SCF-converged J/K.
+    # An SCF needs ~n_scf J/K builds; ISDF pays the build once and serves
+    # each iteration from (x_k, w_q), the exact path pays t_exact every time.
+    n_scf = 20
+    t_isdf_total = t_build + n_scf * t_isdf_jk
+    t_exact_total = n_scf * t_exact
+    out = {
+        "metric": "isdf_build_jk_scf20_wall_s",
+        "value": round(t_isdf_total, 4),
+        "unit": "s",
+        "vs_baseline": round(t_exact_total / t_isdf_total, 4),
+        "isdf_jk_s": round(t_isdf_jk, 4),
+        "isdf_build_s": round(t_build, 4),
+        "exact_jk_s": round(t_exact, 4),
+        "jk_speedup_steady": round(t_exact / max(t_isdf_jk, 1e-9), 2),
+        "vj_maxerr": float(f"{ej:.3e}"),
+        "vk_maxerr": float(f"{ek:.3e}"),
+        "vk_scale": float(f"{sk:.3e}"),
+        "system": args.system,
+        "backend": backend,
+        "nk": nk, "nao": nao, "ngrid": ngrid, "nip": int(df.nip),
+        "c0": args.c0, "ke_cutoff": ke,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""Sharded build/serve vs single-device results on the 8-device CPU mesh.
+
+The moral equivalent of the reference's k-vs-supercell consistency checks
+(SURVEY.md section 4 item 5): N-device and 1-device runs must agree to
+tolerance.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fftisdf_tpu.lattice.cell import Cell
+from fftisdf_tpu.isdf import FFTISDF
+from fftisdf_tpu.parallel import make_device_mesh, build_sharded, get_jk_sharded
+from tests.test_isdf_kpoint import trs_dm
+
+
+@pytest.fixture(scope="module")
+def he2k8():
+    cell = Cell(
+        a=np.diag([4.0, 4.0, 6.0]),
+        atom=[("He", (2.0, 2.0, 1.5)), ("He", (2.0, 2.0, 4.0))],
+        basis="sto-3g",
+        pseudo=None,
+        mesh=np.array([8, 8, 10]),
+        unit="bohr",
+        precision=1e-12,
+    ).build()
+    kpts = cell.get_kpts([2, 2, 2])  # nk = 8 matches the device count
+    return cell, kpts
+
+
+def test_sharded_build_matches_single(he2k8):
+    cell, kpts = he2k8
+    assert jax.device_count() == 8
+    df1 = FFTISDF(cell, kpts, c0=10.0, m0=(5, 5, 7), verbose=0).build()
+
+    df2 = FFTISDF(cell, kpts, c0=10.0, m0=(5, 5, 7), verbose=0)
+    mesh = make_device_mesh()
+    build_sharded(df2, mesh)
+    assert np.array_equal(df1.mask, df2.mask)
+    np.testing.assert_allclose(np.asarray(df1.wq), np.asarray(df2.wq),
+                               atol=1e-9)
+
+
+def test_sharded_jk_matches_single(he2k8):
+    cell, kpts = he2k8
+    df = FFTISDF(cell, kpts, c0=10.0, m0=(5, 5, 7), verbose=0).build()
+    dm = trs_dm(cell, kpts, df.x_k.shape[2])[0]
+    vj1, vk1 = df.get_jk(dm)
+
+    mesh = make_device_mesh()
+    vj2, vk2 = get_jk_sharded(df, dm, mesh)
+    np.testing.assert_allclose(np.asarray(vj1), np.asarray(vj2), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(vk1), np.asarray(vk2), atol=1e-10)
+
+
+def test_sharded_on_subset_mesh(he2k8):
+    # mesh smaller than device count and not dividing nk
+    cell, kpts = he2k8
+    df = FFTISDF(cell, kpts, c0=8.0, m0=(5, 5, 7), verbose=0)
+    mesh = make_device_mesh(n_devices=3)
+    build_sharded(df, mesh)
+    df1 = FFTISDF(cell, kpts, c0=8.0, m0=(5, 5, 7), verbose=0).build()
+    np.testing.assert_allclose(np.asarray(df.wq), np.asarray(df1.wq),
+                               atol=1e-9)
