@@ -73,7 +73,8 @@ def main():
             dmc[k], dmc[km] = avg, avg.conj()
 
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    dm_dev = jnp.asarray(dmc, dtype=cdtype)
+    from fftisdf_tpu.utils.device import to_device
+    dm_dev = to_device(dmc, dtype=cdtype)
 
     # ---------------- ISDF: build + serve (the fast path) ----------------
     m0 = tuple(min(15, int(m)) for m in cell.mesh) if not args.quick else (7, 7, 7)
@@ -82,7 +83,7 @@ def main():
     jax.block_until_ready(df.wq)
     t_build = time.perf_counter() - t0
 
-    phase = jnp.asarray(df.phase, dtype=df.wq.dtype)
+    phase = to_device(df.phase, dtype=df.wq.dtype)
 
     @jax.jit
     def isdf_jk(dm):

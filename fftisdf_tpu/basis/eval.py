@@ -67,21 +67,27 @@ class ShellSpec:
 
     def __init__(self, cell, center, shell, precision):
         self.l = shell.l
+        self.rpow = getattr(shell, "rpow", 0)
         self.center = np.asarray(center)
         self.exps = np.asarray(shell.exps)
-        self.coeffs = normalized_coeffs(shell.l, shell.exps, shell.coeffs)
+        if getattr(shell, "raw", False):
+            self.coeffs = np.asarray(shell.coeffs, dtype=np.float64)
+        else:
+            self.coeffs = normalized_coeffs(shell.l, shell.exps, shell.coeffs)
         self.nctr = self.coeffs.shape[1]
         self.nfunc = (2 * shell.l + 1) * self.nctr
-        self.rcut = shell_rcut(shell.l, self.exps, shell.coeffs, precision)
+        self.rcut = shell_rcut(shell.l + 2 * self.rpow, self.exps,
+                               shell.coeffs, precision)
         self.images = shell_images(cell, self.center, self.rcut)
 
 
-def build_shell_table(cell, precision=None):
+def build_shell_table(cell, precision=None, shells=None):
+    """Shell table from the cell's basis, or from an explicit list of
+    (center, Shell) pairs (used e.g. for GTH projector functions)."""
     precision = cell.precision if precision is None else precision
-    return [
-        ShellSpec(cell, xyz, sh, precision)
-        for _, _, xyz, sh in cell.shells()
-    ]
+    if shells is None:
+        shells = [(xyz, sh) for _, _, xyz, sh in cell.shells()]
+    return [ShellSpec(cell, xyz, sh, precision) for xyz, sh in shells]
 
 
 def _shell_block(coords, spec: ShellSpec, shift, dtype):
@@ -92,18 +98,22 @@ def _shell_block(coords, spec: ShellSpec, shift, dtype):
     # radial part: (ng, nprim) @ (nprim, nctr)
     rad = jnp.exp(-r2[:, None] * jnp.asarray(spec.exps, dtype=dtype)[None, :])
     rad = rad @ jnp.asarray(spec.coeffs, dtype=dtype)
+    for _ in range(spec.rpow):
+        rad = rad * r2[:, None]
     ang = jnp.stack(real_solid_harmonics(dx, dy, dz, spec.l, jnp), axis=-1)
     # AO order within shell: contraction-major, m = -l..l inside
     chi = rad[:, :, None] * ang[:, None, :]
     return chi.reshape(coords.shape[0], spec.nfunc)
 
 
-def make_evaluator(cell, kpts=None, precision=None, dtype=jnp.float64):
+def make_evaluator(cell, kpts=None, precision=None, dtype=jnp.float64,
+                   shells=None):
     """Build a jitted ``fn(coords) -> (nk, ng, nao)`` Bloch AO evaluator.
 
     ``kpts=None`` gives the gamma-point real evaluator ``fn(coords) -> (ng, nao)``.
+    ``shells`` overrides the cell basis with explicit (center, Shell) pairs.
     """
-    table = build_shell_table(cell, precision)
+    table = build_shell_table(cell, precision, shells)
     gamma = kpts is None
     kpts_arr = None if gamma else np.asarray(kpts)
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64

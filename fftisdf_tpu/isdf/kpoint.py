@@ -40,6 +40,7 @@ from fftisdf_tpu.linalg.solvers import solve_fitting
 from fftisdf_tpu.linalg.fft import fft3, ifft3
 from fftisdf_tpu.linalg.coulomb import get_coulG
 from fftisdf_tpu.utils.logging import Logger
+from fftisdf_tpu.utils.device import to_device
 
 
 def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
@@ -201,7 +202,7 @@ class FFTISDF:
         nk, nip, nao = x_k.shape
         self.mask = mask
 
-        phase = jnp.asarray(self.phase, dtype=cdtype)
+        phase = to_device(self.phase, dtype=cdtype)
         x4_k = _stripe_quartic(x_k, phase)
 
         coords = cell.gen_uniform_grids()
@@ -250,7 +251,7 @@ class FFTISDF:
             per_q,
             (x4_k, y,
              jnp.asarray(coulG, dtype=self.dtype),
-             jnp.asarray(eiqr, dtype=cdtype)),
+             to_device(eiqr, dtype=cdtype)),
         )
         wq.block_until_ready()
         log.info("build: %d coulomb sectors done, fit ranks %s (%.2fs)",
@@ -273,12 +274,11 @@ class FFTISDF:
         from fftisdf_tpu.isdf import jk as jk_mod
 
         assert self.x_k is not None, "call build() first"
-        dm = jnp.asarray(dm_kpts)
+        dm = to_device(dm_kpts)
         single = dm.ndim == 3
         if single:
             dm = dm[None]
-        phase = jnp.asarray(self.phase,
-                            dtype=self.wq.dtype)
+        phase = to_device(self.phase, dtype=self.wq.dtype)
         vj = vk = None
         if with_j:
             vj = jk_mod.get_j_kpts(self.x_k, self.wq[0], dm)

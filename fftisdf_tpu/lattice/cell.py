@@ -49,16 +49,21 @@ def _smooth_size(n: int) -> int:
 
 @dataclass
 class Shell:
-    """One contracted shell of Gaussians: sum_p coeffs[p, c] * r^l exp(-exps[p] r^2) * Ylm.
+    """One contracted shell: sum_p coeffs[p, c] * r^(l+2*rpow) exp(-exps[p] r^2) * Ylm.
 
     ``coeffs`` has shape (nprim, nctr): several contracted functions may share
     the same primitives (generalized contraction, as in GTH basis sets).
     Coefficients are stored *raw* (as in the basis-set tables); normalization
     is applied by the evaluator (see fftisdf_tpu.basis.gto.normalized_coeffs).
+    ``rpow`` adds an even radial power r^(2*rpow) — used by GTH nonlocal
+    projectors p_i^l ~ r^(l+2(i-1)) e^(-r^2/2rl^2) (i = rpow+1); plain AO
+    shells have rpow = 0.
     """
     l: int
     exps: np.ndarray      # (nprim,)
     coeffs: np.ndarray    # (nprim, nctr)
+    rpow: int = 0
+    raw: bool = False     # True: use coeffs verbatim (no re-normalization)
 
     @property
     def nprim(self) -> int:
@@ -90,6 +95,8 @@ class Cell:
     unit: str = "bohr"                 # unit of `a` and atom coords: bohr|angstrom|aa|b
     exp_to_discard: float | None = None
     precision: float = 1e-10           # lattice-sum truncation accuracy
+    charge: int = 0
+    spin: int = 0                      # 2S = n_alpha - n_beta per cell
 
     # filled by build()
     _basis: dict = field(default_factory=dict, repr=False)   # symbol -> [Shell]
@@ -185,6 +192,11 @@ class Cell:
             else:
                 out.append(basis_data.ATOMIC_NUMBER[basis_data.element_symbol(sym)])
         return np.asarray(out, dtype=np.float64)
+
+    @property
+    def nelectron(self) -> int:
+        n = int(round(self.atom_charges().sum())) - self.charge
+        return n
 
     # ----------------------------------------------------------------- basis
     def shells(self):

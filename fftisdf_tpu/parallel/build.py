@@ -29,6 +29,7 @@ from fftisdf_tpu.linalg.fft import fft3, ifft3
 from fftisdf_tpu.linalg.coulomb import get_coulG
 from fftisdf_tpu.isdf import jk as jk_mod
 from fftisdf_tpu.parallel.mesh import grid_sharding, sector_sharding, replicated
+from fftisdf_tpu.utils.device import to_device
 
 
 def _sector_solve(x4_q, y_q, coulG_q, eiqr_q, mesh, vol, ngrid, solver, rcond):
@@ -79,9 +80,9 @@ def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",
     return step(
         jnp.asarray(coords, dtype=dtype),
         x_k,
-        jnp.asarray(phase, dtype=cdtype),
+        to_device(phase, dtype=cdtype),
         jnp.asarray(coulG, dtype=dtype),
-        jnp.asarray(eiqr, dtype=cdtype),
+        to_device(eiqr, dtype=cdtype),
     )
 
 
@@ -104,7 +105,7 @@ def get_jk_sharded(df, dm_kpts, dev_mesh):
     """J/K with the sector axis sharded over the mesh (serving path)."""
     sshard = sector_sharding(dev_mesh)
     cdtype = df.wq.dtype
-    phase = jnp.asarray(df.phase, dtype=cdtype)
+    phase = to_device(df.phase, dtype=cdtype)
 
     @jax.jit
     def step(x_k, wq, dm):
@@ -114,4 +115,4 @@ def get_jk_sharded(df, dm_kpts, dev_mesh):
         vk = jk_mod.get_k_kpts(x_k, wq, phase, dm[None])[0]
         return vj, vk
 
-    return step(df.x_k, df.wq, jnp.asarray(dm_kpts))
+    return step(df.x_k, df.wq, to_device(dm_kpts, dtype=df.wq.dtype))

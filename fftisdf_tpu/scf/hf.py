@@ -1,0 +1,319 @@
+"""k-point Hartree-Fock (KRHF / KUHF) with DIIS, on top of any J/K provider.
+
+The reference runs PySCF's ``KRHF`` with its ISDF object plugged in as
+``with_df`` (``/root/reference/fftisdf.py:437-466``); here the SCF driver is
+native and the J/K provider is duck-typed: anything with
+``get_jk(dm) -> (vj, vk)`` works — ``fftisdf_tpu.isdf.FFTISDF`` (fast path)
+or ``PWDF`` below (exact plane-wave oracle).  ``exxdiv=None`` semantics
+throughout, matching the reference drivers.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fftisdf_tpu.scf import integrals
+from fftisdf_tpu.basis.eval import make_evaluator
+from fftisdf_tpu.utils.logging import Logger
+
+
+class PWDF:
+    """Exact plane-wave J/K provider (FFTDF-oracle) with the get_jk interface."""
+
+    def __init__(self, cell, kpts, dtype=jnp.float64):
+        from fftisdf_tpu.pw import jk as pw_jk
+
+        self.cell = cell
+        self.kpts = np.asarray(kpts)
+        fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
+        self.coords = cell.gen_uniform_grids()
+        self.ao = fn(jnp.asarray(self.coords, dtype=dtype))
+        self._jk = pw_jk
+
+    def get_jk(self, dm, with_j=True, with_k=True):
+        dm = jnp.asarray(dm)
+        if dm.ndim == 4:  # spin/set axis
+            out = [self.get_jk(d, with_j, with_k) for d in dm]
+            vj = jnp.stack([o[0] for o in out]) if with_j else None
+            vk = jnp.stack([o[1] for o in out]) if with_k else None
+            return vj, vk
+        vj = self._jk.get_j_kpts(self.cell, dm, self.ao) if with_j else None
+        vk = (self._jk.get_k_kpts(self.cell, dm, self.ao, self.kpts,
+                                  coords=self.coords) if with_k else None)
+        return vj, vk
+
+
+class DIIS:
+    """Pulay DIIS over flattened (error, fock) pairs."""
+
+    def __init__(self, space=8):
+        self.space = space
+        self.errs = []
+        self.focks = []
+
+    def update(self, fock_flat, err_flat):
+        self.errs.append(np.asarray(err_flat))
+        self.focks.append(np.asarray(fock_flat))
+        if len(self.errs) > self.space:
+            self.errs.pop(0)
+            self.focks.pop(0)
+        n = len(self.errs)
+        if n < 2:
+            return self.focks[-1]
+        b = np.empty((n + 1, n + 1), dtype=np.complex128)
+        b[-1, :] = -1.0
+        b[:, -1] = -1.0
+        b[-1, -1] = 0.0
+        for i in range(n):
+            for j in range(n):
+                b[i, j] = np.vdot(self.errs[i], self.errs[j])
+        rhs = np.zeros(n + 1, dtype=np.complex128)
+        rhs[-1] = -1.0
+        try:
+            coef = np.linalg.lstsq(b, rhs, rcond=1e-12)[0][:n]
+        except np.linalg.LinAlgError:
+            return self.focks[-1]
+        return sum(c * f for c, f in zip(coef, self.focks))
+
+
+def _eigh_gen(f, s):
+    """Generalized hermitian eigensolve F C = S C e via canonical
+    orthogonalization (threshold tiny overlap eigenvalues)."""
+    se, sv = np.linalg.eigh(s)
+    keep = se > 1e-10 * se.max()
+    x = sv[:, keep] / np.sqrt(se[keep])[None, :]
+    fo = x.conj().T @ f @ x
+    e, c = np.linalg.eigh(fo)
+    return e, x @ c
+
+
+def _build_dm(mo_coeff, mo_occ):
+    return np.einsum("kmi,ki,kni->kmn", mo_coeff, mo_occ, mo_coeff.conj())
+
+
+@dataclass
+class KRHF:
+    """Restricted HF over a uniform k-mesh; insulating (fixed) occupations."""
+    cell: object
+    kpts: np.ndarray
+    with_df: object = None            # J/K provider; default PWDF
+    max_cycle: int = 50
+    conv_tol: float = 1e-8
+    diis_space: int = 8
+    verbose: int = 3
+
+    e_tot: float = None
+    mo_energy: np.ndarray = None
+    mo_coeff: np.ndarray = None
+    mo_occ: np.ndarray = None
+    converged: bool = False
+
+    def __post_init__(self):
+        self.kpts = np.asarray(self.kpts)
+        self._log = Logger(self.verbose)
+        cell = self.cell
+        fn = make_evaluator(cell, kpts=self.kpts)
+        coords = cell.gen_uniform_grids()
+        self._ao = fn(jnp.asarray(coords))
+        self.s1e = np.asarray(integrals.get_ovlp(cell, self._ao))
+        self.h1e = np.asarray(integrals.get_hcore(cell, self._ao, self.kpts,
+                                                  coords))
+        self.e_nuc = integrals.ewald(cell)
+        if self.with_df is None:
+            self.with_df = PWDF(cell, self.kpts)
+
+    # --------------------------------------------------------------
+    @property
+    def nocc(self):
+        ne = self.cell.nelectron
+        assert ne % 2 == 0, "odd electron count: use KUHF"
+        return ne // 2
+
+    def get_init_guess(self):
+        """Diagonalize hcore (the reference uses PySCF's minao guess; hcore
+        keeps us self-contained)."""
+        nk, nao = self.h1e.shape[:2]
+        occs, cs = [], []
+        for k in range(nk):
+            e, c = _eigh_gen(self.h1e[k], self.s1e[k])
+            occ = np.zeros(c.shape[1])
+            occ[: self.nocc] = 2.0
+            occs.append(occ)
+            cs.append(c)
+        return _build_dm(np.asarray(cs), np.asarray(occs))
+
+    def get_fock(self, dm):
+        vj, vk = self.with_df.get_jk(jnp.asarray(dm))
+        vj, vk = np.asarray(vj), np.asarray(vk)
+        return self.h1e + vj - 0.5 * vk, vj, vk
+
+    def energy_elec(self, dm, vj, vk):
+        nk = len(self.kpts)
+        e1 = np.einsum("kmn,knm->", dm, self.h1e).real / nk
+        e2 = 0.5 * np.einsum("kmn,knm->", dm, vj - 0.5 * vk).real / nk
+        return e1 + e2
+
+    def kernel(self, dm0=None):
+        log = self._log
+        dm = self.get_init_guess() if dm0 is None else np.asarray(dm0)
+        diis = DIIS(self.diis_space)
+        nk, nao = self.h1e.shape[:2]
+        e_last = 0.0
+        for it in range(self.max_cycle):
+            t0 = time.perf_counter()
+            fock, vj, vk = self.get_fock(dm)
+            e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
+            # DIIS on FDS - SDF
+            err = np.stack([
+                fock[k] @ dm[k] @ self.s1e[k] - self.s1e[k] @ dm[k] @ fock[k]
+                for k in range(nk)
+            ])
+            fock = diis.update(fock.reshape(-1), err.reshape(-1)).reshape(
+                fock.shape)
+            es, cs, occs = [], [], []
+            for k in range(nk):
+                e, c = _eigh_gen(fock[k], self.s1e[k])
+                occ = np.zeros(c.shape[1])
+                occ[: self.nocc] = 2.0
+                es.append(e)
+                cs.append(c)
+                occs.append(occ)
+            dm_new = _build_dm(np.asarray(cs), np.asarray(occs))
+            ddm = abs(dm_new - dm).max()
+            de = abs(e_tot - e_last)
+            log.info("SCF it %2d  E = %.10f  dE = %.2e  |ddm| = %.2e (%.2fs)",
+                     it, e_tot, de, ddm, time.perf_counter() - t0)
+            dm = dm_new
+            if de < self.conv_tol and ddm < np.sqrt(self.conv_tol):
+                self.converged = True
+                e_last = e_tot
+                break
+            e_last = e_tot
+        # final consistent quantities
+        fock, vj, vk = self.get_fock(dm)
+        self.e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
+        self.mo_energy = np.asarray(es)
+        self.mo_coeff = np.asarray(cs)
+        self.mo_occ = np.asarray(occs)
+        self.dm = dm
+        return self.e_tot
+
+
+@dataclass
+class KUHF(KRHF):
+    """Unrestricted HF: dm has a spin axis (2, nk, nao, nao).
+
+    J couples to the total density; K acts per spin.  Initial AFM symmetry
+    breaking via `init_spin`: {atom_index: +1/-1} scales the hcore-guess
+    occupations per spin channel (the NiO-AFM capability of the reference's
+    north-star config, BASELINE.md)."""
+    init_spin: dict = field(default_factory=dict)
+
+    @property
+    def nocc_ab(self):
+        ne = self.cell.nelectron
+        s = self.cell.spin
+        na = (ne + s) // 2
+        nb = ne - na
+        return na, nb
+
+    def get_init_guess(self):
+        nk, nao = self.h1e.shape[:2]
+        na, nb = self.nocc_ab
+        dms = []
+        rng = np.random.default_rng(42)
+        for ispin, nocc in enumerate((na, nb)):
+            occs, cs = [], []
+            for k in range(nk):
+                h = self.h1e[k].copy()
+                if self.init_spin:
+                    # bias on-site energies to break spin symmetry
+                    off = 0
+                    for ia, sym_xyz in enumerate(self.cell.atom):
+                        sym = sym_xyz[0]
+                        nfa = sum(sh.nfunc for sh in self.cell._basis[sym])
+                        bias = self.init_spin.get(ia, 0.0)
+                        sgn = -1.0 if ispin == 0 else 1.0
+                        h[off:off + nfa, off:off + nfa] += (
+                            sgn * 0.1 * bias
+                            * self.s1e[k][off:off + nfa, off:off + nfa])
+                        off += nfa
+                e, c = _eigh_gen(h, self.s1e[k])
+                occ = np.zeros(c.shape[1])
+                occ[:nocc] = 1.0
+                occs.append(occ)
+                cs.append(c)
+            dms.append(_build_dm(np.asarray(cs), np.asarray(occs)))
+        return np.asarray(dms)
+
+    def get_fock(self, dm):
+        vj, vk = self.with_df.get_jk(jnp.asarray(dm))  # (2, nk, nao, nao)
+        vj, vk = np.asarray(vj), np.asarray(vk)
+        vj_tot = vj[0] + vj[1]
+        fock = np.stack([self.h1e + vj_tot - vk[0],
+                         self.h1e + vj_tot - vk[1]])
+        return fock, vj, vk
+
+    def energy_elec(self, dm, vj, vk):
+        nk = len(self.kpts)
+        vj_tot = vj[0] + vj[1]
+        e1 = np.einsum("skmn,knm->", dm, self.h1e).real / nk
+        ecoul = 0.5 * np.einsum("skmn,sknm->", dm,
+                                np.stack([vj_tot, vj_tot])).real / nk
+        ex = -0.5 * np.einsum("skmn,sknm->", dm, vk).real / nk
+        return e1 + ecoul + ex
+
+    def kernel(self, dm0=None):
+        log = self._log
+        dm = self.get_init_guess() if dm0 is None else np.asarray(dm0)
+        diis = DIIS(self.diis_space)
+        nk, nao = self.h1e.shape[:2]
+        na, nb = self.nocc_ab
+        e_last = 0.0
+        for it in range(self.max_cycle):
+            t0 = time.perf_counter()
+            fock, vj, vk = self.get_fock(dm)
+            e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
+            err = np.stack([
+                fock[s, k] @ dm[s, k] @ self.s1e[k]
+                - self.s1e[k] @ dm[s, k] @ fock[s, k]
+                for s in range(2) for k in range(nk)
+            ])
+            fock = diis.update(fock.reshape(-1), err.reshape(-1)).reshape(
+                fock.shape)
+            es, cs, occs = [], [], []
+            dm_new = np.empty_like(dm)
+            for s, nocc in enumerate((na, nb)):
+                es_s, cs_s, occ_s = [], [], []
+                for k in range(nk):
+                    e, c = _eigh_gen(fock[s, k], self.s1e[k])
+                    occ = np.zeros(c.shape[1])
+                    occ[:nocc] = 1.0
+                    es_s.append(e)
+                    cs_s.append(c)
+                    occ_s.append(occ)
+                dm_new[s] = _build_dm(np.asarray(cs_s), np.asarray(occ_s))
+                es.append(es_s)
+                cs.append(cs_s)
+                occs.append(occ_s)
+            ddm = abs(dm_new - dm).max()
+            de = abs(e_tot - e_last)
+            log.info("UHF it %2d  E = %.10f  dE = %.2e  |ddm| = %.2e (%.2fs)",
+                     it, e_tot, de, ddm, time.perf_counter() - t0)
+            dm = dm_new
+            if de < self.conv_tol and ddm < np.sqrt(self.conv_tol):
+                self.converged = True
+                e_last = e_tot
+                break
+            e_last = e_tot
+        fock, vj, vk = self.get_fock(dm)
+        self.e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
+        self.mo_energy = np.asarray(es)
+        self.mo_coeff = np.asarray(cs)
+        self.mo_occ = np.asarray(occs)
+        self.dm = dm
+        return self.e_tot

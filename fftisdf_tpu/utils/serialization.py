@@ -11,12 +11,14 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from fftisdf_tpu.utils.device import to_device, to_host
+
 
 def save_isdf_state(path, df):
     np.savez_compressed(
         path,
-        x_k=np.asarray(df.x_k),
-        wq=np.asarray(df.wq),
+        x_k=to_host(df.x_k),
+        wq=to_host(df.wq),
         mask=np.asarray(df.mask),
         kpts=np.asarray(df.kpts),
         kmesh=np.asarray(df.kmesh),
@@ -36,7 +38,7 @@ def load_isdf_state(path, cls, cell, kpts):
     df = cls(cell=cell, kpts=np.asarray(kpts), c0=float(data["c0"]),
              m0=tuple(int(v) for v in data["m0"]),
              solver=str(data["solver"]))
-    df.x_k = jnp.asarray(data["x_k"])
-    df.wq = jnp.asarray(data["wq"])
+    df.x_k = to_device(data["x_k"])
+    df.wq = to_device(data["wq"])
     df.mask = data["mask"]
     return df

@@ -1,0 +1,157 @@
+"""SCF gates (no external quantum-chemistry code available as oracle):
+
+- kinetic + overlap matrices vs analytic lattice-summed Gaussian integrals,
+- one-electron exactness: for a 1-electron system UHF total energy equals the
+  lowest generalized eigenvalue of hcore (J and K cancel identically,
+  including all finite-size terms) -- a strong end-to-end test of the
+  J/K/SCF machinery,
+- Ewald vs the textbook cubic Madelung constant,
+- the north-star gate: ISDF-driven SCF energy matches exact-plane-wave-driven
+  SCF energy to < 1e-6 Ha/atom at matched compression (BASELINE.md).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fftisdf_tpu.lattice.cell import Cell, Shell
+from fftisdf_tpu.basis.eval import eval_ao_kpts
+from fftisdf_tpu.basis.gto import normalized_coeffs
+from fftisdf_tpu.scf import integrals, KRHF, KUHF
+from fftisdf_tpu.scf.hf import PWDF
+from fftisdf_tpu.isdf import FFTISDF
+
+
+def soft_cell(box=10.0, mesh=20):
+    shells = [Shell(l=0, exps=np.array([0.8, 0.3]),
+                    coeffs=np.array([[0.4], [0.7]]))]
+    return Cell(
+        a=np.diag([box, box, box]),
+        atom=[("He", np.full(3, box / 2)),
+              ("He", np.array([box / 2, box / 2, box / 2 + 2.5]))],
+        basis={"He": shells},
+        pseudo=None,
+        mesh=np.array([mesh] * 3),
+        unit="bohr",
+        precision=1e-12,
+    ).build()
+
+
+def test_kinetic_analytic():
+    """T for two contracted s Gaussians vs the analytic formula
+    T_ab = mu (3 - 2 mu R^2) exp(-mu R^2) (pi/(a+b))^(3/2), lattice-summed."""
+    cell = soft_cell()
+    kpts = np.zeros((1, 3))
+    ao = eval_ao_kpts(cell, cell.gen_uniform_grids(), kpts)
+    t = np.asarray(integrals.get_kinetic(cell, ao, kpts))[0]
+    sh = cell._basis["He"][0]
+    c = normalized_coeffs(0, sh.exps, sh.coeffs)[:, 0]
+    e = np.asarray(sh.exps)
+    t_ref = np.zeros((2, 2))
+    centers = [np.zeros(3), np.array([0, 0, 2.5])]
+    for i in range(2):
+        for j in range(2):
+            acc = 0.0
+            for ix in range(-2, 3):
+                for iy in range(-2, 3):
+                    for iz in range(-2, 3):
+                        R = centers[j] - centers[i] + 10.0 * np.array([ix, iy, iz])
+                        r2 = R @ R
+                        ee = e[:, None] + e[None, :]
+                        mu = e[:, None] * e[None, :] / ee
+                        s = (np.pi / ee) ** 1.5 * np.exp(-mu * r2)
+                        tk = mu * (3.0 - 2.0 * mu * r2) * s
+                        acc += np.einsum("p,q,pq->", c, c, tk) / (4 * np.pi)
+            t_ref[i, j] = acc
+    np.testing.assert_allclose(t.real, t_ref, atol=1e-7)
+    np.testing.assert_allclose(t.imag, 0, atol=1e-10)
+
+
+def test_ewald_nacl_madelung():
+    """Rock-salt Ewald energy reproduces the NaCl Madelung constant 1.747565."""
+    a = 2.0
+    cell = Cell(
+        a=np.eye(3) * (2 * a),
+        atom=[("H", np.array(p) * a) for p in
+              [(0, 0, 0), (1, 1, 0), (1, 0, 1), (0, 1, 1)]] +
+             [("He", np.array(p) * a) for p in
+              [(1, 0, 0), (0, 1, 0), (0, 0, 1), (1, 1, 1)]],
+        basis="sto-3g",
+        pseudo=None,
+        mesh=np.array([4, 4, 4]),
+        unit="bohr",
+    ).build()
+    # charges +1 (H) and -1 (He-as-placeholder): override
+    import fftisdf_tpu.scf.integrals as I
+
+    charges = np.array([1.0, 1, 1, 1, -1, -1, -1, -1])
+    orig = Cell.atom_charges
+    try:
+        Cell.atom_charges = lambda self: charges
+        e = I.ewald(cell)
+    finally:
+        Cell.atom_charges = orig
+    madelung = -e * a / 4  # 4 ion pairs, nearest-neighbor distance a
+    np.testing.assert_allclose(madelung, 1.747564594633, atol=1e-8)
+
+
+def h_pseudo_cell(box=12.0, mesh=25):
+    return Cell(
+        a=np.diag([box, box, box]),
+        atom=[("H", np.full(3, box / 2))],
+        basis={"H": [Shell(l=0,
+                           exps=np.array([4.5, 1.5, 0.5, 0.15]),
+                           coeffs=np.eye(4))]},
+        pseudo="gth-pade",
+        spin=1,
+        mesh=np.array([mesh] * 3),
+        unit="bohr",
+        precision=1e-12,
+    ).build()
+
+
+def test_one_electron_uhf_exact():
+    """1-electron UHF: E_tot - E_nuc must equal the lowest hcore eigenvalue
+    (Hartree and exchange cancel exactly, finite-size terms included)."""
+    cell = h_pseudo_cell()
+    kpts = np.zeros((1, 3))
+    mf = KUHF(cell, kpts, verbose=0, conv_tol=1e-10)
+    e = mf.kernel()
+    from fftisdf_tpu.scf.hf import _eigh_gen
+
+    e0, _ = _eigh_gen(mf.h1e[0], mf.s1e[0])
+    assert mf.converged
+    np.testing.assert_allclose(e - mf.e_nuc, e0[0], atol=1e-8)
+
+
+@pytest.mark.slow
+def test_isdf_scf_matches_exact_scf():
+    """North star (BASELINE.md): SCF with ISDF J/K vs SCF with exact
+    plane-wave J/K, energies within 1e-6 Ha/atom at good compression."""
+    cell = soft_cell(box=8.0, mesh=16)
+    kpts = cell.get_kpts([1, 1, 2])
+
+    mf0 = KRHF(cell, kpts, verbose=0, conv_tol=1e-10)
+    e0 = mf0.kernel()
+    assert mf0.converged
+
+    df = FFTISDF(cell, kpts, c0=40.0, m0=(11, 11, 11), verbose=0,
+                 select_tol=1e-18, rcond=1e-12).build()
+    mf1 = KRHF(cell, kpts, with_df=df, verbose=0, conv_tol=1e-10)
+    e1 = mf1.kernel()
+    assert mf1.converged
+    assert abs(e1 - e0) / cell.natm < 1e-6, f"{e1} vs {e0}"
+
+
+def test_krhf_he2_sanity():
+    """He2 RHF in a box: converged, energy below hcore-only, reasonable."""
+    cell = soft_cell(box=8.0, mesh=16)
+    kpts = np.zeros((1, 3))
+    mf = KRHF(cell, kpts, verbose=0)
+    e = mf.kernel()
+    assert mf.converged
+    # sanity: electron-electron repulsion positive, total finite
+    assert np.isfinite(e)
+    # RHF energy should be stationary: rerunning from converged dm changes
+    # nothing
+    e2 = mf.kernel(dm0=mf.dm)
+    np.testing.assert_allclose(e, e2, atol=1e-7)
