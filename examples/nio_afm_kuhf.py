@@ -1,0 +1,82 @@
+"""NiO antiferromagnetic KUHF with ISDF J/K — the north-star configuration
+(BASELINE.md): the reference's target system (``nio-afm.vasp``,
+``fftisdf.py:412-473`` driver with KRHF; AFM needs KUHF).
+
+Note: the embedded Ni gth data is approximate (fftisdf_tpu/basis/data.py);
+the ISDF-vs-exact comparison is exact regardless, absolute energies are not
+comparable to external codes until verified tables are dropped in.
+
+Usage: python examples/nio_afm_kuhf.py [--ke 50] [--kmesh 1 1 2] [--c0 20]
+"""
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ke", type=float, default=50.0)
+    p.add_argument("--kmesh", type=int, nargs=3, default=[1, 1, 2])
+    p.add_argument("--c0", type=float, default=20.0)
+    p.add_argument("--exact", action="store_true",
+                   help="also run the exact plane-wave KUHF for comparison")
+    p.add_argument("--tpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from fftisdf_tpu.lattice import structure
+    from fftisdf_tpu.isdf import FFTISDF
+    from fftisdf_tpu.scf import KUHF
+
+    cell = structure.to_cell(*structure.nio_afm(), basis="gth-szv",
+                             pseudo="gth-pade", ke_cutoff=args.ke,
+                             exp_to_discard=0.1)
+    kpts = cell.get_kpts(args.kmesh)
+    print(f"NiO AFM: nao={cell.nao_nr()} nelec={cell.nelectron} "
+          f"mesh={cell.mesh} nk={len(kpts)}")
+
+    # AFM ordering: opposite spin bias on the two Ni sites (atoms 0, 1)
+    init_spin = {0: +1.0, 1: -1.0}
+
+    t0 = time.time()
+    df = FFTISDF(cell, kpts, c0=args.c0, m0=(11, 11, 11), verbose=3).build()
+    print(f"ISDF build: {time.time()-t0:.1f}s, nip={df.nip}")
+
+    mf = KUHF(cell, kpts, with_df=df, verbose=3, conv_tol=1e-8,
+              max_cycle=60, init_spin=init_spin)
+    t0 = time.time()
+    e = mf.kernel()
+    # local spin moments (Mulliken-style, diagonal of dm.S per atom)
+    dm = mf.dm
+    s1e = mf.s1e
+    nk = len(kpts)
+    pop = np.zeros((2, cell.nao_nr()))
+    for s in range(2):
+        for k in range(nk):
+            pop[s] += np.real(np.diag(dm[s, k] @ s1e[k])) / nk
+    off = 0
+    moments = []
+    for sym, _ in cell.atom:
+        nfa = sum(sh.nfunc for sh in cell._basis[sym])
+        moments.append(pop[0, off:off+nfa].sum() - pop[1, off:off+nfa].sum())
+        off += nfa
+    print(f"-> ISDF KUHF E = {e:.8f} Ha  ({time.time()-t0:.1f}s, "
+          f"conv={mf.converged})")
+    print("-> atomic spin moments:",
+          " ".join(f"{sym}:{m:+.3f}" for (sym, _), m in zip(cell.atom, moments)))
+
+    if args.exact:
+        mf0 = KUHF(cell, kpts, verbose=0, conv_tol=1e-8, max_cycle=60,
+                   init_spin=init_spin)
+        e0 = mf0.kernel()
+        print(f"-> exact-PW KUHF E = {e0:.8f} Ha (conv={mf0.converged})")
+        print(f"-> dE/atom = {abs(e-e0)/cell.natm:.2e} Ha")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,11 @@ def shell_images(cell, center: np.ndarray, rcut: float) -> np.ndarray:
         for i in range(3)
     ])
     nmax = np.ceil((reach + np.linalg.norm(center - ccenter)) / heights).astype(int) + 1
+    from fftisdf_tpu import native
+
+    ts_native = native.enumerate_images(a, center, ccenter, reach, nmax)
+    if ts_native is not None:
+        return ts_native
     rng = [np.arange(-n, n + 1) for n in nmax]
     ints = np.stack(np.meshgrid(*rng, indexing="ij"), axis=-1).reshape(-1, 3)
     ts = ints.astype(np.float64) @ a

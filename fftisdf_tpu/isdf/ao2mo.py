@@ -13,6 +13,9 @@ import jax
 import jax.numpy as jnp
 
 from fftisdf_tpu.isdf.eri import assemble_eri
+from fftisdf_tpu.utils.device import to_device, jit_take
+
+_proj = jax.jit(lambda x, c: x @ c)
 
 
 def mo_eri(df, mo_coeffs, kidx):
@@ -26,9 +29,9 @@ def mo_eri(df, mo_coeffs, kidx):
     k1, k2, k3, k4 = kidx
     q = df.kconserv2()[k1, k2]
     assert df.kconserv3()[k1, k2, k3] == k4, "quadruple not conserving"
-    xs = [df.x_k[k] @ jnp.asarray(c)
+    xs = [_proj(jit_take(df.x_k, k), to_device(c, dtype=df.x_k.dtype))
           for k, c in zip(kidx, mo_coeffs)]
-    return assemble_eri(df.wq[q], *xs)
+    return assemble_eri(jit_take(df.wq, int(q)), *xs)
 
 
 def trans_2e(df, c_ao_lo=None):
@@ -48,18 +51,20 @@ def trans_2e(df, c_ao_lo=None):
     nao = df.x_k.shape[2]
     if c_ao_lo is None:
         c_ao_lo = np.broadcast_to(np.eye(nao), (nk, nao, nao))
-    c = jnp.asarray(c_ao_lo)
+    c = to_device(np.asarray(c_ao_lo).astype(complex))
     nemb = c.shape[2]
     k3c = df.kconserv3()
-    out = jnp.zeros((nemb,) * 4, dtype=jnp.complex128 if
-                    df.wq.dtype == jnp.complex128 else jnp.complex64)
-    xlo = [df.x_k[k] @ c[k] for k in range(nk)]
+    xlo = [_proj(jit_take(df.x_k, k), jit_take(c, k).astype(df.x_k.dtype))
+           for k in range(nk)]
+    terms = []
     for k1 in range(nk):
         for k2 in range(nk):
             q = df.kconserv2()[k1, k2]
             for k3 in range(nk):
                 k4 = int(k3c[k1, k2, k3])
-                out = out + assemble_eri(df.wq[q], xlo[k1], xlo[k2],
-                                         xlo[k3], xlo[k4])
-    out = out / nk
-    return out
+                terms.append(assemble_eri(jit_take(df.wq, int(q)),
+                                          xlo[k1], xlo[k2],
+                                          xlo[k3], xlo[k4]))
+    # accumulate under jit (eager complex adds are unsupported on some TPU
+    # transports; see utils.device)
+    return jax.jit(lambda ts: sum(ts[1:], ts[0]) / nk)(terms)

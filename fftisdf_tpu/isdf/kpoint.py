@@ -40,7 +40,7 @@ from fftisdf_tpu.linalg.solvers import solve_fitting
 from fftisdf_tpu.linalg.fft import fft3, ifft3
 from fftisdf_tpu.linalg.coulomb import get_coulG
 from fftisdf_tpu.utils.logging import Logger
-from fftisdf_tpu.utils.device import to_device
+from fftisdf_tpu.utils.device import to_device, jit_take
 
 
 def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
@@ -77,10 +77,11 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
     log.info("select_interpolation_points: ng0=%d rank=%d nip=%d "
              "pivot-residual=%.2e (%.2fs)", ng0, rank, nip, err,
              time.perf_counter() - t0)
-    x_k = x0[:, jnp.asarray(mask), :]
+    x_k = jax.jit(lambda a, m: a[:, m, :])(x0, jnp.asarray(mask))
     return x_k, mask, rank
 
 
+@jax.jit
 def _stripe_quartic(x_k, phase):
     """x4_k[q] via the stripe trick: k -> image space, elementwise square,
     back to k (ref fftisdf.py:38-48).  Equals (1/sqrt(nk)) * the normal
@@ -220,14 +221,16 @@ class FFTISDF:
         coords_p = np.concatenate(
             [coords, np.zeros((pad, 3))], axis=0).reshape(nblk, blk, 3)
 
-        def block_fn(c):
-            f_k = fn(c)
-            return _rhs_block(f_k, x_k, phase)
+        @jax.jit
+        def rhs_sweep(coords_p, x_k, phase):
+            y_blocks = jax.lax.map(
+                lambda c: _rhs_block(fn(c), x_k, phase), coords_p)
+            # (nblk, nk, blk, nip) -> (nk, ngrid, nip)
+            y = jnp.transpose(y_blocks, (1, 0, 2, 3))
+            y = y.reshape(nk, nblk * blk, nip)
+            return y[:, :ngrid, :]
 
-        y_blocks = jax.lax.map(block_fn, jnp.asarray(coords_p, dtype=self.dtype))
-        # (nblk, nk, blk, nip) -> (nk, ngrid, nip)
-        y = jnp.transpose(y_blocks, (1, 0, 2, 3)).reshape(nk, nblk * blk, nip)
-        y = y[:, :ngrid, :]
+        y = rhs_sweep(jnp.asarray(coords_p, dtype=self.dtype), x_k, phase)
         y.block_until_ready()
         log.info("build: rhs sweep done (%.2fs)", time.perf_counter() - t0)
 
@@ -247,8 +250,7 @@ class FFTISDF:
                 solver=self.solver, rcond=self.rcond)
             return w_q, rank_q
 
-        wq, ranks = jax.lax.map(
-            per_q,
+        wq, ranks = jax.jit(lambda args: jax.lax.map(per_q, args))(
             (x4_k, y,
              jnp.asarray(coulG, dtype=self.dtype),
              to_device(eiqr, dtype=cdtype)),
@@ -274,20 +276,27 @@ class FFTISDF:
         from fftisdf_tpu.isdf import jk as jk_mod
 
         assert self.x_k is not None, "call build() first"
-        dm = to_device(dm_kpts)
-        single = dm.ndim == 3
-        if single:
-            dm = dm[None]
+        import numpy as _np
+        single = _np.asarray(dm_kpts).ndim == 3 if not isinstance(
+            dm_kpts, jnp.ndarray) else dm_kpts.ndim == 3
+        dm = to_device(dm_kpts, dtype=self.wq.dtype)
         phase = to_device(self.phase, dtype=self.wq.dtype)
-        vj = vk = None
-        if with_j:
-            vj = jk_mod.get_j_kpts(self.x_k, self.wq[0], dm)
-        if with_k:
-            vk = jk_mod.get_k_kpts(self.x_k, self.wq, phase, dm)
-        if single:
-            vj = None if vj is None else vj[0]
-            vk = None if vk is None else vk[0]
-        return vj, vk
+
+        # everything complex stays under jit (eager complex dispatch is
+        # broken on some TPU transports; see utils.device)
+        @partial(jax.jit, static_argnames=("with_j", "with_k", "single"))
+        def _kernel(x_k, wq, phase, dm, with_j, with_k, single):
+            if single:
+                dm = dm[None]
+            vj = jk_mod.get_j_kpts(x_k, wq[0], dm) if with_j else None
+            vk = jk_mod.get_k_kpts(x_k, wq, phase, dm) if with_k else None
+            if single:
+                vj = None if vj is None else vj[0]
+                vk = None if vk is None else vk[0]
+            return vj, vk
+
+        return _kernel(self.x_k, self.wq, phase, dm,
+                       with_j=with_j, with_k=with_k, single=single)
 
     def get_eri(self, kidx, compact=False):
         """ERI tensor for the momentum-conserving quadruple kidx=(k1,k2,k3,k4)
@@ -297,8 +306,9 @@ class FFTISDF:
         k1, k2, k3, k4 = kidx
         q = self.kconserv2()[k1, k2]
         assert self.kconserv3()[k1, k2, k3] == k4, "quadruple not conserving"
-        return assemble_eri(self.wq[q], self.x_k[k1], self.x_k[k2],
-                            self.x_k[k3], self.x_k[k4])
+        take = lambda i: jit_take(self.x_k, i)
+        return assemble_eri(jit_take(self.wq, int(q)), take(k1), take(k2),
+                            take(k3), take(k4))
 
     # ------------------------------------------------------------------
     def save(self, path):

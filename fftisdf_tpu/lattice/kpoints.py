@@ -68,8 +68,17 @@ def member(kpt_scaled: np.ndarray, kpts_scaled: np.ndarray, tol=1e-8) -> int:
     return int(hit[0])
 
 
+def _kconserv_native(cell, kpts):
+    from fftisdf_tpu import native
+
+    return native.build_kconserv(cell.get_scaled_kpts(kpts))
+
+
 def get_kconserv2(cell: Cell, kpts: np.ndarray) -> np.ndarray:
     """kconserv2[k1,k2] = index of (kpts[k2] - kpts[k1]) mod G."""
+    tables = _kconserv_native(cell, kpts)
+    if tables is not None:
+        return tables[0]
     s = cell.get_scaled_kpts(kpts)
     nk = len(kpts)
     out = np.empty((nk, nk), dtype=np.int64)
@@ -81,6 +90,9 @@ def get_kconserv2(cell: Cell, kpts: np.ndarray) -> np.ndarray:
 
 def get_kconserv3(cell: Cell, kpts: np.ndarray) -> np.ndarray:
     """kconserv3[k1,k2,k3] = k4 with k1 - k2 + k3 - k4 = G."""
+    tables = _kconserv_native(cell, kpts)
+    if tables is not None:
+        return tables[1]
     s = cell.get_scaled_kpts(kpts)
     nk = len(kpts)
     out = np.empty((nk, nk, nk), dtype=np.int64)

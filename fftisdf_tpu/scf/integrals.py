@@ -193,6 +193,22 @@ def get_hcore(cell, ao_kpts, kpts, coords=None):
 
 
 # ---------------------------------------------------------------------- Ewald
+def _ewald_real_py(coords, charges, ts, eta):
+    from scipy.special import erfc
+
+    e_real = 0.0
+    for t in ts:
+        d = coords[:, None, :] - coords[None, :, :] + t[None, None, :]
+        r = np.linalg.norm(d, axis=-1)
+        zz = charges[:, None] * charges[None, :]
+        if np.all(np.abs(t) < 1e-12):
+            iu = ~np.eye(len(charges), dtype=bool)
+            e_real += 0.5 * np.sum(zz[iu] * erfc(np.sqrt(eta) * r[iu]) / r[iu])
+        else:
+            e_real += 0.5 * np.sum(zz * erfc(np.sqrt(eta) * r) / r)
+    return float(e_real)
+
+
 def ewald(cell, eta=None, rcut_mult=1.0):
     """Ion-ion energy of point charges + neutralizing background."""
     charges = cell.atom_charges()
@@ -212,17 +228,11 @@ def ewald(cell, eta=None, rcut_mult=1.0):
     rng = [np.arange(-n, n + 1) for n in nmax]
     ints = np.stack(np.meshgrid(*rng, indexing="ij"), -1).reshape(-1, 3)
     ts = ints.astype(float) @ a
-    e_real = 0.0
-    from scipy.special import erfc
-    for t in ts:
-        d = coords[:, None, :] - coords[None, :, :] + t[None, None, :]
-        r = np.linalg.norm(d, axis=-1)
-        zz = charges[:, None] * charges[None, :]
-        if np.all(np.abs(t) < 1e-12):
-            iu = ~np.eye(len(charges), dtype=bool)
-            e_real += 0.5 * np.sum(zz[iu] * erfc(np.sqrt(eta) * r[iu]) / r[iu])
-        else:
-            e_real += 0.5 * np.sum(zz * erfc(np.sqrt(eta) * r) / r)
+    from fftisdf_tpu import native
+
+    e_real = native.ewald_real(coords, charges, ts, eta)
+    if e_real is None:
+        e_real = _ewald_real_py(coords, charges, ts, eta)
     # reciprocal-space
     gcut = 2.0 * np.sqrt(eta * -np.log(1e-14))
     b = cell.reciprocal_vectors()

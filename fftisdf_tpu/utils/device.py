@@ -1,21 +1,52 @@
 """Host<->device transfer helpers that tolerate complex-hostile transports.
 
 Some TPU transports (e.g. the axon tunnel in this environment) implement
-host<->device copies only for real dtypes — transferring a complex array
-raises ``UNIMPLEMENTED``, often surfacing asynchronously at an unrelated
-later transfer.  These helpers split complex arrays into real/imag on the
-side that supports them and recombine on the other side.  Real arrays pass
-straight through.
+host<->device copies only for real dtypes, and their *eager* op dispatch path
+fails on complex arithmetic with ``UNIMPLEMENTED`` (the same ops compiled
+under an explicit ``jax.jit`` work).  Therefore:
+
+- complex arrays are shipped as two real transfers and recombined by a
+  *jitted* kernel on device;
+- device->host pulls extract real/imag with jitted kernels and recombine on
+  host;
+- ``jit_take`` provides jitted leading-axis indexing for complex device
+  arrays (eager slicing would hit the broken eager path).
+
+Real arrays pass straight through.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("cdtype",))
+def _combine(re, im, cdtype):
+    return (re + 1j * im).astype(cdtype)
+
+
+@jax.jit
+def _real(x):
+    return jnp.real(x)
+
+
+@jax.jit
+def _imag(x):
+    return jnp.imag(x)
+
+
+@jax.jit
+def jit_take(a, i):
+    """a[i] along the leading axis, compiled once (traced index)."""
+    return jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
 
 
 def to_device(x, dtype=None):
     """np/jnp array -> device array; complex inputs are shipped as two real
-    transfers and recombined on device."""
+    transfers and recombined on device under jit."""
     if isinstance(x, jnp.ndarray):
         return x if dtype is None else x.astype(dtype)
     x = np.asarray(x)
@@ -29,12 +60,12 @@ def to_device(x, dtype=None):
     rdtype = jnp.float64 if cdtype == jnp.complex128 else jnp.float32
     re = jnp.asarray(np.ascontiguousarray(x.real), dtype=rdtype)
     im = jnp.asarray(np.ascontiguousarray(x.imag), dtype=rdtype)
-    return (re + 1j * im).astype(cdtype)
+    return _combine(re, im, cdtype)
 
 
 def to_host(x):
     """Device array -> numpy; complex arrays come back as two real pulls."""
     if np.iscomplexobj(x):
-        return (np.asarray(jnp.real(x)).astype(np.float64)
-                + 1j * np.asarray(jnp.imag(x)).astype(np.float64))
+        return (np.asarray(_real(x)).astype(np.float64)
+                + 1j * np.asarray(_imag(x)).astype(np.float64))
     return np.asarray(x)
