@@ -78,22 +78,32 @@ def main():
 
     # ---------------- ISDF: build + serve (the fast path) ----------------
     m0 = tuple(min(15, int(m)) for m in cell.mesh) if not args.quick else (7, 7, 7)
+    # warmup build: pays XLA compilation (one-time per shape); the timed
+    # build below reuses the compile cache, measuring the actual pipeline
+    df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0, dtype=dtype).build()
+    nip_first = df.nip
     t0 = time.perf_counter()
     df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0, dtype=dtype).build()
     jax.block_until_ready(df.wq)
     t_build = time.perf_counter() - t0
+    if df.nip != nip_first:  # shape change would retrigger compiles
+        t_build = float("nan")
 
     phase = to_device(df.phase, dtype=df.wq.dtype)
 
+    # NB: complex device arrays must be jit *arguments*, not closures —
+    # closure constants are embedded via a host round-trip that complex-
+    # hostile transports reject.
     @jax.jit
-    def isdf_jk(dm):
-        vj = jk_mod.get_j_kpts(df.x_k, df.wq[0], dm[None])[0]
-        vk = jk_mod.get_k_kpts(df.x_k, df.wq, phase, dm[None])[0]
+    def isdf_jk(x_k, wq, ph, dm):
+        vj = jk_mod.get_j_kpts(x_k, wq[0], dm[None])[0]
+        vk = jk_mod.get_k_kpts(x_k, wq, ph, dm[None])[0]
         return vj, vk
 
-    vj_i, vk_i = jax.block_until_ready(isdf_jk(dm_dev))  # compile
+    args_i = (df.x_k, df.wq, phase, dm_dev)
+    vj_i, vk_i = jax.block_until_ready(isdf_jk(*args_i))  # compile
     t0 = time.perf_counter()
-    vj_i, vk_i = jax.block_until_ready(isdf_jk(dm_dev))
+    vj_i, vk_i = jax.block_until_ready(isdf_jk(*args_i))
     t_isdf_jk = time.perf_counter() - t0
 
     # ---------------- exact plane-wave baseline ----------------

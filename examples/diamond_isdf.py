@@ -8,6 +8,10 @@ use the default backend in f32.
 Usage: python examples/diamond_isdf.py [--ke 50] [--kmesh 2 2 2] [--c0 25]
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 

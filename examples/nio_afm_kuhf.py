@@ -9,6 +9,10 @@ comparable to external codes until verified tables are dropped in.
 Usage: python examples/nio_afm_kuhf.py [--ke 50] [--kmesh 1 1 2] [--c0 20]
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -1,4 +1,4 @@
-"""Native periodic GTO evaluation on real-space grids (JAX).
+"""Native periodic GTO evaluation on real-space grids (JAX, TPU-first).
 
 TPU-native replacement for PySCF's ``pbc_eval_gto("GTOval", coords, kpts=...)``
 and the blocked ``_numint.block_loop`` iterator used throughout the reference
@@ -8,17 +8,20 @@ The Bloch AO at k is a lattice sum over translation images::
 
     phi_{k,mu}(r) = sum_T  exp(i k.T) * chi_mu(r - A_mu - T)
 
-Design: shell metadata (centers, exponents, normalized contractions, image
-lists truncated at the shell's decay radius) is assembled host-side once; the
-evaluator is a single jitted function that scans over images, evaluating every
-shell's primitives on the full grid block with VPU-friendly elementwise math
-and accumulating the k-phases.  Grid blocks stream through ``jax.lax.map`` at
-the call sites (the ISDF builder), replacing the reference's Python/C
-block_loop round trips.
+TPU-first design (vs. a sequential image loop):
+
+- shells are grouped by center; each group shares one image list (max decay
+  radius of its shells) and one (ngrid, nimg) distance/exponential tensor —
+  the expensive ``exp`` evaluations are fully vectorized on the VPU;
+- the image sum with k-phases is a single ``(g,T,f) x (T,k)`` contraction —
+  an MXU matmul instead of a length-nimg sequential scan;
+- arbitrary coordinates are wrapped into the home cell with the compensating
+  Bloch phase, so the finite image lists stay exact everywhere.
+
+Grid blocks stream through ``jax.lax.map`` at the call sites (the ISDF
+builder), replacing the reference's Python/C block_loop round trips.
 """
 from __future__ import annotations
-
-from functools import partial
 
 import numpy as np
 import jax
@@ -48,7 +51,6 @@ def shell_images(cell, center: np.ndarray, rcut: float) -> np.ndarray:
     a = np.asarray(cell.a)
     ccenter, cradius = _cell_geometry(cell)
     reach = rcut + cradius
-    # heights of the lattice along each direction bound the integer ranges
     vol = abs(np.linalg.det(a))
     heights = np.array([
         vol / np.linalg.norm(np.cross(a[(i + 1) % 3], a[(i + 2) % 3]))
@@ -95,20 +97,51 @@ def build_shell_table(cell, precision=None, shells=None):
     return [ShellSpec(cell, xyz, sh, precision) for xyz, sh in shells]
 
 
-def _shell_block(coords, spec: ShellSpec, shift, dtype):
-    """chi values of one shell at coords - shift: (ng, nfunc), real."""
-    d = coords - jnp.asarray(spec.center + shift, dtype=dtype)
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
-    r2 = dx * dx + dy * dy + dz * dz
-    # radial part: (ng, nprim) @ (nprim, nctr)
-    rad = jnp.exp(-r2[:, None] * jnp.asarray(spec.exps, dtype=dtype)[None, :])
-    rad = rad @ jnp.asarray(spec.coeffs, dtype=dtype)
-    for _ in range(spec.rpow):
-        rad = rad * r2[:, None]
-    ang = jnp.stack(real_solid_harmonics(dx, dy, dz, spec.l, jnp), axis=-1)
-    # AO order within shell: contraction-major, m = -l..l inside
-    chi = rad[:, :, None] * ang[:, None, :]
-    return chi.reshape(coords.shape[0], spec.nfunc)
+class CenterGroup:
+    """Shells sharing a center: one image list, shared distance tensor."""
+
+    def __init__(self, cell, center, specs, precision):
+        self.center = np.asarray(center)
+        self.specs = specs
+        rcut = max(s.rcut for s in specs)
+        self.images = shell_images(cell, self.center, rcut)
+        self.nfunc = sum(s.nfunc for s in specs)
+
+
+def _group_by_center(cell, table, precision):
+    groups = {}
+    for spec in table:
+        key = tuple(np.round(spec.center, 12))
+        groups.setdefault(key, []).append(spec)
+    # preserve AO ordering: groups must be emitted in first-appearance order
+    out = []
+    seen = []
+    for spec in table:
+        key = tuple(np.round(spec.center, 12))
+        if key in seen:
+            continue
+        seen.append(key)
+        out.append(CenterGroup(cell, spec.center, groups[key], precision))
+    return out
+
+
+def _group_chi(coords, group: CenterGroup, images, dtype):
+    """chi values of all shells in a center group: (ng, nT, nfunc) real."""
+    centers = jnp.asarray(group.center[None, :] + images, dtype=dtype)  # (T,3)
+    d = coords[:, None, :] - centers[None, :, :]          # (g, T, 3)
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    r2 = dx * dx + dy * dy + dz * dz                      # (g, T)
+    feats = []
+    for spec in group.specs:
+        rad = jnp.exp(-r2[..., None] * jnp.asarray(spec.exps, dtype=dtype))
+        rad = rad @ jnp.asarray(spec.coeffs, dtype=dtype)  # (g, T, nctr)
+        for _ in range(spec.rpow):
+            rad = rad * r2[..., None]
+        ang = jnp.stack(real_solid_harmonics(dx, dy, dz, spec.l, jnp),
+                        axis=-1)                           # (g, T, 2l+1)
+        chi = rad[..., None, :] * ang[..., :, None]        # (g,T,2l+1,nctr)
+        feats.append(chi.reshape(r2.shape + (spec.nfunc,)))
+    return jnp.concatenate(feats, axis=-1)
 
 
 def make_evaluator(cell, kpts=None, precision=None, dtype=jnp.float64,
@@ -118,7 +151,9 @@ def make_evaluator(cell, kpts=None, precision=None, dtype=jnp.float64,
     ``kpts=None`` gives the gamma-point real evaluator ``fn(coords) -> (ng, nao)``.
     ``shells`` overrides the cell basis with explicit (center, Shell) pairs.
     """
+    precision = cell.precision if precision is None else precision
     table = build_shell_table(cell, precision, shells)
+    groups = _group_by_center(cell, table, precision)
     gamma = kpts is None
     kpts_arr = None if gamma else np.asarray(kpts)
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -126,42 +161,25 @@ def make_evaluator(cell, kpts=None, precision=None, dtype=jnp.float64,
     ainv = np.linalg.inv(np.asarray(cell.a))
     a_mat = np.asarray(cell.a)
 
-    # group shells by identical image sets is possible; keep simple: per shell
     def eval_fn(coords):
         coords = jnp.asarray(coords, dtype=dtype)
         # wrap into the home cell: r = r0 + T, phi_k(r) = e^{ik.T} phi_k(r0).
-        # Keeps the finite per-shell image lists exact for arbitrary coords.
         frac = coords @ jnp.asarray(ainv, dtype=dtype)
-        shift_int = jnp.floor(frac)
-        tvec = shift_int @ jnp.asarray(a_mat, dtype=dtype)
-        coords = coords - tvec
-        ng = coords.shape[0]
+        tvec = jnp.floor(frac) @ jnp.asarray(a_mat, dtype=dtype)
+        coords0 = coords - tvec
         blocks = []
-        for spec in table:
-            images = spec.images
+        for group in groups:
+            images = group.images
+            chi = _group_chi(coords0, group, images, dtype)  # (g, T, f)
             if gamma:
-                acc = jnp.zeros((ng, spec.nfunc), dtype=dtype)
-
-                def body(acc, t):
-                    return acc + _shell_block(coords - t, spec, 0.0, dtype), None
-
-                acc, _ = jax.lax.scan(body, acc, jnp.asarray(images, dtype=dtype))
+                blocks.append(jnp.sum(chi, axis=1))
             else:
-                nk = len(kpts_arr)
-                acc = jnp.zeros((nk, ng, spec.nfunc), dtype=cdtype)
-                phases = jnp.exp(
-                    1j * jnp.asarray(images @ kpts_arr.T)
-                ).astype(cdtype)  # (nT, nk)
-
-                def body(acc, tp):
-                    t, ph = tp
-                    chi = _shell_block(coords - t, spec, 0.0, dtype)
-                    return acc + ph[:, None, None] * chi[None].astype(cdtype), None
-
-                acc, _ = jax.lax.scan(
-                    body, acc, (jnp.asarray(images, dtype=dtype), phases)
-                )
-            blocks.append(acc)
+                # image sum with k-phases as one MXU contraction
+                ph = np.exp(1j * images @ kpts_arr.T)        # (T, nk)
+                ph = jnp.asarray(ph.astype(
+                    np.complex128 if dtype == jnp.float64 else np.complex64))
+                out = jnp.einsum("gTf,Tk->kgf", chi.astype(cdtype), ph)
+                blocks.append(out)
         out = jnp.concatenate(blocks, axis=-1)
         if not gamma:
             ptphase = jnp.exp(

@@ -143,7 +143,7 @@ class FFTISDF:
     c0: float = 20.0
     m0: tuple = (15, 15, 15)
     solver: str = "lstsq"
-    rcond: float = 1e-10
+    rcond: float = None        # None: dtype-aware (1e-10 f64, 1e-5 f32)
     select_tol: float = None   # pivot threshold; ref isdf.py:45 uses 1e-20
     blksize: int = 16384
     dtype: object = jnp.float64
@@ -157,6 +157,11 @@ class FFTISDF:
     _log: Logger = field(default=None, repr=False)
 
     def __post_init__(self):
+        if self.rcond is None:
+            # spectral cutoff must sit above the eigensolver's noise floor:
+            # f32 eigenvalues carry O(eps_f32 * wmax) errors that a 1e-10
+            # cutoff would keep and amplify by 1/w
+            self.rcond = 1e-10 if self.dtype == jnp.float64 else 1e-5
         self.kpts = np.asarray(self.kpts)
         self.kmesh = np.asarray(kpt_mod.kpts_to_kmesh(self.cell, self.kpts))
         self._log = Logger(self.verbose)

@@ -108,11 +108,11 @@ def get_jk_sharded(df, dm_kpts, dev_mesh):
     phase = to_device(df.phase, dtype=cdtype)
 
     @jax.jit
-    def step(x_k, wq, dm):
+    def step(x_k, wq, ph, dm):
         x_k = with_sharding_constraint(x_k, sshard)
         wq = with_sharding_constraint(wq, sshard)
         vj = jk_mod.get_j_kpts(x_k, wq[0], dm[None])[0]
-        vk = jk_mod.get_k_kpts(x_k, wq, phase, dm[None])[0]
+        vk = jk_mod.get_k_kpts(x_k, wq, ph, dm[None])[0]
         return vj, vk
 
-    return step(df.x_k, df.wq, to_device(dm_kpts, dtype=df.wq.dtype))
+    return step(df.x_k, df.wq, phase, to_device(dm_kpts, dtype=df.wq.dtype))

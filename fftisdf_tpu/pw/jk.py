@@ -11,6 +11,7 @@ Density-matrix convention: dm[k]_{mn} with electron density
 """
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -33,30 +34,42 @@ def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None):
 
 
 def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None):
-    """Exchange matrix vk[k1] from AO values; exact pairwise Poisson solves."""
+    """Exchange matrix vk[k1] from AO values; exact pairwise Poisson solves.
+
+    The nk^2 (k1, k2) pairs run through one compiled ``lax.map`` body
+    (nao^2 batched 3D FFTs per pair) and are reduced on device."""
     mesh = cell.mesh if mesh is None else mesh
+    fmesh = tuple(int(m) for m in mesh)
     if coords is None:
         coords = cell.gen_uniform_grids(mesh)
     nk, ng, nao = ao_kpts.shape
     dm = jnp.asarray(dm_kpts)
-    kpts = jnp.asarray(kpts)
+    kpts_d = jnp.asarray(np.asarray(kpts), dtype=jnp.real(ao_kpts).dtype)
+    coords_d = jnp.asarray(np.asarray(coords), dtype=jnp.real(ao_kpts).dtype)
+    gv = jnp.asarray(cell.get_Gv(fmesh), dtype=jnp.real(ao_kpts).dtype)
     w = cell.vol / ng
 
-    vk = jnp.zeros((nk, nao, nao), dtype=ao_kpts.dtype)
-    for k1 in range(nk):
-        for k2 in range(nk):
-            q = kpts[k2] - kpts[k1]
-            # pair densities rho_{ml}(g) = conj(phi_{k1,m}) phi_{k2,l}
-            rho = (ao_kpts[k1].conj()[:, :, None]
-                   * ao_kpts[k2][:, None, :]).reshape(ng, -1)
-            v = pair_potential(rho.T, q, coords, cell, mesh).T
-            v = v.reshape(ng, nao, nao)
-            # u_l(g) = sum_s dm[k2]_{ls} conj(phi_{k2,s}(g))
-            u = jnp.einsum("ls,gs->gl", dm[k2], ao_kpts[k2].conj())
-            vk = vk.at[k1].add(
-                (w / nk) * jnp.einsum("gml,gl,gn->mn", v, u, ao_kpts[k1])
-            )
-    return vk
+    def pair_body(idx):
+        k1 = idx // nk
+        k2 = idx % nk
+        ao1 = jax.lax.dynamic_index_in_dim(ao_kpts, k1, 0, keepdims=False)
+        ao2 = jax.lax.dynamic_index_in_dim(ao_kpts, k2, 0, keepdims=False)
+        dm2 = jax.lax.dynamic_index_in_dim(dm, k2, 0, keepdims=False)
+        q = kpts_d[k2] - kpts_d[k1]
+        eiqr = jnp.exp(1j * (coords_d @ q))
+        rho = (ao1.conj()[:, :, None] * ao2[:, None, :]).reshape(ng, -1)
+        gk = gv + q[None, :]
+        absg2 = jnp.sum(gk * gk, axis=1)
+        coulG = jnp.where(absg2 > 1e-12,
+                          4.0 * jnp.pi / jnp.where(absg2 > 1e-12, absg2, 1.0),
+                          0.0)
+        work = fft3((rho * eiqr.conj()[:, None]).T, fmesh) * coulG
+        v = (ifft3(work, fmesh) * eiqr[None, :]).T.reshape(ng, nao, nao)
+        u = jnp.einsum("ls,gs->gl", dm2, ao2.conj())
+        return (w / nk) * jnp.einsum("gml,gl,gn->mn", v, u, ao1)
+
+    contribs = jax.lax.map(pair_body, jnp.arange(nk * nk))
+    return jnp.sum(contribs.reshape(nk, nk, nao, nao), axis=1)
 
 
 def get_jk_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,

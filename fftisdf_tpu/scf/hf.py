@@ -212,6 +212,34 @@ class KUHF(KRHF):
     occupations per spin channel (the NiO-AFM capability of the reference's
     north-star config, BASELINE.md)."""
     init_spin: dict = field(default_factory=dict)
+    spin_bias: float = 0.5      # Ha on-site shift breaking spin symmetry
+    bias_cycles: int = 4        # keep the bias in the Fock for N cycles
+
+    def _atom_blocks(self):
+        off = 0
+        blocks = []
+        for sym, _ in self.cell.atom:
+            nfa = sum(sh.nfunc for sh in self.cell._basis[sym])
+            blocks.append((off, nfa))
+            off += nfa
+        return blocks
+
+    def _apply_bias(self, fock):
+        """Spin-dependent on-site level shifts (AFM symmetry breaking)."""
+        if not self.init_spin:
+            return fock
+        fock = fock.copy()
+        nk = len(self.kpts)
+        for ia, (off, nfa) in enumerate(self._atom_blocks()):
+            bias = self.init_spin.get(ia, 0.0)
+            if bias == 0.0:
+                continue
+            for s, sgn in ((0, -1.0), (1, +1.0)):
+                for k in range(nk):
+                    fock[s, k, off:off + nfa, off:off + nfa] += (
+                        sgn * self.spin_bias * bias
+                        * self.s1e[k][off:off + nfa, off:off + nfa])
+        return fock
 
     @property
     def nocc_ab(self):
@@ -232,16 +260,12 @@ class KUHF(KRHF):
                 h = self.h1e[k].copy()
                 if self.init_spin:
                     # bias on-site energies to break spin symmetry
-                    off = 0
-                    for ia, sym_xyz in enumerate(self.cell.atom):
-                        sym = sym_xyz[0]
-                        nfa = sum(sh.nfunc for sh in self.cell._basis[sym])
+                    sgn = -1.0 if ispin == 0 else 1.0
+                    for ia, (off, nfa) in enumerate(self._atom_blocks()):
                         bias = self.init_spin.get(ia, 0.0)
-                        sgn = -1.0 if ispin == 0 else 1.0
                         h[off:off + nfa, off:off + nfa] += (
-                            sgn * 0.1 * bias
+                            sgn * self.spin_bias * bias
                             * self.s1e[k][off:off + nfa, off:off + nfa])
-                        off += nfa
                 e, c = _eigh_gen(h, self.s1e[k])
                 occ = np.zeros(c.shape[1])
                 occ[:nocc] = 1.0
@@ -278,6 +302,8 @@ class KUHF(KRHF):
             t0 = time.perf_counter()
             fock, vj, vk = self.get_fock(dm)
             e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
+            if it < self.bias_cycles:
+                fock = self._apply_bias(fock)
             err = np.stack([
                 fock[s, k] @ dm[s, k] @ self.s1e[k]
                 - self.s1e[k] @ dm[s, k] @ fock[s, k]

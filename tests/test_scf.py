@@ -155,3 +155,34 @@ def test_krhf_he2_sanity():
     # nothing
     e2 = mf.kernel(dm0=mf.dm)
     np.testing.assert_allclose(e, e2, atol=1e-7)
+
+
+def test_uhf_symmetry_breaking_stretched_h2():
+    """Stretched H2: UHF must break spin symmetry (E_UHF < E_RHF, local
+    moments ~ +/-1) -- validates the AFM machinery end-to-end."""
+    cell = Cell(
+        a=np.diag([10.0, 10.0, 14.0]),
+        atom=[("H", (5.0, 5.0, 5.0)), ("H", (5.0, 5.0, 9.0))],
+        basis={"H": [Shell(l=0, exps=np.array([1.0, 0.35]),
+                           coeffs=np.eye(2))]},
+        pseudo="gth-pade",
+        mesh=np.array([24, 24, 32]),
+        unit="bohr",
+        precision=1e-12,
+    ).build()
+    kpts = np.zeros((1, 3))
+    mf_r = KRHF(cell, kpts, verbose=0, conv_tol=1e-9)
+    e_r = mf_r.kernel()
+    mf_u = KUHF(cell, kpts, verbose=0, conv_tol=1e-9,
+                init_spin={0: +1.0, 1: -1.0}, spin_bias=0.5, bias_cycles=4)
+    e_u = mf_u.kernel()
+    assert mf_r.converged and mf_u.converged
+    assert e_u < e_r - 1e-3  # symmetry broken solution is lower
+    # local moments on the two H atoms are opposite and sizeable
+    pop = np.zeros((2, cell.nao_nr()))
+    for s in range(2):
+        pop[s] = np.real(np.diag(mf_u.dm[s, 0] @ mf_u.s1e[0]))
+    m0 = pop[0, :2].sum() - pop[1, :2].sum()
+    m1 = pop[0, 2:].sum() - pop[1, 2:].sum()
+    assert abs(m0) > 0.8 and abs(m1) > 0.8
+    np.testing.assert_allclose(m0, -m1, atol=1e-4)
