@@ -43,6 +43,10 @@ def main():
     dtype = jnp.float64 if on_cpu else jnp.float32
     if on_cpu:
         jax.config.update("jax_enable_x64", True)
+    else:
+        # TPU matmuls default to bf16 passes; scientific f32 needs the
+        # 6-pass f32 path (measured: 170x accuracy difference on J/K)
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     if args.system == "diamond":
         ke = args.ke or (50.0 if args.quick else 100.0)

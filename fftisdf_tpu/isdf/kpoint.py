@@ -146,6 +146,7 @@ class FFTISDF:
     rcond: float = None        # None: dtype-aware (1e-10 f64, 1e-5 f32)
     select_tol: float = None   # pivot threshold; ref isdf.py:45 uses 1e-20
     blksize: int = 16384
+    max_memory_gb: float = 12.0  # HBM budget driving sector chunking
     dtype: object = jnp.float64
     verbose: int = 3
 
@@ -197,9 +198,21 @@ class FFTISDF:
 
     # ------------------------------------------------------------------
     def build(self):
+        """Build (x_k, w_q).
+
+        Memory architecture (the decision the reference's HDF5 swap papered
+        over, SURVEY.md section 7 hard part #6): the RHS tensor
+        y (nk, ngrid, nip) may exceed HBM for production systems.  When the
+        estimate exceeds ``max_memory_gb``, momentum sectors are processed in
+        chunks: the grid sweep re-runs per chunk (AO evaluation repeated,
+        HBM bounded by |chunk| * ngrid * nip).  On multi-chip meshes, use
+        fftisdf_tpu.parallel.build_sharded which shards y over devices
+        instead.
+        """
         cell, kpts = self.cell, self.kpts
         log = self._log
         cdtype = jnp.complex128 if self.dtype == jnp.float64 else jnp.complex64
+        itemsize = 16 if self.dtype == jnp.float64 else 8
         t_all = time.perf_counter()
 
         x_k, mask, rank = select_interpolation_points(
@@ -214,55 +227,71 @@ class FFTISDF:
         coords = cell.gen_uniform_grids()
         ngrid = coords.shape[0]
         mesh = tuple(int(m) for m in cell.mesh)
-        log.info("build: nk=%d nip=%d nao=%d ngrid=%d (y: %.2f GB)",
-                 nk, nip, nao, ngrid, nk * ngrid * nip * 16 / 1e9)
+        y_gb = nk * ngrid * nip * itemsize / 1e9
+        per_sector_gb = ngrid * nip * itemsize / 1e9
+        # sector chunking: the solve stage additionally holds z (nip, ngrid)
+        # per in-flight sector; budget ~half the limit for y
+        qchunk = nk
+        if y_gb > self.max_memory_gb / 2:
+            qchunk = max(1, int((self.max_memory_gb / 2) / per_sector_gb))
+        log.info("build: nk=%d nip=%d nao=%d ngrid=%d (y: %.2f GB, "
+                 "qchunk=%d)", nk, nip, nao, ngrid, y_gb, qchunk)
 
-        # ---- RHS sweep over the grid (ref HOT LOOP 1, fftisdf.py:72-87)
-        t0 = time.perf_counter()
         fn = make_evaluator(cell, kpts=kpts, dtype=self.dtype)
         blk = min(self.blksize, ngrid)
         nblk = -(-ngrid // blk)
         pad = nblk * blk - ngrid
-        coords_p = np.concatenate(
-            [coords, np.zeros((pad, 3))], axis=0).reshape(nblk, blk, 3)
+        coords_p = jnp.asarray(np.concatenate(
+            [coords, np.zeros((pad, 3))], axis=0).reshape(nblk, blk, 3),
+            dtype=self.dtype)
 
-        @jax.jit
-        def rhs_sweep(coords_p, x_k, phase):
-            y_blocks = jax.lax.map(
-                lambda c: _rhs_block(fn(c), x_k, phase), coords_p)
-            # (nblk, nk, blk, nip) -> (nk, ngrid, nip)
-            y = jnp.transpose(y_blocks, (1, 0, 2, 3))
-            y = y.reshape(nk, nblk * blk, nip)
-            return y[:, :ngrid, :]
-
-        y = rhs_sweep(jnp.asarray(coords_p, dtype=self.dtype), x_k, phase)
-        y.block_until_ready()
-        log.info("build: rhs sweep done (%.2fs)", time.perf_counter() - t0)
-
-        # ---- per-q solve + FFT Coulomb (ref HOT LOOP 2, fftisdf.py:97-124)
-        t0 = time.perf_counter()
         gv = cell.get_Gv(mesh)
-        coulG = np.stack([
+        coulG = jnp.asarray(np.stack([
             np.asarray(get_coulG(cell, q=q, gv=gv)) for q in kpts
-        ])
-        eiqr = np.exp(1j * coords @ kpts.T).T  # (nk, ngrid)
+        ]), dtype=self.dtype)
+        eiqr = to_device(np.exp(1j * coords @ kpts.T).T, dtype=cdtype)
         vol = float(cell.vol)
 
-        def per_q(args):
-            x4_q, y_q, cg, ph = args
-            w_q, rank_q = _solve_coulomb_q(
-                x4_q, y_q, cg, ph, mesh, vol, ngrid,
-                solver=self.solver, rcond=self.rcond)
-            return w_q, rank_q
+        # ---- RHS sweep (ref HOT LOOP 1, fftisdf.py:72-87) + per-sector
+        # solve/FFT (ref HOT LOOP 2, fftisdf.py:97-124), chunked over q
+        @partial(jax.jit, static_argnames=("nq",))
+        def chunk_pipeline(coords_p, x_k, phase_full, phase_cols, x4_c,
+                           coulG_c, eiqr_c, nq):
+            def block_fn(c):
+                f_k = fn(c)
+                fx_k = jnp.einsum("kgm,kIm->kgI", f_k.conj(), x_k)
+                fx_s = jnp.einsum("Rk,kgI->RgI", phase_full, fx_k)
+                y_s = (fx_s.real ** 2).astype(fx_s.dtype)
+                return jnp.einsum("Rq,RgI->qgI", phase_cols, y_s)
 
-        wq, ranks = jax.jit(lambda args: jax.lax.map(per_q, args))(
-            (x4_k, y,
-             jnp.asarray(coulG, dtype=self.dtype),
-             to_device(eiqr, dtype=cdtype)),
-        )
+            y_blocks = jax.lax.map(block_fn, coords_p)
+            y = jnp.transpose(y_blocks, (1, 0, 2, 3))
+            y = y.reshape(nq, -1, nip)[:, :ngrid, :]
+
+            def per_q(args):
+                x4_q, y_q, cg, ph = args
+                return _solve_coulomb_q(x4_q, y_q, cg, ph, mesh, vol, ngrid,
+                                        solver=self.solver, rcond=self.rcond)
+
+            return jax.lax.map(per_q, (x4_c, y, coulG_c, eiqr_c))
+
+        take_rows = jax.jit(lambda a, i: a[i])
+        take_cols = jax.jit(lambda a, i: a[:, i])
+        t0 = time.perf_counter()
+        wq_parts, rank_parts = [], []
+        for q0 in range(0, nk, qchunk):
+            qs = jnp.asarray(np.arange(q0, min(q0 + qchunk, nk)))
+            wq_c, ranks_c = chunk_pipeline(
+                coords_p, x_k, phase, take_cols(phase, qs),
+                take_rows(x4_k, qs), take_rows(coulG, qs),
+                take_rows(eiqr, qs), nq=len(qs))
+            wq_parts.append(wq_c)
+            rank_parts.append(ranks_c)
+        wq = jnp.concatenate(wq_parts, axis=0) if len(wq_parts) > 1 else wq_parts[0]
+        ranks = np.concatenate([np.asarray(r) for r in rank_parts])
         wq.block_until_ready()
-        log.info("build: %d coulomb sectors done, fit ranks %s (%.2fs)",
-                 nk, np.asarray(ranks)[:8], time.perf_counter() - t0)
+        log.info("build: %d sectors done in %d chunk(s), fit ranks %s (%.2fs)",
+                 nk, -(-nk // qchunk), ranks[:8], time.perf_counter() - t0)
 
         self.x_k = x_k
         self.wq = wq

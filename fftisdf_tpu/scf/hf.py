@@ -104,6 +104,7 @@ class KRHF:
     max_cycle: int = 50
     conv_tol: float = 1e-8
     diis_space: int = 8
+    level_shift: float = 0.0   # Ha shift of virtuals (helps small-gap SCF)
     verbose: int = 3
 
     e_tot: float = None
@@ -167,6 +168,13 @@ class KRHF:
             t0 = time.perf_counter()
             fock, vj, vk = self.get_fock(dm)
             e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
+            if self.level_shift:
+                # virtual-space shift: F += shift * (S - S D S / 2)
+                fock = fock + self.level_shift * np.stack([
+                    self.s1e[k]
+                    - self.s1e[k] @ dm[k] @ self.s1e[k] / 2.0
+                    for k in range(nk)
+                ])
             # DIIS on FDS - SDF
             err = np.stack([
                 fock[k] @ dm[k] @ self.s1e[k] - self.s1e[k] @ dm[k] @ fock[k]
@@ -304,6 +312,14 @@ class KUHF(KRHF):
             e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
             if it < self.bias_cycles:
                 fock = self._apply_bias(fock)
+            if self.level_shift:
+                # per-spin virtual shift: F_s += shift * (S - S D_s S)
+                fock = fock + self.level_shift * np.stack([
+                    np.stack([self.s1e[k]
+                              - self.s1e[k] @ dm[s, k] @ self.s1e[k]
+                              for k in range(nk)])
+                    for s in range(2)
+                ])
             err = np.stack([
                 fock[s, k] @ dm[s, k] @ self.s1e[k]
                 - self.s1e[k] @ dm[s, k] @ fock[s, k]
