@@ -38,6 +38,8 @@ def main():
     from fftisdf_tpu.isdf import jk as jk_mod
     from fftisdf_tpu.pw import jk as pw_jk
 
+    from fftisdf_tpu.utils.device import enable_persistent_cache
+    enable_persistent_cache()
     backend = jax.default_backend()
     on_cpu = backend == "cpu"
     dtype = jnp.float64 if on_cpu else jnp.float32

@@ -149,6 +149,8 @@ class FFTISDF:
     max_memory_gb: float = 12.0  # HBM budget driving sector chunking
     dtype: object = jnp.float64
     verbose: int = 3
+    validate: bool = False     # debug: check stripe-reality invariants
+                               # (the asserts at ref fftisdf.py:43,81)
 
     # built state
     x_k: object = None          # (nk, nip, nao)
@@ -223,6 +225,16 @@ class FFTISDF:
 
         phase = to_device(self.phase, dtype=cdtype)
         x4_k = _stripe_quartic(x_k, phase)
+        if self.validate:
+            x2_k = jnp.einsum("kIm,kJm->kIJ", x_k.conj(), x_k)
+            imag_max = float(jnp.max(jnp.abs(
+                jnp.einsum("Rk,kIJ->RIJ", phase, x2_k).imag)))
+            tol_real = 1e-10 if self.dtype == jnp.float64 else 1e-4
+            assert imag_max < tol_real * max(1.0, float(
+                jnp.max(jnp.abs(x2_k)))), (
+                f"stripe reality violated: imag {imag_max:.2e} "
+                "(k-mesh inconsistent with lattice?)")
+            log.debug("validate: x2 stripe imag max %.2e", imag_max)
 
         coords = cell.gen_uniform_grids()
         ngrid = coords.shape[0]
@@ -300,13 +312,16 @@ class FFTISDF:
 
     # ------------------------------------------------------------------
     def get_jk(self, dm_kpts, with_j=True, with_k=True, exxdiv=None,
-               omega=None):
+               omega=None, kpts_band=None):
         if omega is not None:
             raise NotImplementedError("range separation not supported "
                                       "(matches ref fftisdf.py:392)")
         if exxdiv is not None:
             raise NotImplementedError("exxdiv corrections not supported "
                                       "(matches ref fftisdf.py:395)")
+        if kpts_band is not None:
+            raise NotImplementedError("kpts_band != kpts not supported "
+                                      "(matches ref fftisdf.py:194)")
         from fftisdf_tpu.isdf import jk as jk_mod
 
         assert self.x_k is not None, "call build() first"

@@ -76,6 +76,39 @@ def format_poscar(lattice, atoms, comment="fftisdf_tpu") -> str:
     return "\n".join(out) + "\n"
 
 
+def download_poscar(material_id: str, api_key: str = None, timeout=30):
+    """Fetch a POSCAR from the Materials Project API (ref ``cell.py:10-23``).
+
+    Needs network access and an API key (``MP_API_KEY`` env var).  Returns
+    ``(lattice, atoms)`` like :func:`parse_poscar`.  In offline environments
+    this raises with a clear message — the bundled builders
+    (:func:`bulk_diamond`, :func:`bulk_rocksalt`, :func:`nio_afm`) and
+    :func:`read_poscar` cover the reference's systems without egress."""
+    import json
+    import os
+    import urllib.request
+
+    api_key = api_key or os.environ.get("MP_API_KEY")
+    if not api_key:
+        raise RuntimeError("MP_API_KEY not set (and no api_key given)")
+    url = (f"https://api.materialsproject.org/materials/core/{material_id}/"
+           f"?_fields=structure")
+    req = urllib.request.Request(url, headers={"X-API-KEY": api_key})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            data = json.load(resp)
+    except OSError as exc:
+        raise RuntimeError(
+            f"Materials Project fetch failed ({exc}); this environment may "
+            "have no network egress — use the bundled builders or a local "
+            "POSCAR file instead") from exc
+    s = data["data"][0]["structure"]
+    lat = np.asarray(s["lattice"]["matrix"], dtype=float)
+    atoms = [(site["species"][0]["element"],
+              np.asarray(site["xyz"], dtype=float)) for site in s["sites"]]
+    return lat, atoms
+
+
 # ----------------------------------------------------------------- builders
 
 def bulk_diamond(symbol="C", a=3.567):

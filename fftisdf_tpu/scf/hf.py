@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from fftisdf_tpu.scf import integrals
 from fftisdf_tpu.basis.eval import make_evaluator
 from fftisdf_tpu.utils.logging import Logger
+from fftisdf_tpu.utils.device import to_host, to_device
 
 
 class PWDF:
@@ -35,7 +36,7 @@ class PWDF:
         self._jk = pw_jk
 
     def get_jk(self, dm, with_j=True, with_k=True):
-        dm = jnp.asarray(dm)
+        dm = to_device(dm)
         if dm.ndim == 4:  # spin/set axis
             out = [self.get_jk(d, with_j, with_k) for d in dm]
             vj = jnp.stack([o[0] for o in out]) if with_j else None
@@ -120,9 +121,9 @@ class KRHF:
         fn = make_evaluator(cell, kpts=self.kpts)
         coords = cell.gen_uniform_grids()
         self._ao = fn(jnp.asarray(coords))
-        self.s1e = np.asarray(integrals.get_ovlp(cell, self._ao))
-        self.h1e = np.asarray(integrals.get_hcore(cell, self._ao, self.kpts,
-                                                  coords))
+        self.s1e = to_host(integrals.get_ovlp(cell, self._ao))
+        self.h1e = to_host(integrals.get_hcore(cell, self._ao, self.kpts,
+                                               coords))
         self.e_nuc = integrals.ewald(cell)
         if self.with_df is None:
             self.with_df = PWDF(cell, self.kpts)
@@ -148,8 +149,8 @@ class KRHF:
         return _build_dm(np.asarray(cs), np.asarray(occs))
 
     def get_fock(self, dm):
-        vj, vk = self.with_df.get_jk(jnp.asarray(dm))
-        vj, vk = np.asarray(vj), np.asarray(vk)
+        vj, vk = self.with_df.get_jk(to_device(dm))
+        vj, vk = to_host(vj), to_host(vk)
         return self.h1e + vj - 0.5 * vk, vj, vk
 
     def energy_elec(self, dm, vj, vk):
@@ -283,8 +284,8 @@ class KUHF(KRHF):
         return np.asarray(dms)
 
     def get_fock(self, dm):
-        vj, vk = self.with_df.get_jk(jnp.asarray(dm))  # (2, nk, nao, nao)
-        vj, vk = np.asarray(vj), np.asarray(vk)
+        vj, vk = self.with_df.get_jk(to_device(dm))  # (2, nk, nao, nao)
+        vj, vk = to_host(vj), to_host(vk)
         vj_tot = vj[0] + vj[1]
         fock = np.stack([self.h1e + vj_tot - vk[0],
                          self.h1e + vj_tot - vk[1]])

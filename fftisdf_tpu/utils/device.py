@@ -69,3 +69,19 @@ def to_host(x):
         return (np.asarray(_real(x)).astype(np.float64)
                 + 1j * np.asarray(_imag(x)).astype(np.float64))
     return np.asarray(x)
+
+
+def enable_persistent_cache(path=None):
+    """Persistent XLA compilation cache: first-compile costs (~minutes via
+    the axon remote-compile tunnel) are paid once per shape across
+    processes."""
+    import os
+    import jax
+
+    path = path or os.environ.get(
+        "FFTISDF_TPU_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "fftisdf_tpu",
+                     "jax"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
