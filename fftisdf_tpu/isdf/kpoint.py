@@ -60,12 +60,21 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
     x0 = fn(jnp.asarray(coords0, dtype=dtype))  # (nk, ng0, nao)
     nk, ng0, nao = x0.shape
 
-    @jax.jit
-    def gram_sq(x0):
-        x2 = jnp.einsum("kgm,khm->gh", x0.conj(), x0).real
-        return (x2 * x2) / nk
+    # selection metric x4 ~ (sum_k X X^H)^2; global scale is irrelevant to
+    # pivot order/rank.  On TPU the fused Pallas kernel avoids materializing
+    # the complex gram; CPU uses the einsum path.
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from fftisdf_tpu.ops.pallas_gram import pair_gram_sq
 
-    x4 = gram_sq(x0)
+        x4 = pair_gram_sq(x0, square=False)
+    else:
+        @jax.jit
+        def gram_sq(x0):
+            x2 = jnp.einsum("kgm,khm->gh", x0.conj(), x0).real
+            return (x2 * x2) / nk
+
+        x4 = gram_sq(x0)
     max_rank = min(int(min(c0, 1e6) * nao), ng0)
     _, piv, rank, hist = pivoted_cholesky(x4, max_rank=max_rank,
                                           tol=select_tol)
