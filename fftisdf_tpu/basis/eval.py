@@ -191,6 +191,48 @@ def make_evaluator(cell, kpts=None, precision=None, dtype=jnp.float64,
     return jax.jit(eval_fn)
 
 
+def eval_ao_numpy(cell, coords, kpts=None, precision=None):
+    """Host-side f64 AO evaluation (numpy) — used for setup-stage work
+    (interpolation-point selection) on backends whose device dtype is f32.
+    Same math as the jitted evaluator; shares shell tables and harmonics."""
+    table = build_shell_table(cell, precision)
+    groups = _group_by_center(cell, table, precision)
+    coords = np.asarray(coords, dtype=np.float64)
+    ainv = np.linalg.inv(np.asarray(cell.a))
+    frac = coords @ ainv
+    tvec = np.floor(frac) @ np.asarray(cell.a)
+    coords0 = coords - tvec
+    gamma = kpts is None
+    kpts_arr = None if gamma else np.asarray(kpts)
+    blocks = []
+    for group in groups:
+        images = group.images
+        centers = group.center[None, :] + images          # (T, 3)
+        d = coords0[:, None, :] - centers[None, :, :]      # (g, T, 3)
+        dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+        r2 = dx * dx + dy * dy + dz * dz
+        feats = []
+        for spec in group.specs:
+            rad = np.exp(-r2[..., None] * spec.exps) @ spec.coeffs
+            for _ in range(spec.rpow):
+                rad = rad * r2[..., None]
+            ang = np.stack(real_solid_harmonics(dx, dy, dz, spec.l, np),
+                           axis=-1)
+            chi = rad[..., None, :] * ang[..., :, None]
+            feats.append(chi.reshape(r2.shape + (spec.nfunc,)))
+        chi_all = np.concatenate(feats, axis=-1)           # (g, T, f)
+        if gamma:
+            blocks.append(chi_all.sum(axis=1))
+        else:
+            ph = np.exp(1j * images @ kpts_arr.T)          # (T, nk)
+            blocks.append(np.einsum("gTf,Tk->kgf", chi_all, ph))
+    out = np.concatenate(blocks, axis=-1)
+    if not gamma:
+        ptphase = np.exp(1j * (tvec @ kpts_arr.T))         # (g, nk)
+        out = out * ptphase.T[:, :, None]
+    return out
+
+
 def eval_ao_kpts(cell, coords, kpts, precision=None, dtype=jnp.float64):
     """Convenience one-shot evaluation: (nk, ng, nao) complex Bloch AOs."""
     fn = make_evaluator(cell, kpts=kpts, precision=precision, dtype=dtype)

@@ -44,7 +44,8 @@ from fftisdf_tpu.utils.device import to_device, jit_take
 
 
 def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
-                                select_tol=None, log=None):
+                                select_tol=None, log=None,
+                                host_f64=None):
     """Pivoted-Cholesky selection of interpolation points on the parent grid.
 
     Returns (x_k (nk, nip, nao) device array, mask (nip,) host array, rank).
@@ -56,28 +57,42 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
     log = log or Logger()
     t0 = time.perf_counter()
     coords0 = cell.gen_uniform_grids(m0)
-    fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
-    x0 = fn(jnp.asarray(coords0, dtype=dtype))  # (nk, ng0, nao)
-    nk, ng0, nao = x0.shape
+    if host_f64 is None:
+        # pivot ordering and rank detection need f64: on f32-only devices
+        # the Schur diagonal hits the noise floor early and truncates nip
+        host_f64 = dtype != jnp.float64
+    if host_f64:
+        from fftisdf_tpu.basis.eval import eval_ao_numpy
+        from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky_np
 
-    # selection metric x4 ~ (sum_k X X^H)^2; global scale is irrelevant to
-    # pivot order/rank.  On TPU the fused Pallas kernel avoids materializing
-    # the complex gram; CPU uses the einsum path.
-    use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from fftisdf_tpu.ops.pallas_gram import pair_gram_sq
-
-        x4 = pair_gram_sq(x0, square=False)
+        x0_np = eval_ao_numpy(cell, coords0, kpts)
+        nk, ng0, nao = x0_np.shape
+        x2 = np.einsum("kgm,khm->gh", x0_np.conj(), x0_np).real
+        x4 = (x2 * x2) / nk
+        max_rank = min(int(min(c0, 1e6) * nao), ng0)
+        _, piv, rank, hist = pivoted_cholesky_np(x4, max_rank=max_rank,
+                                                 tol=select_tol)
+        x0 = to_device(x0_np, dtype=jnp.complex128
+                       if dtype == jnp.float64 else jnp.complex64)
     else:
-        @jax.jit
-        def gram_sq(x0):
-            x2 = jnp.einsum("kgm,khm->gh", x0.conj(), x0).real
-            return (x2 * x2) / nk
+        fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
+        x0 = fn(jnp.asarray(coords0, dtype=dtype))  # (nk, ng0, nao)
+        nk, ng0, nao = x0.shape
+        use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from fftisdf_tpu.ops.pallas_gram import pair_gram_sq
 
-        x4 = gram_sq(x0)
-    max_rank = min(int(min(c0, 1e6) * nao), ng0)
-    _, piv, rank, hist = pivoted_cholesky(x4, max_rank=max_rank,
-                                          tol=select_tol)
+            x4 = pair_gram_sq(x0, square=False)
+        else:
+            @jax.jit
+            def gram_sq(x0):
+                x2 = jnp.einsum("kgm,khm->gh", x0.conj(), x0).real
+                return (x2 * x2) / nk
+
+            x4 = gram_sq(x0)
+        max_rank = min(int(min(c0, 1e6) * nao), ng0)
+        _, piv, rank, hist = pivoted_cholesky(x4, max_rank=max_rank,
+                                              tol=select_tol)
     piv = np.asarray(piv)
     rank = int(rank)
     nip = min(int(nao * c0), rank)

@@ -63,21 +63,35 @@ class LSTHC:
     then ``coul_q`` / ``xipt_k`` hold the THC factors.
     """
 
-    def __init__(self, cell, kpts, verbose=3):
+    def __init__(self, cell, kpts, verbose=3, grids=None):
         self.cell = cell
         self.kpts = np.asarray(kpts)
         self.verbose = verbose
         self._log = Logger(verbose)
+        self.grids = grids      # None: uniform FFT grid; else .coords/.weights
         self.coul_q = None
         self.xipt_k = None
         self.mask = None
 
-    def eval_gto(self, coords, kpts):
+    def fit_coords_weights(self):
+        if self.grids is not None:
+            return (np.asarray(self.grids.coords),
+                    np.asarray(self.grids.weights))
+        coords = self.cell.gen_uniform_grids()
+        ng = coords.shape[0]
+        return coords, np.full(ng, self.cell.vol / ng)
+
+    def eval_gto(self, coords, kpts, weights=None):
+        """sqrt(weight)-scaled Bloch AOs (the reference folds sqrt(w) into
+        the AOs, k_least_square.py:104-118)."""
         from fftisdf_tpu.basis.eval import eval_ao_kpts
 
-        w = np.sqrt(self.cell.vol / coords.shape[0])
+        if weights is None:
+            weights = np.full(coords.shape[0],
+                              self.cell.vol / coords.shape[0])
         return jnp.asarray(np.asarray(
-            eval_ao_kpts(self.cell, coords, kpts)) * w)
+            eval_ao_kpts(self.cell, coords, kpts))
+            * np.sqrt(np.abs(weights))[None, :, None])
 
     def build(self, pivot_tol=1e-16, rcond=1e-12, row_only=False):
         """row_only=True reproduces the reference exactly: zeta/rhs built
@@ -89,11 +103,16 @@ class LSTHC:
         cell, kpts = self.cell, self.kpts
         log = self._log
         nk = len(kpts)
-        coords = cell.gen_uniform_grids()
+        coords, weights = self.fit_coords_weights()
         mesh = cell.mesh
-        phi_k = self.eval_gto(coords, kpts)
+        phi_k = self.eval_gto(coords, kpts, weights)
         nk_, ng, nao = phi_k.shape
         k2c = kpt_mod.get_kconserv2(cell, kpts)
+        # the cderi oracle lives on the FFT mesh regardless of fitting grid
+        fft_coords = cell.gen_uniform_grids()
+        ng_fft = fft_coords.shape[0]
+        from fftisdf_tpu.basis.eval import eval_ao_kpts as _eval
+        ao_fft = jnp.asarray(np.asarray(_eval(cell, fft_coords, kpts)))
 
         k1_range = [0] if row_only else range(nk)
         z_q = np.zeros((nk, ng, ng), dtype=np.complex128)
@@ -122,14 +141,13 @@ class LSTHC:
         xipt_k = phi_k[:, jnp.asarray(mm), :]
 
         # RHS from the cderi oracle (ref :178-198)
-        naux = ng
-        w = np.sqrt(cell.vol / ng)
+        naux = ng_fft
         rhs = np.zeros((nk, naux, nip), dtype=np.complex128)
         for k1 in k1_range:
             for k2 in range(nk):
                 q = k2c[k1, k2]
-                cderi = pw_cderi(cell, phi_k[k1] / w, phi_k[k2] / w,
-                                 kpts[q], coords, mesh)
+                cderi = pw_cderi(cell, ao_fft[k1], ao_fft[k2],
+                                 kpts[q], fft_coords, mesh)
                 rhs[q] += np.einsum(
                     "Qmn,Im,In->QI",
                     np.asarray(cderi).reshape(naux, nao, nao),
@@ -156,10 +174,10 @@ class LSTHC:
     def error_report(self):
         """Per-(k1,k2) max/frobenius cderi errors (ref :205-238)."""
         cell, kpts = self.cell, self.kpts
+        from fftisdf_tpu.basis.eval import eval_ao_kpts as _eval
+
         coords = cell.gen_uniform_grids()
-        ng = coords.shape[0]
-        w = np.sqrt(cell.vol / ng)
-        phi_k = self.eval_gto(coords, kpts)
+        ao_fft = jnp.asarray(np.asarray(_eval(cell, coords, kpts)))
         k2c = kpt_mod.get_kconserv2(cell, kpts)
         out = []
         for k1 in range(len(kpts)):
@@ -167,7 +185,7 @@ class LSTHC:
                 # canonical sector q-vector (see pw_cderi docstring)
                 vq = kpts[k2c[k1, k2]]
                 ref = np.asarray(pw_cderi(
-                    cell, phi_k[k1] / w, phi_k[k2] / w,
+                    cell, ao_fft[k1], ao_fft[k2],
                     vq, coords, cell.mesh))
                 sol = self.cderi_sol(k1, k2)
                 err1 = abs(ref - sol).max()

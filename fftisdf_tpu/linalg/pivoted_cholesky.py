@@ -53,6 +53,33 @@ def _pivoted_cholesky_impl(a, tol, max_rank: int):
     return L, piv, rank, hist
 
 
+def pivoted_cholesky_np(a, tol=None, max_rank=None):
+    """Host f64 greedy pivoted Cholesky (same contract as the jax version).
+    Used for setup-stage selection when the device dtype is f32."""
+    a = np.asarray(a, dtype=np.float64)
+    n = a.shape[0]
+    k = n if max_rank is None else int(min(max_rank, n))
+    d = np.ascontiguousarray(np.real(np.diagonal(a)).copy())
+    if tol is None:
+        tol = n * np.finfo(np.float64).eps * max(d.max(), 0.0)
+    L = np.zeros((k, n))
+    piv = np.full(k, -1, dtype=np.int64)
+    hist = np.zeros(k)
+    for j in range(k):
+        i = int(np.argmax(d))
+        dmax = d[i]
+        hist[j] = dmax
+        if dmax <= 0:
+            break
+        lj = (a[i, :] - L[:j, i] @ L[:j, :]) / np.sqrt(dmax)
+        d -= lj * lj
+        d[i] = -np.inf
+        L[j] = lj
+        piv[j] = i
+    rank = int(np.sum(hist > tol))
+    return L, piv, rank, hist
+
+
 def pivoted_cholesky(a, tol=None, max_rank=None):
     """Greedy pivoted Cholesky of a hermitian PSD matrix.
 
