@@ -106,6 +106,7 @@ class KRHF:
     conv_tol: float = 1e-8
     diis_space: int = 8
     level_shift: float = 0.0   # Ha shift of virtuals (helps small-gap SCF)
+    dtype: object = None       # device dtype; None = f64 (f32 on TPU)
     verbose: int = 3
 
     e_tot: float = None
@@ -118,15 +119,20 @@ class KRHF:
         self.kpts = np.asarray(self.kpts)
         self._log = Logger(self.verbose)
         cell = self.cell
-        fn = make_evaluator(cell, kpts=self.kpts)
+        if self.dtype is None:
+            import jax as _jax
+
+            self.dtype = (jnp.float64 if _jax.default_backend() == "cpu"
+                          else jnp.float32)
+        fn = make_evaluator(cell, kpts=self.kpts, dtype=self.dtype)
         coords = cell.gen_uniform_grids()
-        self._ao = fn(jnp.asarray(coords))
+        self._ao = fn(jnp.asarray(coords, dtype=self.dtype))
         self.s1e = to_host(integrals.get_ovlp(cell, self._ao))
         self.h1e = to_host(integrals.get_hcore(cell, self._ao, self.kpts,
                                                coords))
         self.e_nuc = integrals.ewald(cell)
         if self.with_df is None:
-            self.with_df = PWDF(cell, self.kpts)
+            self.with_df = PWDF(cell, self.kpts, dtype=self.dtype)
 
     # --------------------------------------------------------------
     @property

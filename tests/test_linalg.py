@@ -115,3 +115,14 @@ def test_whiten_basis():
         w, v = np.linalg.eigh(x4[q])
         z_rot = np.asarray(winv[q])[:, None] * (v.conj().T @ y[q])
         np.testing.assert_allclose(v @ z_rot, z_ref, atol=1e-8)
+
+
+def test_pivoted_cholesky_np_matches_jax():
+    from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky_np
+
+    a = random_psd(40, 12, seed=7)
+    L1, p1, r1, h1 = pivoted_cholesky(jnp.asarray(a), max_rank=20)
+    L2, p2, r2, h2 = pivoted_cholesky_np(a, max_rank=20)
+    assert int(r1) == r2
+    assert np.array_equal(np.asarray(p1)[:r2], p2[:r2])
+    np.testing.assert_allclose(np.asarray(h1)[:r2], h2[:r2], rtol=1e-10)
