@@ -13,8 +13,10 @@ import jax.numpy as jnp
 
 @jax.jit
 def assemble_eri(w_q, x1, x2, x3, x4):
-    nip, nao = x1.shape
-    t12 = (x1.conj()[:, :, None] * x2[:, None, :]).reshape(nip, -1)
-    t34 = (x3.conj()[:, :, None] * x4[:, None, :]).reshape(nip, -1)
+    """Orbital counts may differ per slot (e.g. occ/virt blocks in MP2)."""
+    nip = x1.shape[0]
+    n1, n2, n3, n4 = (x.shape[1] for x in (x1, x2, x3, x4))
+    t12 = (x1.conj()[:, :, None] * x2[:, None, :]).reshape(nip, n1 * n2)
+    t34 = (x3.conj()[:, :, None] * x4[:, None, :]).reshape(nip, n3 * n4)
     eri = t12.T @ (w_q @ t34)
-    return eri.reshape(nao, nao, nao, nao)
+    return eri.reshape(n1, n2, n3, n4)
