@@ -133,9 +133,9 @@ def main():
     def errs(a, b):
         return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
 
-    ej, _ = errs(vj_i, vj_e)
+    ej, sj = errs(vj_i, vj_e)
     ek, sk = errs(vk_i, vk_e)
-    ej, ek, sk = float(ej), float(ek), float(sk)
+    ej, ek, sj, sk = float(ej), float(ek), float(sj), float(sk)
 
     # the north-star comparison (BASELINE.md): build + SCF-converged J/K.
     # An SCF needs ~n_scf J/K builds; ISDF pays the build once and serves
@@ -153,6 +153,7 @@ def main():
         "exact_jk_s": round(t_exact, 4),
         "jk_speedup_steady": round(t_exact / max(t_isdf_jk, 1e-9), 2),
         "vj_maxerr": float(f"{ej:.3e}"),
+        "vj_scale": float(f"{sj:.3e}"),
         "vk_maxerr": float(f"{ek:.3e}"),
         "vk_scale": float(f"{sk:.3e}"),
         "system": args.system,
