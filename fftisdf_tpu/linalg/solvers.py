@@ -24,11 +24,33 @@ import jax
 import jax.numpy as jnp
 
 
-def hermitian_solve(a, b, rcond=None, rank=None):
+def hermitian_solve(a, b, rcond=None, rank=None, precondition=True,
+                    refine=None):
     """Solve a z = b for hermitian PSD a via eigh with spectral truncation.
 
+    Numerical hardening for f32 devices (where the pair-density normal
+    matrices are severely ill-conditioned):
+    - Jacobi (two-sided diagonal) preconditioning: eigh runs on
+      D a D with D = diag(a)^-1/2, collapsing the amplitude-driven part of
+      the condition number;
+    - fixed-precision iterative refinement (default 1 step on f32): corrects
+      the truncated-eigh solve against the original matrix.
+
     Returns (z, numerical_rank)."""
-    w, v = jnp.linalg.eigh(a)
+    rdtype = jnp.real(a).dtype
+    if refine is None:
+        refine = 0 if rdtype == jnp.float64 else 1
+    if precondition:
+        dscale = jnp.real(jnp.diagonal(a))
+        dmax = jnp.max(jnp.abs(dscale))
+        d = jnp.where(dscale > 1e-30 * dmax,
+                      1.0 / jnp.sqrt(jnp.where(dscale > 1e-30 * dmax,
+                                               dscale, 1.0)), 0.0)
+        a_s = a * d[:, None] * d[None, :]
+    else:
+        d = None
+        a_s = a
+    w, v = jnp.linalg.eigh(a_s)
     wmax = jnp.max(jnp.abs(w))
     if rcond is None:
         rcond = a.shape[-1] * jnp.finfo(w.dtype).eps
@@ -40,17 +62,30 @@ def hermitian_solve(a, b, rcond=None, rank=None):
         kmask = jnp.zeros_like(keep).at[idx[:rank]].set(True)
         keep = jnp.logical_and(keep, kmask)
     winv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
-    z = v @ (winv[:, None] * (v.conj().T @ b))
+
+    def apply_inv(rhs):
+        if d is not None:
+            rhs = d[:, None] * rhs
+        out = v @ (winv[:, None] * (v.conj().T @ rhs))
+        if d is not None:
+            out = d[:, None] * out
+        return out
+
+    z = apply_inv(b)
+    for _ in range(refine):
+        z = z + apply_inv(b - a @ z)
     return z, jnp.sum(keep.astype(jnp.int32))
 
 
-def solve_fitting(a, b, method="lstsq", rcond=1e-10, rank=None):
+def solve_fitting(a, b, method="lstsq", rcond=1e-10, rank=None,
+                  precondition=True, refine=None):
     """Dispatch over the reference's solver variants; all TPU-native.
 
     a: (nip, nip) hermitian PSD; b: (nip, m).  Returns (z, rank).
     """
     if method in ("lstsq", "pinv", "eigh"):
-        return hermitian_solve(a, b, rcond=rcond, rank=rank)
+        return hermitian_solve(a, b, rcond=rcond, rank=rank,
+                               precondition=precondition, refine=refine)
     if method == "svd":
         u, s, vh = jnp.linalg.svd(a)
         smax = s[0]

@@ -86,17 +86,21 @@ def test_solve_fitting_variants():
 
 
 def test_solve_fitting_singular():
-    # rank-deficient system: minimum-norm solution, consistent across variants
+    # rank-deficient system: residual-consistent solutions; the
+    # unpreconditioned eigh solve reproduces the SVD minimum-norm solution
     a = random_psd(15, 6, cplx=True)
     rng = np.random.default_rng(3)
     x0 = rng.standard_normal((15, 2)) + 1j * rng.standard_normal((15, 2))
     b = a @ x0
     z1, r1 = solve_fitting(jnp.asarray(a), jnp.asarray(b), method="lstsq",
-                           rcond=1e-10)
+                           rcond=1e-10, precondition=False)
+    z1p, r1p = solve_fitting(jnp.asarray(a), jnp.asarray(b), method="lstsq",
+                             rcond=1e-10)
     z2, r2 = solve_fitting(jnp.asarray(a), jnp.asarray(b), method="svd",
                            rcond=1e-10)
-    assert int(r1) == 6 and int(r2) == 6
+    assert int(r1) == 6 and int(r2) == 6 and int(r1p) == 6
     np.testing.assert_allclose(np.asarray(a @ z1), np.asarray(b), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(a @ z1p), np.asarray(b), atol=1e-8)
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-8)
 
 
