@@ -26,7 +26,7 @@ import jax.numpy as jnp
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
-    p.add_argument("--system", default="diamond", choices=["diamond", "nio"])
+    p.add_argument("--system", default="nio", choices=["diamond", "nio"])
     p.add_argument("--c0", type=float, default=20.0)
     p.add_argument("--ke", type=float, default=None)
     p.add_argument("--kmesh", type=int, nargs=3, default=None)
@@ -55,7 +55,7 @@ def main():
         cell = structure.to_cell(*structure.bulk_diamond(), basis="gth-szv",
                                  pseudo="gth-pade", ke_cutoff=ke)
     else:
-        ke = args.ke or (100.0 if args.quick else 200.0)
+        ke = args.ke or (60.0 if args.quick else 100.0)
         cell = structure.to_cell(*structure.nio_afm(), basis="gth-szv",
                                  pseudo="gth-pade", ke_cutoff=ke,
                                  exp_to_discard=0.1)
