@@ -47,8 +47,12 @@ def main():
         jax.config.update("jax_enable_x64", True)
     else:
         # TPU matmuls default to bf16 passes; scientific f32 needs the
-        # 6-pass f32 path (measured: 170x accuracy difference on J/K)
-        jax.config.update("jax_default_matmul_precision", "highest")
+        # 6-pass f32 path (measured: 170x accuracy difference on J/K).
+        # FFTISDF_BENCH_PRECISION=high selects the 3-pass compromise.
+        import os as _os
+        jax.config.update("jax_default_matmul_precision",
+                          _os.environ.get("FFTISDF_BENCH_PRECISION",
+                                          "highest"))
 
     if args.system == "diamond":
         ke = args.ke or (50.0 if args.quick else 100.0)
