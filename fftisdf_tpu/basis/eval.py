@@ -174,12 +174,15 @@ def make_evaluator(cell, kpts=None, precision=None, dtype=jnp.float64,
             if gamma:
                 blocks.append(jnp.sum(chi, axis=1))
             else:
-                # image sum with k-phases as one MXU contraction
+                # image sum with k-phases as real MXU contractions: chi is
+                # real, so contract with Re/Im of the phases separately
+                # (half the flops of a complex x complex dot)
                 ph = np.exp(1j * images @ kpts_arr.T)        # (T, nk)
-                ph = jnp.asarray(ph.astype(
-                    np.complex128 if dtype == jnp.float64 else np.complex64))
-                out = jnp.einsum("gTf,Tk->kgf", chi.astype(cdtype), ph)
-                blocks.append(out)
+                phr = jnp.asarray(ph.real, dtype=dtype)
+                phi_ = jnp.asarray(ph.imag, dtype=dtype)
+                out_r = jnp.einsum("gTf,Tk->kgf", chi, phr)
+                out_i = jnp.einsum("gTf,Tk->kgf", chi, phi_)
+                blocks.append(jax.lax.complex(out_r, out_i).astype(cdtype))
         out = jnp.concatenate(blocks, axis=-1)
         if not gamma:
             ptphase = jnp.exp(

@@ -67,7 +67,10 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
 
         x0_np = eval_ao_numpy(cell, coords0, kpts)
         nk, ng0, nao = x0_np.shape
-        x2 = np.einsum("kgm,khm->gh", x0_np.conj(), x0_np).real
+        # gram as one BLAS zgemm: x2[g,h] = sum_km conj(x[k,g,m]) x[k,h,m]
+        flat = np.ascontiguousarray(
+            np.transpose(x0_np, (1, 0, 2)).reshape(ng0, nk * nao))
+        x2 = (flat.conj() @ flat.T).real
         x4 = (x2 * x2) / nk
         max_rank = min(int(min(c0, 1e6) * nao), ng0)
         _, piv, rank, hist = pivoted_cholesky_np(x4, max_rank=max_rank,
