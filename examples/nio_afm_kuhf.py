@@ -26,6 +26,7 @@ def main():
     p.add_argument("--exact", action="store_true",
                    help="also run the exact plane-wave KUHF for comparison")
     p.add_argument("--tpu", action="store_true")
+    p.add_argument("--level-shift", type=float, default=0.3)
     args = p.parse_args()
 
     import jax
@@ -52,7 +53,8 @@ def main():
     print(f"ISDF build: {time.time()-t0:.1f}s, nip={df.nip}")
 
     mf = KUHF(cell, kpts, with_df=df, verbose=3, conv_tol=1e-8,
-              max_cycle=60, init_spin=init_spin)
+              max_cycle=80, init_spin=init_spin,
+              level_shift=args.level_shift)
     t0 = time.time()
     e = mf.kernel()
     # local spin moments (Mulliken-style, diagonal of dm.S per atom)
@@ -75,8 +77,8 @@ def main():
           " ".join(f"{sym}:{m:+.3f}" for (sym, _), m in zip(cell.atom, moments)))
 
     if args.exact:
-        mf0 = KUHF(cell, kpts, verbose=0, conv_tol=1e-8, max_cycle=60,
-                   init_spin=init_spin)
+        mf0 = KUHF(cell, kpts, verbose=0, conv_tol=1e-8, max_cycle=80,
+                   init_spin=init_spin, level_shift=args.level_shift)
         e0 = mf0.kernel()
         print(f"-> exact-PW KUHF E = {e0:.8f} Ha (conv={mf0.converged})")
         print(f"-> dE/atom = {abs(e-e0)/cell.natm:.2e} Ha")

@@ -175,20 +175,21 @@ class KRHF:
             t0 = time.perf_counter()
             fock, vj, vk = self.get_fock(dm)
             e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
-            if self.level_shift:
-                # virtual-space shift: F += shift * (S - S D S / 2)
-                fock = fock + self.level_shift * np.stack([
-                    self.s1e[k]
-                    - self.s1e[k] @ dm[k] @ self.s1e[k] / 2.0
-                    for k in range(nk)
-                ])
-            # DIIS on FDS - SDF
+            # DIIS on FDS - SDF of the *unshifted* Fock
             err = np.stack([
                 fock[k] @ dm[k] @ self.s1e[k] - self.s1e[k] @ dm[k] @ fock[k]
                 for k in range(nk)
             ])
             fock = diis.update(fock.reshape(-1), err.reshape(-1)).reshape(
                 fock.shape)
+            if self.level_shift:
+                # virtual-space shift applied only to the diagonalized Fock:
+                # F += shift * (S - S D S / 2); stationary points unchanged
+                fock = fock + self.level_shift * np.stack([
+                    self.s1e[k]
+                    - self.s1e[k] @ dm[k] @ self.s1e[k] / 2.0
+                    for k in range(nk)
+                ])
             es, cs, occs = [], [], []
             for k in range(nk):
                 e, c = _eigh_gen(fock[k], self.s1e[k])
@@ -317,16 +318,6 @@ class KUHF(KRHF):
             t0 = time.perf_counter()
             fock, vj, vk = self.get_fock(dm)
             e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
-            if it < self.bias_cycles:
-                fock = self._apply_bias(fock)
-            if self.level_shift:
-                # per-spin virtual shift: F_s += shift * (S - S D_s S)
-                fock = fock + self.level_shift * np.stack([
-                    np.stack([self.s1e[k]
-                              - self.s1e[k] @ dm[s, k] @ self.s1e[k]
-                              for k in range(nk)])
-                    for s in range(2)
-                ])
             err = np.stack([
                 fock[s, k] @ dm[s, k] @ self.s1e[k]
                 - self.s1e[k] @ dm[s, k] @ fock[s, k]
@@ -334,6 +325,16 @@ class KUHF(KRHF):
             ])
             fock = diis.update(fock.reshape(-1), err.reshape(-1)).reshape(
                 fock.shape)
+            if it < self.bias_cycles:
+                fock = self._apply_bias(fock)
+            if self.level_shift:
+                # per-spin virtual shift on the diagonalized Fock only
+                fock = fock + self.level_shift * np.stack([
+                    np.stack([self.s1e[k]
+                              - self.s1e[k] @ dm[sp, k] @ self.s1e[k]
+                              for k in range(nk)])
+                    for sp in range(2)
+                ])
             es, cs, occs = [], [], []
             dm_new = np.empty_like(dm)
             for s, nocc in enumerate((na, nb)):
