@@ -327,6 +327,8 @@ class FFTISDF:
             wq_parts.append(wq_c)
             rank_parts.append(ranks_c)
         wq = jnp.concatenate(wq_parts, axis=0) if len(wq_parts) > 1 else wq_parts[0]
+        # w_q is hermitian by construction; discard the numerical skew part
+        wq = jax.jit(lambda w: 0.5 * (w + jnp.conj(jnp.swapaxes(w, 1, 2))))(wq)
         ranks = np.concatenate([np.asarray(r) for r in rank_parts])
         wq.block_until_ready()
         log.info("build: %d sectors done in %d chunk(s), fit ranks %s (%.2fs)",
