@@ -174,6 +174,7 @@ class FFTISDF:
     select_tol: float = None   # pivot threshold; ref isdf.py:45 uses 1e-20
     blksize: int = 16384
     max_memory_gb: float = 12.0  # HBM budget driving sector chunking
+    use_trs: bool = True       # exploit w_{-q} = conj(w_q) in the build
     dtype: object = jnp.float64
     verbose: int = 3
     validate: bool = False     # debug: check stripe-reality invariants
@@ -314,25 +315,56 @@ class FFTISDF:
 
             return jax.lax.map(per_q, (x4_c, y, coulG_c, eiqr_c))
 
+        # time-reversal symmetry: w_{-q} = conj(w_q) (real AOs), so only
+        # canonical sectors (q <= mirror(q)) need the solve+FFT stage; the
+        # rest are mirrored.  Halves stage-2 work on large k-meshes (no-op
+        # for meshes where every q is self-conjugate, e.g. 2x2x2).
+        s_kpts = cell.get_scaled_kpts(kpts)
+        mirror = np.array([kpt_mod.member(-s_kpts[q], s_kpts)
+                           for q in range(nk)])
+        if self.use_trs:
+            qsel = np.array([q for q in range(nk) if q <= mirror[q]])
+        else:
+            qsel = np.arange(nk)
         take_rows = jax.jit(lambda a, i: a[i])
         take_cols = jax.jit(lambda a, i: a[:, i])
         t0 = time.perf_counter()
         wq_parts, rank_parts = [], []
-        for q0 in range(0, nk, qchunk):
-            qs = jnp.asarray(np.arange(q0, min(q0 + qchunk, nk)))
+        for q0 in range(0, len(qsel), qchunk):
+            qs = jnp.asarray(qsel[q0:q0 + qchunk])
             wq_c, ranks_c = chunk_pipeline(
                 coords_p, x_k, phase, take_cols(phase, qs),
                 take_rows(x4_k, qs), take_rows(coulG, qs),
                 take_rows(eiqr, qs), nq=len(qs))
             wq_parts.append(wq_c)
             rank_parts.append(ranks_c)
-        wq = jnp.concatenate(wq_parts, axis=0) if len(wq_parts) > 1 else wq_parts[0]
-        # w_q is hermitian by construction; discard the numerical skew part
-        wq = jax.jit(lambda w: 0.5 * (w + jnp.conj(jnp.swapaxes(w, 1, 2))))(wq)
+        wq_sel = (jnp.concatenate(wq_parts, axis=0)
+                  if len(wq_parts) > 1 else wq_parts[0])
+        if self.use_trs and len(qsel) < nk:
+            # scatter canonical sectors and their conjugate mirrors
+            pos_of = {int(q): i for i, q in enumerate(qsel)}
+            order = np.empty(nk, dtype=np.int64)
+            conj_flag = np.zeros(nk, dtype=bool)
+            for q in range(nk):
+                if q in pos_of:
+                    order[q] = pos_of[q]
+                else:
+                    order[q] = pos_of[int(mirror[q])]
+                    conj_flag[q] = True
+            wq = jax.jit(lambda w, o, c: jnp.where(
+                c[:, None, None], jnp.conj(w[o]), w[o]))(
+                wq_sel, jnp.asarray(order), jnp.asarray(conj_flag))
+        else:
+            wq = wq_sel
+        # NB: w_q is NOT symmetrized: on even FFT meshes the discrete
+        # Coulomb operator carries a small skew part from the unmatched -N/2
+        # frequency, and the exact plane-wave oracle shares it -- symmetrizing
+        # would trade oracle consistency for cosmetic hermiticity.
         ranks = np.concatenate([np.asarray(r) for r in rank_parts])
         wq.block_until_ready()
-        log.info("build: %d sectors done in %d chunk(s), fit ranks %s (%.2fs)",
-                 nk, -(-nk // qchunk), ranks[:8], time.perf_counter() - t0)
+        log.info("build: %d/%d sectors solved in %d chunk(s), fit ranks %s "
+                 "(%.2fs)", len(qsel), nk, -(-len(qsel) // qchunk), ranks[:8],
+                 time.perf_counter() - t0)
 
         self.x_k = x_k
         self.wq = wq

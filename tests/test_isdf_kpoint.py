@@ -144,3 +144,28 @@ def test_nonconserving_quadruple_raises(he2, he2_isdf_full):
     if k3c[0, 1, 0] != 0:
         with pytest.raises(AssertionError):
             df.get_eri((0, 1, 0, 0))
+
+
+def test_trs_sector_mirroring(he2):
+    """Builds with and without the w_{-q} = conj(w_q) shortcut agree; needs a
+    k-mesh with non-self-conjugate sectors (1x1x3: q=1,2 mirror)."""
+    cell, kpts, coords, ao = he2
+    kpts3 = cell.get_kpts([1, 1, 3])
+    df1 = FFTISDF(cell, kpts3, c0=8.0, m0=(9, 9, 13), verbose=0,
+                  use_trs=True).build()
+    df2 = FFTISDF(cell, kpts3, c0=8.0, m0=(9, 9, 13), verbose=0,
+                  use_trs=False).build()
+    # compare physical outputs (w_q near-null components are solve-path
+    # dependent); every sector participates in K
+    dm = trs_dm(cell, kpts3, df1.x_k.shape[2])[0]
+    vj1, vk1 = df1.get_jk(dm)
+    vj2, vk2 = df2.get_jk(dm)
+    # agreement limited by eps/rcond path-dependence in the truncated solve
+    # (~1e-6 at f64/rcond=1e-10), far below the 1e-4 compression error
+    np.testing.assert_allclose(np.asarray(vj1), np.asarray(vj2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vk1), np.asarray(vk2), atol=1e-6)
+    k3c = df1.kconserv3()
+    k4 = k3c[0, 1, 2]
+    e1 = np.asarray(df1.get_eri((0, 1, 2, k4)))
+    e2 = np.asarray(df2.get_eri((0, 1, 2, k4)))
+    np.testing.assert_allclose(e1, e2, atol=1e-6)
