@@ -106,6 +106,7 @@ class KRHF:
     conv_tol: float = 1e-8
     diis_space: int = 8
     level_shift: float = 0.0   # Ha shift of virtuals (helps small-gap SCF)
+    damp: float = 0.0          # density mixing dm <- (1-damp) dm_new + damp dm
     dtype: object = None       # device dtype; None = f64 (f32 on TPU)
     verbose: int = 3
 
@@ -199,6 +200,8 @@ class KRHF:
                 cs.append(c)
                 occs.append(occ)
             dm_new = _build_dm(np.asarray(cs), np.asarray(occs))
+            if self.damp:
+                dm_new = (1.0 - self.damp) * dm_new + self.damp * dm
             ddm = abs(dm_new - dm).max()
             de = abs(e_tot - e_last)
             log.info("SCF it %2d  E = %.10f  dE = %.2e  |ddm| = %.2e (%.2fs)",
@@ -350,6 +353,8 @@ class KUHF(KRHF):
                 es.append(es_s)
                 cs.append(cs_s)
                 occs.append(occ_s)
+            if self.damp:
+                dm_new = (1.0 - self.damp) * dm_new + self.damp * dm
             ddm = abs(dm_new - dm).max()
             de = abs(e_tot - e_last)
             log.info("UHF it %2d  E = %.10f  dE = %.2e  |ddm| = %.2e (%.2fs)",
