@@ -15,7 +15,6 @@ Flags: --quick (smaller system), --system diamond|nio, --c0, --ke.
 """
 import argparse
 import json
-import sys
 import time
 
 import numpy as np

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from fftisdf_tpu.isdf.eri import assemble_eri
 from fftisdf_tpu.utils.device import to_device, jit_take

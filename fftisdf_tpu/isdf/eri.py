@@ -8,7 +8,6 @@ sees three large matmuls instead of a 5-tensor einsum.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 @jax.jit

@@ -16,7 +16,6 @@ where ``zeta[g,h] = |sum_k conj(X_k) X_k^T|^2``-style pair gram.  The fitted
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky

@@ -25,7 +25,6 @@ Cholesky factors: with Z12(G) = FFT[conj(phi1) phi2 e^{-iq r}](G),
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from fftisdf_tpu.linalg.fft import fft3

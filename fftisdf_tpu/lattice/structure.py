@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from fftisdf_tpu.lattice.cell import BOHR
 
 
 def parse_poscar(text: str):

@@ -18,9 +18,6 @@ solving).
 """
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 
 

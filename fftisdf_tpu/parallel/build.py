@@ -15,8 +15,6 @@ its own q's with no communication inside stage 2.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from fftisdf_tpu.linalg.fft import fft3
-from fftisdf_tpu.linalg.coulomb import get_coulG
 from fftisdf_tpu.pw.poisson import pair_potential
 
 

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from fftisdf_tpu.linalg.fft import fft3, ifft3
 from fftisdf_tpu.linalg.coulomb import get_coulG
-from fftisdf_tpu.pw.poisson import pair_potential
 
 
 def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None):

@@ -13,7 +13,6 @@ import time
 from dataclasses import dataclass, field
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from fftisdf_tpu.scf import integrals

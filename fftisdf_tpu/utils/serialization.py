@@ -9,7 +9,6 @@ against a compatible (cell, kpts) pair.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from fftisdf_tpu.utils.device import to_device, to_host
 
