@@ -58,9 +58,13 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
     t0 = time.perf_counter()
     coords0 = cell.gen_uniform_grids(m0)
     if host_f64 is None:
-        # pivot ordering and rank detection need f64: on f32-only devices
-        # the Schur diagonal hits the noise floor early and truncates nip
-        host_f64 = dtype != jnp.float64
+        # default: on-device selection.  On f32 devices rank *detection* is
+        # noise-limited, so the tolerance is dropped to zero there (keep all
+        # positive pivots up to the c0 cap): the ordering of sub-noise pivots
+        # is scrambled but the selected point sets remain well spread, and
+        # the fitting solve discards weak directions anyway.  host_f64=True
+        # forces the exact (but single-core-host) f64 path.
+        host_f64 = False
     if host_f64:
         from fftisdf_tpu.basis.eval import eval_ao_numpy
         from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky_np
@@ -94,6 +98,8 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
 
             x4 = gram_sq(x0)
         max_rank = min(int(min(c0, 1e6) * nao), ng0)
+        if select_tol is None and dtype != jnp.float64:
+            select_tol = 0.0
         _, piv, rank, hist = pivoted_cholesky(x4, max_rank=max_rank,
                                               tol=select_tol)
     piv = np.asarray(piv)
@@ -175,6 +181,7 @@ class FFTISDF:
     blksize: int = 16384
     max_memory_gb: float = 12.0  # HBM budget driving sector chunking
     use_trs: bool = True       # exploit w_{-q} = conj(w_q) in the build
+    select_host_f64: bool = None  # force host-f64 selection (slow host path)
     dtype: object = jnp.float64
     verbose: int = 3
     validate: bool = False     # debug: check stripe-reality invariants
@@ -247,7 +254,8 @@ class FFTISDF:
 
         x_k, mask, rank = select_interpolation_points(
             cell, kpts, self.m0, self.c0, dtype=self.dtype,
-            select_tol=self.select_tol, log=log)
+            select_tol=self.select_tol, log=log,
+            host_f64=self.select_host_f64)
         nk, nip, nao = x_k.shape
         self.mask = mask
 

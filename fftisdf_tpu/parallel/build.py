@@ -90,7 +90,8 @@ def build_sharded(df, dev_mesh):
 
     x_k, mask, rank = select_interpolation_points(
         df.cell, df.kpts, df.m0, df.c0, dtype=df.dtype,
-        select_tol=df.select_tol, log=df._log)
+        select_tol=df.select_tol, log=df._log,
+        host_f64=df.select_host_f64)
     df.mask = mask
     phase = df.phase
     df.x_k = jax.device_put(x_k, replicated(dev_mesh))
