@@ -91,7 +91,7 @@ def make_evaluator_diff(cell, kpts=None, precision=None, dtype=jnp.float64):
     return eval_fn
 
 
-def isdf_state_fn(cell, kpts, mask, m0=None, solver="lstsq", rcond=1e-10,
+def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
                   dtype=jnp.float64):
     """Differentiable (x_k, w_q) builder for a frozen interpolation-point set.
 

@@ -18,6 +18,7 @@ solving).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -74,6 +75,39 @@ def hermitian_solve(a, b, rcond=None, rank=None, precondition=True,
     return z, jnp.sum(keep.astype(jnp.int32))
 
 
+def ridge_solve(a, b, rcond=1e-10, refine=None):
+    """Tikhonov-regularized Cholesky solve: z = (a + rcond*amax*I)^-1 b.
+
+    The smooth counterpart of spectral truncation: weak directions are damped
+    instead of cut.  One potrf + two triangular solves — much cheaper than
+    eigh on TPU (no QDWH iterations).  Jacobi preconditioning and optional
+    iterative refinement as in hermitian_solve."""
+    rdtype = jnp.real(a).dtype
+    if refine is None:
+        refine = 0 if rdtype == jnp.float64 else 1
+    dscale = jnp.real(jnp.diagonal(a))
+    dmax = jnp.max(jnp.abs(dscale))
+    d = jnp.where(dscale > 1e-30 * dmax,
+                  1.0 / jnp.sqrt(jnp.where(dscale > 1e-30 * dmax,
+                                           dscale, 1.0)), 0.0)
+    a_s = a * d[:, None] * d[None, :]
+    lam = rcond * jnp.max(jnp.real(jnp.diagonal(a_s)))
+    a_r = a_s + lam * jnp.eye(a.shape[-1], dtype=a.dtype)
+    chol = jnp.linalg.cholesky(a_r)
+
+    def apply_inv(rhs):
+        rhs = d[:, None] * rhs
+        u = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+        out = jax.scipy.linalg.solve_triangular(
+            chol.conj().T, u, lower=False)
+        return d[:, None] * out
+
+    z = apply_inv(b)
+    for _ in range(refine):
+        z = z + apply_inv(b - a @ z)
+    return z, jnp.asarray(a.shape[-1], dtype=jnp.int32)
+
+
 def solve_fitting(a, b, method="lstsq", rcond=1e-10, rank=None,
                   precondition=True, refine=None):
     """Dispatch over the reference's solver variants; all TPU-native.
@@ -83,6 +117,8 @@ def solve_fitting(a, b, method="lstsq", rcond=1e-10, rank=None,
     if method in ("lstsq", "pinv", "eigh"):
         return hermitian_solve(a, b, rcond=rcond, rank=rank,
                                precondition=precondition, refine=refine)
+    if method == "ridge":
+        return ridge_solve(a, b, rcond=rcond, refine=refine)
     if method == "svd":
         u, s, vh = jnp.linalg.svd(a)
         smax = s[0]

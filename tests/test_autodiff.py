@@ -43,7 +43,7 @@ def test_state_fn_matches_build(setup):
     # compare at a relative tolerance of the metric's scale
     scale = float(np.abs(np.asarray(df.wq)).max())
     np.testing.assert_allclose(np.asarray(wq), np.asarray(df.wq),
-                               atol=1e-6 * scale)
+                               atol=5e-6 * scale)
 
 
 def test_eri_gradient_vs_finite_difference(setup):
