@@ -1,0 +1,44 @@
+"""f32-device numerics regression gates (run on CPU in f32 to emulate the
+TPU dtype regime; the real-hardware numbers live in README/bench).
+
+Locks in the solver-hardening results: the default ridge fitting solve must
+keep compressed J/K at the f64 compression floor in f32.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fftisdf_tpu.lattice import structure
+from fftisdf_tpu.basis.eval import make_evaluator
+from fftisdf_tpu.isdf import FFTISDF
+from fftisdf_tpu.pw import jk as pw_jk
+from fftisdf_tpu.utils.device import to_device
+
+
+def test_f32_ridge_jk_accuracy():
+    cell = structure.to_cell(*structure.bulk_diamond(), basis="gth-szv",
+                             pseudo="gth-pade", ke_cutoff=50.0)
+    kpts = cell.get_kpts([1, 1, 2])
+    nk, nao = 2, cell.nao_nr()
+    rng = np.random.default_rng(0)
+    dm = rng.standard_normal((nk, nao, nao)) * 0.1 + np.eye(nao)[None]
+    dm = (dm + dm.transpose(0, 2, 1)).astype(np.complex128)
+    dm[0], dm[1] = dm[0].real, dm[1].real  # TRS at gamma/half-BZ
+    dm_dev = to_device(dm, dtype=jnp.complex64)
+
+    fn = make_evaluator(cell, kpts=kpts, dtype=jnp.float32)
+    coords = jnp.asarray(cell.gen_uniform_grids(), dtype=jnp.float32)
+    ao = fn(coords)
+    vj_e = pw_jk.get_j_kpts(cell, dm_dev, ao)
+    vk_e = pw_jk.get_k_kpts(cell, dm_dev, ao, kpts, coords=coords)
+
+    df = FFTISDF(cell, kpts, c0=20.0, m0=(7, 7, 7), verbose=0,
+                 dtype=jnp.float32).build()
+    vj, vk = df.get_jk(dm_dev)
+    ej = float(jnp.max(jnp.abs(vj - vj_e)))
+    ek = float(jnp.max(jnp.abs(vk - vk_e)))
+    # ridge solve in f32 reaches the compression floor (~1e-4 here); the
+    # truncated-eigh solve sat ~40x higher
+    assert ej < 5e-4, ej
+    assert ek < 5e-4, ek
