@@ -33,21 +33,38 @@ except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
 
-def _gram_kernel(xr_ref, xi_ref, yr_ref, yi_ref, out_ref, *, square: bool,
-                 inv_nk: float):
-    """out = ((xr yr^T + xi yi^T)^2 + (xi yr^T - xr yi^T)^2)^(1 or 2) / nk^.."""
+def _gram_kernel(xr_ref, xi_ref, yr_ref, yi_ref, out_ref, acc_r, acc_i, *,
+                 square: bool, inv_nk: float):
+    """out = ((xr yr^T + xi yi^T)^2 + (xi yr^T - xr yi^T)^2)^(1 or 2) / nk^..
+
+    The contraction (K) axis is the innermost grid dimension: partial sums
+    accumulate in VMEM scratch, the modulus epilogue fires on the last step.
+    """
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_r[:] = jnp.zeros_like(acc_r)
+        acc_i[:] = jnp.zeros_like(acc_i)
+
     xr = xr_ref[:]
     xi = xi_ref[:]
     yr = yr_ref[:]
     yi = yi_ref[:]
-    g_r = (jnp.dot(xr, yr.T, preferred_element_type=jnp.float32)
-           + jnp.dot(xi, yi.T, preferred_element_type=jnp.float32))
-    g_i = (jnp.dot(xi, yr.T, preferred_element_type=jnp.float32)
-           - jnp.dot(xr, yi.T, preferred_element_type=jnp.float32))
-    out = (g_r * g_r + g_i * g_i) * (inv_nk * inv_nk)
-    if square:
-        out = out * out
-    out_ref[:] = out
+    acc_r[:] += (jnp.dot(xr, yr.T, preferred_element_type=jnp.float32)
+                 + jnp.dot(xi, yi.T, preferred_element_type=jnp.float32))
+    acc_i[:] += (jnp.dot(xi, yr.T, preferred_element_type=jnp.float32)
+                 - jnp.dot(xr, yi.T, preferred_element_type=jnp.float32))
+
+    @pl.when(kb == nkb - 1)
+    def _():
+        g_r = acc_r[:]
+        g_i = acc_i[:]
+        out = (g_r * g_r + g_i * g_i) * (inv_nk * inv_nk)
+        if square:
+            out = out * out
+        out_ref[:] = out
 
 
 def _round_up(x, m):
@@ -77,25 +94,30 @@ def pair_gram_sq(x_kpts, square=True, tile=256, interpret=False):
 
     tile = min(tile, _round_up(ng, 8))
     ngp = _round_up(ng, tile)
-    kkp = _round_up(kk, 128)
+    ktile = 512  # contraction block: bounds VMEM to ~4 x tile x ktile floats
+    kkp = _round_up(kk, min(ktile, _round_up(kk, 128)))
+    kkp = _round_up(kkp, 128)
     xr = jnp.pad(xr, ((0, ngp - ng), (0, kkp - kk)))
     xi = jnp.pad(xi, ((0, ngp - ng), (0, kkp - kk)))
+    kt = min(ktile, kkp)
 
-    grid = (ngp // tile, ngp // tile)
+    grid = (ngp // tile, ngp // tile, kkp // kt)
     kernel = partial(_gram_kernel, square=square, inv_nk=1.0 / nk)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((ngp, ngp), jnp.float32),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((tile, kkp), lambda i, j: (i, 0)),
-                pl.BlockSpec((tile, kkp), lambda i, j: (i, 0)),
-                pl.BlockSpec((tile, kkp), lambda i, j: (j, 0)),
-                pl.BlockSpec((tile, kkp), lambda i, j: (j, 0)),
-            ],
-            out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j)),
-        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, kt), lambda i, j, kb: (i, kb)),
+            pl.BlockSpec((tile, kt), lambda i, j, kb: (i, kb)),
+            pl.BlockSpec((tile, kt), lambda i, j, kb: (j, kb)),
+            pl.BlockSpec((tile, kt), lambda i, j, kb: (j, kb)),
+        ],
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j, kb: (i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((tile, tile), jnp.float32),
+            pltpu.VMEM((tile, tile), jnp.float32),
+        ],
         interpret=interpret,
     )(xr, xi, xr, xi)
     return out[:ng, :ng]

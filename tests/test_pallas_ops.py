@@ -9,7 +9,8 @@ from fftisdf_tpu.ops.pallas_gram import (
 
 @pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
 @pytest.mark.parametrize("square", [False, True])
-@pytest.mark.parametrize("shape", [(1, 64, 5), (3, 100, 7), (2, 300, 4)])
+@pytest.mark.parametrize("shape", [(1, 64, 5), (3, 100, 7), (2, 300, 4),
+                                   (16, 96, 40)])  # kk=640: K-blocking path
 def test_pair_gram_matches_reference(shape, square):
     rng = np.random.default_rng(0)
     x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
