@@ -120,8 +120,9 @@ def main():
     coords = jnp.asarray(cell.gen_uniform_grids(), dtype=dtype)
     ao = jax.block_until_ready(fn(coords))
 
-    @jax.jit
     def exact_jk(dm, ao):
+        # internally jitted; the K pair loop dispatches in bounded chunks
+        # (a single giant kernel faults the device at large nk)
         vj = pw_jk.get_j_kpts(cell, dm, ao)
         vk = pw_jk.get_k_kpts(cell, dm, ao, kpts, coords=coords)
         return vj, vk

@@ -22,21 +22,31 @@ from fftisdf_tpu.linalg.coulomb import get_coulG
 def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None):
     """Hartree matrix vj[k] from AO values ao_kpts (nk, ng, nao)."""
     mesh = cell.mesh if mesh is None else mesh
+    fmesh = tuple(int(m) for m in mesh)
     nk, ng, nao = ao_kpts.shape
     dm = jnp.asarray(dm_kpts)
-    # density on the grid
-    n_g = jnp.einsum("kgm,kmn,kgn->g", ao_kpts, dm, ao_kpts.conj()) / nk
-    vcoul = ifft3(fft3(n_g, mesh) * get_coulG(cell, mesh=mesh), mesh)
+    coulG = jnp.asarray(np.asarray(get_coulG(cell, mesh=mesh)),
+                        dtype=jnp.real(ao_kpts).dtype)
     w = cell.vol / ng
-    vj = w * jnp.einsum("kgm,g,kgn->kmn", ao_kpts.conj(), vcoul, ao_kpts)
-    return vj
+
+    @jax.jit
+    def _j(dm, ao_kpts, coulG):
+        n_g = jnp.einsum("kgm,kmn,kgn->g", ao_kpts, dm, ao_kpts.conj()) / nk
+        vcoul = ifft3(fft3(n_g, fmesh) * coulG, fmesh)
+        return w * jnp.einsum("kgm,g,kgn->kmn", ao_kpts.conj(), vcoul,
+                              ao_kpts)
+
+    return _j(dm, ao_kpts, coulG)
 
 
-def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None):
+def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
+               pair_chunk=256):
     """Exchange matrix vk[k1] from AO values; exact pairwise Poisson solves.
 
-    The nk^2 (k1, k2) pairs run through one compiled ``lax.map`` body
-    (nao^2 batched 3D FFTs per pair) and are reduced on device."""
+    The nk^2 (k1, k2) pairs run through a compiled ``lax.map`` body
+    (nao^2 batched 3D FFTs per pair), dispatched in chunks of ``pair_chunk``
+    pairs so no single device kernel runs unboundedly long (large-nk runs
+    fault the device otherwise), and reduced on device."""
     mesh = cell.mesh if mesh is None else mesh
     fmesh = tuple(int(m) for m in mesh)
     if coords is None:
@@ -48,7 +58,7 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None):
     gv = jnp.asarray(cell.get_Gv(fmesh), dtype=jnp.real(ao_kpts).dtype)
     w = cell.vol / ng
 
-    def pair_body(idx):
+    def pair_body(idx, ao_kpts, dm):
         k1 = idx // nk
         k2 = idx % nk
         ao1 = jax.lax.dynamic_index_in_dim(ao_kpts, k1, 0, keepdims=False)
@@ -67,7 +77,20 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None):
         u = jnp.einsum("ls,gs->gl", dm2, ao2.conj())
         return (w / nk) * jnp.einsum("gml,gl,gn->mn", v, u, ao1)
 
-    contribs = jax.lax.map(pair_body, jnp.arange(nk * nk))
+    npair = nk * nk
+    chunk = min(pair_chunk, npair)
+
+    # complex device arrays go in as jit *arguments* (closure constants
+    # round-trip through the host on complex-hostile transports)
+    @jax.jit
+    def map_chunk(idx, ao_kpts, dm):
+        return jax.lax.map(lambda i: pair_body(i, ao_kpts, dm), idx)
+
+    parts = []
+    for p0 in range(0, npair, chunk):
+        idx = jnp.arange(p0, min(p0 + chunk, npair))
+        parts.append(map_chunk(idx, ao_kpts, dm))
+    contribs = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     return jnp.sum(contribs.reshape(nk, nk, nao, nao), axis=1)
 
 
