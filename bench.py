@@ -62,7 +62,7 @@ def main():
         cell = structure.to_cell(*structure.nio_afm(), basis="gth-szv",
                                  pseudo="gth-pade", ke_cutoff=ke,
                                  exp_to_discard=0.1)
-    kmesh = args.kmesh or ([1, 1, 2] if args.quick else [2, 2, 2])
+    kmesh = args.kmesh or ([1, 1, 2] if args.quick else [4, 4, 4])
     kpts = cell.get_kpts(kmesh)
     nk = len(kpts)
     nao = cell.nao_nr()
