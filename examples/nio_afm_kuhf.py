@@ -26,8 +26,13 @@ def main():
     p.add_argument("--exact", action="store_true",
                    help="also run the exact plane-wave KUHF for comparison")
     p.add_argument("--tpu", action="store_true")
-    p.add_argument("--level-shift", type=float, default=0.3)
+    p.add_argument("--level-shift", type=float, default=0.0)
+    p.add_argument("--smearing", type=float, default=5e-3,
+                   help="Fermi smearing sigma in Ha (0 = fixed occupations "
+                        "+ level shift, the pre-smearing scheme)")
     args = p.parse_args()
+    if args.smearing == 0.0 and args.level_shift == 0.0:
+        args.level_shift = 0.3
 
     import jax
     if not args.tpu:
@@ -54,7 +59,7 @@ def main():
 
     mf = KUHF(cell, kpts, with_df=df, verbose=3, conv_tol=1e-8,
               max_cycle=80, init_spin=init_spin,
-              level_shift=args.level_shift)
+              level_shift=args.level_shift, smearing=args.smearing)
     t0 = time.time()
     e = mf.kernel()
     # local spin moments (Mulliken-style, diagonal of dm.S per atom)
@@ -78,7 +83,8 @@ def main():
 
     if args.exact:
         mf0 = KUHF(cell, kpts, verbose=0, conv_tol=1e-8, max_cycle=80,
-                   init_spin=init_spin, level_shift=args.level_shift)
+                   init_spin=init_spin, level_shift=args.level_shift,
+                   smearing=args.smearing)
         e0 = mf0.kernel()
         print(f"-> exact-PW KUHF E = {e0:.8f} Ha (conv={mf0.converged})")
         print(f"-> dE/atom = {abs(e-e0)/cell.natm:.2e} Ha")

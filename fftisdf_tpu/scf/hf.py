@@ -95,6 +95,65 @@ def _build_dm(mo_coeff, mo_occ):
     return np.einsum("kmi,ki,kni->kmn", mo_coeff, mo_occ, mo_coeff.conj())
 
 
+def smeared_occupations(es, nocc, sigma, method="fermi", factor=2.0):
+    """Fractional occupations from a global chemical potential.
+
+    es: list of per-k (nmo_k,) eigenvalue arrays (nmo may differ per k after
+    canonical orthogonalization).  Returns (occs, mu, entropy) with
+    ``sum_k sum_i occ[k][i] == factor * nocc * nk`` (bisected to machine
+    precision) and the dimensionless entropy ``S = sum_k s_k`` such that the
+    Mermin free energy is ``E - sigma * S / nk``.
+
+    The reference has no smearing (its SCF is PySCF's fixed-occupation KRHF);
+    this is the standard finite-temperature extension needed for small-gap
+    systems (NiO AFM) where per-k aufbau occupations dither between
+    near-degenerate states across SCF iterations.
+    """
+    flat = np.concatenate([np.asarray(e) for e in es])
+    target = factor * nocc * len(es)
+    # bracket wide enough that a fully-(un)occupied spectrum can reach
+    # f = 1 (0) exactly in f64: e^{-45*sigma/sigma} underflows past eps
+    lo = flat.min() - 45.0 * sigma
+    hi = flat.max() + 45.0 * sigma
+
+    def nelec(mu):
+        x = (flat - mu) / sigma
+        if method == "fermi":
+            f = 1.0 / (1.0 + np.exp(np.clip(x, -600, 600)))
+        else:  # gauss
+            from scipy.special import erfc
+            f = 0.5 * erfc(x)
+        return factor * f.sum(), f
+
+    for _ in range(200):
+        mu = 0.5 * (lo + hi)
+        n, f = nelec(mu)
+        if n < target:
+            lo = mu
+        else:
+            hi = mu
+        if hi - lo < 1e-15 * max(1.0, abs(mu)):
+            break
+    _, f = nelec(0.5 * (lo + hi))
+    mu = 0.5 * (lo + hi)
+
+    if method == "fermi":
+        fc = np.clip(f, 1e-300, 1.0 - 1e-16)
+        s = -(fc * np.log(fc) + (1.0 - fc) * np.log1p(-fc))
+        s[(f <= 0) | (f >= 1)] = 0.0
+    else:
+        x = (flat - mu) / sigma
+        s = np.exp(-x * x) / (2.0 * np.sqrt(np.pi))
+    entropy = factor * float(s.sum())
+
+    occs, i0 = [], 0
+    for e in es:
+        n = len(np.asarray(e))
+        occs.append(factor * f[i0:i0 + n])
+        i0 += n
+    return occs, mu, entropy
+
+
 @dataclass
 class KRHF:
     """Restricted HF over a uniform k-mesh; insulating (fixed) occupations."""
@@ -106,10 +165,15 @@ class KRHF:
     diis_space: int = 8
     level_shift: float = 0.0   # Ha shift of virtuals (helps small-gap SCF)
     damp: float = 0.0          # density mixing dm <- (1-damp) dm_new + damp dm
+    smearing: float = 0.0      # sigma (Ha); > 0 enables fractional occupations
+    smearing_method: str = "fermi"   # fermi | gauss
     dtype: object = None       # device dtype; None = f64 (f32 on TPU)
     verbose: int = 3
 
     e_tot: float = None
+    e_free: float = None       # Mermin free energy E - sigma*S (== e_tot at sigma=0)
+    entropy: float = 0.0
+    mu: float = None           # chemical potential (smearing only)
     mo_energy: np.ndarray = None
     mo_coeff: np.ndarray = None
     mo_occ: np.ndarray = None
@@ -159,6 +223,27 @@ class KRHF:
         vj, vk = to_host(vj), to_host(vk)
         return self.h1e + vj - 0.5 * vk, vj, vk
 
+    def _occupations(self, es):
+        """Per-k occupation vectors; fractional when smearing is on.
+
+        NB: smearing uses a *global* chemical potential across the k-mesh
+        (per-k aufbau is ill-defined for metals/small gaps); don't combine
+        with ``level_shift`` — the shift would leak into the smeared
+        occupations of partially-filled states.
+        """
+        if self.smearing > 0:
+            occs, self.mu, self.entropy = smeared_occupations(
+                es, self.nocc, self.smearing, self.smearing_method,
+                factor=2.0)
+            return occs
+        self.entropy = 0.0
+        out = []
+        for e in es:
+            occ = np.zeros(len(e))
+            occ[: self.nocc] = 2.0
+            out.append(occ)
+        return out
+
     def energy_elec(self, dm, vj, vk):
         nk = len(self.kpts)
         e1 = np.einsum("kmn,knm->", dm, self.h1e).real / nk
@@ -190,14 +275,12 @@ class KRHF:
                     - self.s1e[k] @ dm[k] @ self.s1e[k] / 2.0
                     for k in range(nk)
                 ])
-            es, cs, occs = [], [], []
+            es, cs = [], []
             for k in range(nk):
                 e, c = _eigh_gen(fock[k], self.s1e[k])
-                occ = np.zeros(c.shape[1])
-                occ[: self.nocc] = 2.0
                 es.append(e)
                 cs.append(c)
-                occs.append(occ)
+            occs = self._occupations(es)
             dm_new = _build_dm(np.asarray(cs), np.asarray(occs))
             if self.damp:
                 dm_new = (1.0 - self.damp) * dm_new + self.damp * dm
@@ -214,6 +297,7 @@ class KRHF:
         # final consistent quantities
         fock, vj, vk = self.get_fock(dm)
         self.e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
+        self.e_free = self.e_tot - self.smearing * self.entropy / nk
         self.mo_energy = np.asarray(es)
         self.mo_coeff = np.asarray(cs)
         self.mo_occ = np.asarray(occs)
@@ -339,19 +423,34 @@ class KUHF(KRHF):
                 ])
             es, cs, occs = [], [], []
             dm_new = np.empty_like(dm)
+            self.entropy = 0.0
+            mus = []
             for s, nocc in enumerate((na, nb)):
-                es_s, cs_s, occ_s = [], [], []
+                es_s, cs_s = [], []
                 for k in range(nk):
                     e, c = _eigh_gen(fock[s, k], self.s1e[k])
-                    occ = np.zeros(c.shape[1])
-                    occ[:nocc] = 1.0
                     es_s.append(e)
                     cs_s.append(c)
-                    occ_s.append(occ)
+                if self.smearing > 0:
+                    # per-spin chemical potential: (na, nb) fixed by
+                    # cell.spin, matching the fixed-occupation semantics
+                    occ_s, mu_s, ent_s = smeared_occupations(
+                        es_s, nocc, self.smearing, self.smearing_method,
+                        factor=1.0)
+                    self.entropy += ent_s
+                    mus.append(mu_s)
+                else:
+                    occ_s = []
+                    for e in es_s:
+                        occ = np.zeros(len(e))
+                        occ[:nocc] = 1.0
+                        occ_s.append(occ)
                 dm_new[s] = _build_dm(np.asarray(cs_s), np.asarray(occ_s))
                 es.append(es_s)
                 cs.append(cs_s)
                 occs.append(occ_s)
+            if mus:
+                self.mu = tuple(mus)
             if self.damp:
                 dm_new = (1.0 - self.damp) * dm_new + self.damp * dm
             ddm = abs(dm_new - dm).max()
@@ -366,6 +465,7 @@ class KUHF(KRHF):
             e_last = e_tot
         fock, vj, vk = self.get_fock(dm)
         self.e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
+        self.e_free = self.e_tot - self.smearing * self.entropy / nk
         self.mo_energy = np.asarray(es)
         self.mo_coeff = np.asarray(cs)
         self.mo_occ = np.asarray(occs)

@@ -157,6 +157,52 @@ def test_krhf_he2_sanity():
     np.testing.assert_allclose(e, e2, atol=1e-7)
 
 
+def test_smeared_occupations_unit():
+    """smeared_occupations: exact electron count, mu inside the gap for a
+    gapped spectrum, entropy -> 0 in the T->0 limit, both methods."""
+    from fftisdf_tpu.scf.hf import smeared_occupations
+
+    rng = np.random.default_rng(3)
+    es = [np.sort(np.concatenate([rng.uniform(-2, -1, 5),
+                                  rng.uniform(1, 2, 7)]))
+          for _ in range(4)]
+    for method in ("fermi", "gauss"):
+        occs, mu, ent = smeared_occupations(es, nocc=5, sigma=0.01,
+                                            method=method, factor=2.0)
+        total = sum(o.sum() for o in occs)
+        np.testing.assert_allclose(total, 2.0 * 5 * 4, rtol=1e-12)
+        assert -1.0 < mu < 1.0          # inside the gap
+        assert 0.0 <= ent < 1e-8        # sigma << gap: entropy negligible
+        for o, e in zip(occs, es):
+            np.testing.assert_allclose(o[:5], 2.0, atol=1e-10)
+            np.testing.assert_allclose(o[5:], 0.0, atol=1e-10)
+    # metallic spectrum: fractional occupations at the Fermi level
+    es_m = [np.linspace(-1, 1, 12) + 0.01 * k for k in range(4)]
+    occs, mu, ent = smeared_occupations(es_m, nocc=6, sigma=0.1,
+                                        method="fermi", factor=2.0)
+    total = sum(o.sum() for o in occs)
+    np.testing.assert_allclose(total, 2.0 * 6 * 4, rtol=1e-12)
+    assert ent > 0.1
+    frac = np.concatenate(occs)
+    assert ((frac > 0.05) & (frac < 1.95)).any()
+
+
+def test_krhf_smearing_insulating_limit():
+    """sigma much smaller than the gap: smeared SCF reproduces the
+    fixed-occupation SCF energy; free energy == total energy - sigma*S."""
+    cell = soft_cell(box=8.0, mesh=16)
+    kpts = cell.get_kpts([1, 1, 2])
+    mf0 = KRHF(cell, kpts, verbose=0, conv_tol=1e-10)
+    e0 = mf0.kernel()
+    mf1 = KRHF(cell, kpts, verbose=0, conv_tol=1e-10, smearing=1e-3)
+    e1 = mf1.kernel()
+    assert mf0.converged and mf1.converged
+    np.testing.assert_allclose(e1, e0, atol=1e-7)
+    assert mf1.e_free <= mf1.e_tot + 1e-12
+    nelec = sum(o.sum() for o in mf1.mo_occ) / len(kpts)
+    np.testing.assert_allclose(nelec, cell.nelectron, rtol=1e-12)
+
+
 def test_uhf_symmetry_breaking_stretched_h2():
     """Stretched H2: UHF must break spin symmetry (E_UHF < E_RHF, local
     moments ~ +/-1) -- validates the AFM machinery end-to-end."""
