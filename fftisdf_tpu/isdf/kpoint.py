@@ -36,9 +36,9 @@ import jax.numpy as jnp
 from fftisdf_tpu.lattice import kpoints as kpt_mod
 from fftisdf_tpu.basis.eval import make_evaluator
 from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky
-from fftisdf_tpu.linalg.solvers import solve_fitting
+from fftisdf_tpu.linalg.solvers import fitting_half_operator
 from fftisdf_tpu.linalg.fft import fft3, ifft3
-from fftisdf_tpu.linalg.coulomb import get_coulG
+from fftisdf_tpu.linalg.coulomb import get_coulG_batched
 from fftisdf_tpu.utils.logging import Logger
 from fftisdf_tpu.utils.device import to_device, jit_take
 
@@ -141,19 +141,45 @@ def _rhs_block(f_k, x_k, phase):
     return y_k
 
 
+def _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
+               solver="lstsq", rcond=1e-10):
+    """One momentum sector: w_q from the fit + FFT Coulomb kernel,
+    metric-side form.
+
+    The reference solves for the full fitting functions first —
+    z_q = A_q^{-1} B_q with B_q = y_q^T (nip x ngrid) — and then contracts
+    w_q = (K_q z_q^T)^T z_q^H through the FFT Coulomb operator K_q
+    (``fftisdf.py:108-121``).  Since every solver variant here is a fixed
+    *hermitian* linear operator S_q (Jacobi-preconditioned truncated-eigh /
+    ridge, incl. iterative refinement — see linalg.solvers), the same w_q
+    factors as
+
+        w_q = S_q (B_q K_q^T B_q^H) S_q
+
+    computed through the *split* operator S_q = H^H H (see
+    linalg.solvers.fitting_half_operator): G = H B_q costs one
+    O(nip^2 * ngrid) pass, the Coulomb kernel acts on G's rows (same FFTs as
+    before), the inner metric G K_q^T G^H is one more pass, and everything
+    else (H^H . H, the refinement polynomial) is nip x nip.  That is ~2
+    O(nip^2*ngrid) passes instead of the reference formulation's ~6 (solve,
+    refinement, final contraction all on the full RHS), at the same
+    cond(A)^1 error amplification — forming B K B^H *without* the half
+    factor and applying S twice would square the condition number (verified
+    by the 1e-10 full-rank gates in tests/test_isdf_kpoint.py)."""
+    half, finish, rank = fitting_half_operator(x4_q, method=solver,
+                                               rcond=rcond)
+    g = half(y_q.T)                             # (nip, ngrid) = H B
+    gk = fft3(g * eiqr.conj()[None, :], mesh) * coulG_q
+    gk = ifft3(gk, mesh) * eiqr[None, :] * (vol / ngrid)   # rows: G K_q^T
+    w_q = finish(gk @ g.conj().T)
+    return w_q, rank
+
+
 @partial(jax.jit, static_argnames=("solver", "mesh", "vol", "ngrid"))
 def _solve_coulomb_q(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
                      solver="lstsq", rcond=1e-10):
-    """One momentum sector: fit z_q then apply the FFT Coulomb kernel.
-
-    w_q = zeta_q z_q^H with zeta_q = e^{iqr} IFFT[FFT[z_q e^{-iqr}] coulG(q)]
-    * vol/ngrid (ref fftisdf.py:108-121)."""
-    z_q, rank = solve_fitting(x4_q, y_q.T, method=solver, rcond=rcond)
-    zq_per = z_q * eiqr.conj()[None, :]
-    zeta = fft3(zq_per, mesh) * coulG_q
-    zeta = ifft3(zeta, mesh) * eiqr[None, :] * (vol / ngrid)
-    w_q = zeta @ z_q.conj().T
-    return w_q, rank
+    return _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
+                      solver=solver, rcond=rcond)
 
 
 @dataclass
@@ -288,6 +314,7 @@ class FFTISDF:
         log.info("build: nk=%d nip=%d nao=%d ngrid=%d (y: %.2f GB, "
                  "qchunk=%d)", nk, nip, nao, ngrid, y_gb, qchunk)
 
+        t_set = time.perf_counter()
         fn = make_evaluator(cell, kpts=kpts, dtype=self.dtype)
         blk = min(self.blksize, ngrid)
         nblk = -(-ngrid // blk)
@@ -296,12 +323,20 @@ class FFTISDF:
             [coords, np.zeros((pad, 3))], axis=0).reshape(nblk, blk, 3),
             dtype=self.dtype)
 
-        gv = cell.get_Gv(mesh)
-        coulG = jnp.asarray(np.stack([
-            np.asarray(get_coulG(cell, q=q, gv=gv)) for q in kpts
-        ]), dtype=self.dtype)
-        eiqr = to_device(np.exp(1j * coords @ kpts.T).T, dtype=cdtype)
+        # Coulomb kernels and q-phases are computed on device from small
+        # inputs (Gv, coords, kpts): the host is single-core and the
+        # (nk, ngrid) complex phase array is expensive to push through
+        # transfer-limited transports.
+        gv = jnp.asarray(cell.get_Gv(mesh), dtype=self.dtype)
+        kpts_d = jnp.asarray(kpts, dtype=self.dtype)
+        coulG = get_coulG_batched(cell, kpts_d, gv, dtype=self.dtype)
+        coords_d = jnp.asarray(coords, dtype=self.dtype)
+        eiqr = jax.jit(lambda c, k: jax.lax.complex(
+            jnp.cos(c @ k.T), jnp.sin(c @ k.T)).T.astype(cdtype))(
+            coords_d, kpts_d)
         vol = float(cell.vol)
+        log.debug("build: setup (evaluator, coulG, phases) %.2fs",
+                  time.perf_counter() - t_set)
 
         # ---- RHS sweep (ref HOT LOOP 1, fftisdf.py:72-87) + per-sector
         # solve/FFT (ref HOT LOOP 2, fftisdf.py:97-124), chunked over q

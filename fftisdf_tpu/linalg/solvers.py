@@ -22,9 +22,26 @@ import jax
 import jax.numpy as jnp
 
 
-def hermitian_solve(a, b, rcond=None, rank=None, precondition=True,
-                    refine=None):
-    """Solve a z = b for hermitian PSD a via eigh with spectral truncation.
+def _with_refinement(apply_base, a, refine):
+    """Wrap a base solve with fixed-precision iterative refinement.
+
+    The resulting operator S_r = S + S(I - aS) + ... is hermitian whenever
+    the base S is (each term is a product of hermitian factors arranged
+    symmetrically), which the metric-side w_q assembly in
+    isdf.kpoint relies on."""
+
+    def apply(rhs):
+        z = apply_base(rhs)
+        for _ in range(refine):
+            z = z + apply_base(rhs - a @ z)
+        return z
+
+    return apply
+
+
+def hermitian_operator(a, rcond=None, rank=None, precondition=True,
+                       refine=None):
+    """Truncated-eigh solve operator for hermitian PSD a.
 
     Numerical hardening for f32 devices (where the pair-density normal
     matrices are severely ill-conditioned):
@@ -34,7 +51,8 @@ def hermitian_solve(a, b, rcond=None, rank=None, precondition=True,
     - fixed-precision iterative refinement (default 1 step on f32): corrects
       the truncated-eigh solve against the original matrix.
 
-    Returns (z, numerical_rank)."""
+    Returns (apply(rhs) -> z, numerical_rank); apply is a hermitian linear
+    operator."""
     rdtype = jnp.real(a).dtype
     if refine is None:
         refine = 0 if rdtype == jnp.float64 else 1
@@ -69,19 +87,28 @@ def hermitian_solve(a, b, rcond=None, rank=None, precondition=True,
             out = d[:, None] * out
         return out
 
-    z = apply_inv(b)
-    for _ in range(refine):
-        z = z + apply_inv(b - a @ z)
-    return z, jnp.sum(keep.astype(jnp.int32))
+    return (_with_refinement(apply_inv, a, refine),
+            jnp.sum(keep.astype(jnp.int32)))
 
 
-def ridge_solve(a, b, rcond=1e-10, refine=None):
-    """Tikhonov-regularized Cholesky solve: z = (a + rcond*amax*I)^-1 b.
+def hermitian_solve(a, b, rcond=None, rank=None, precondition=True,
+                    refine=None):
+    """Solve a z = b for hermitian PSD a via eigh with spectral truncation.
+    See :func:`hermitian_operator`.  Returns (z, numerical_rank)."""
+    apply_inv, rank_out = hermitian_operator(
+        a, rcond=rcond, rank=rank, precondition=precondition, refine=refine)
+    return apply_inv(b), rank_out
+
+
+def ridge_operator(a, rcond=1e-10, refine=None):
+    """Tikhonov-regularized Cholesky solve operator:
+    apply(b) = (a + rcond*amax*I)^-1 b (+ refinement).
 
     The smooth counterpart of spectral truncation: weak directions are damped
     instead of cut.  One potrf + two triangular solves — much cheaper than
     eigh on TPU (no QDWH iterations).  Jacobi preconditioning and optional
-    iterative refinement as in hermitian_solve."""
+    iterative refinement as in hermitian_operator.  Returns
+    (apply, rank=n); apply is a hermitian linear operator."""
     rdtype = jnp.real(a).dtype
     if refine is None:
         refine = 0 if rdtype == jnp.float64 else 1
@@ -102,10 +129,148 @@ def ridge_solve(a, b, rcond=1e-10, refine=None):
             chol.conj().T, u, lower=False)
         return d[:, None] * out
 
-    z = apply_inv(b)
-    for _ in range(refine):
-        z = z + apply_inv(b - a @ z)
-    return z, jnp.asarray(a.shape[-1], dtype=jnp.int32)
+    return (_with_refinement(apply_inv, a, refine),
+            jnp.asarray(a.shape[-1], dtype=jnp.int32))
+
+
+def ridge_solve(a, b, rcond=1e-10, refine=None):
+    """Solve via :func:`ridge_operator`.  Returns (z, rank)."""
+    apply_inv, rank = ridge_operator(a, rcond=rcond, refine=refine)
+    return apply_inv(b), rank
+
+
+def fitting_half_operator(a, method="lstsq", rcond=1e-10, rank=None,
+                          precondition=True, refine=None):
+    """Split form of the fitting-solve operator: S = H^H H.
+
+    Returns ``(half, finish, rank)`` with
+      half(b)      = H b                      (nip x m gemm / tri-solve)
+      finish(m_in) = P (H^H m_in H) P^H       (all nip x nip)
+    where P = sum_{j=0..refine} (I - S0 A)^j is the iterative-refinement
+    polynomial (S_refined = P S0, and S_r M S_r = P (S0 M S0) P^H).
+
+    Purpose (see isdf.kpoint._sector_wq): w_q = S M S with
+    M = B K B^H must NOT be computed by forming M and applying S twice —
+    ||M|| ~ ||A||^2 ||Xi K Xi|| while ||w|| is O(1), so M's formation
+    roundoff is amplified by cond(A)^2.  Routing each B through the half
+    factor H keeps every intermediate at O(cond(A)^(1/2)) amplification per
+    side (cond(A)^1 total — the same as the reference's solve-then-contract
+    path) while still touching the O(nip^2 * ngrid) data only twice.
+    """
+    rdtype = jnp.real(a).dtype
+    if refine is None:
+        refine = 0 if rdtype == jnp.float64 else 1
+    gmat = None   # analytic I - S0 A (refinement generator), if available
+
+    if method == "ridge":
+        dscale = jnp.real(jnp.diagonal(a))
+        dmax = jnp.max(jnp.abs(dscale))
+        dok = dscale > 1e-30 * dmax
+        d = jnp.where(dok, 1.0 / jnp.sqrt(jnp.where(dok, dscale, 1.0)), 0.0)
+        dinv = jnp.where(dok, jnp.sqrt(jnp.where(dok, dscale, 1.0)), 0.0)
+        a_s = a * d[:, None] * d[None, :]
+        lam = rcond * jnp.max(jnp.real(jnp.diagonal(a_s)))
+        a_r = a_s + lam * jnp.eye(a.shape[-1], dtype=a.dtype)
+        chol = jnp.linalg.cholesky(a_r)
+
+        def half(b):  # H b = C^{-1} D b
+            return jax.scipy.linalg.solve_triangular(
+                chol, d[:, None] * b, lower=True)
+
+        def sandwich(m_in):  # H^H m_in H = D C^{-H} m_in C^{-1} D
+            t = jax.scipy.linalg.solve_triangular(
+                chol.conj().T, m_in, lower=False)          # C^{-H} m_in
+            t = jax.scipy.linalg.solve_triangular(
+                chol.conj().T, t.conj().T, lower=False)    # C^{-H} m^H C^{-1}
+            return d[:, None] * t.conj().T * d[None, :]
+
+        def gmat():
+            # I - S0 A == lam * D (C C^H)^{-1} D^{-1} exactly (A_r = A_s +
+            # lam*I): no large-product cancellation, unlike forming S0 @ A
+            # and subtracting (which carries eps*cond(A) garbage in f32)
+            eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+            t = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+            t = jax.scipy.linalg.solve_triangular(
+                chol.conj().T, t, lower=False)
+            return lam * (d[:, None] * t * dinv[None, :])
+
+        rank_out = jnp.asarray(a.shape[-1], dtype=jnp.int32)
+    elif method in ("lstsq", "pinv", "eigh", "svd"):
+        precond = precondition and method != "svd"
+        if precond:
+            dscale = jnp.real(jnp.diagonal(a))
+            dmax = jnp.max(jnp.abs(dscale))
+            d = jnp.where(dscale > 1e-30 * dmax,
+                          1.0 / jnp.sqrt(jnp.where(dscale > 1e-30 * dmax,
+                                                   dscale, 1.0)), 0.0)
+            a_s = a * d[:, None] * d[None, :]
+        else:
+            d = jnp.ones(a.shape[-1], dtype=rdtype)
+            a_s = a
+        # for spectral-truncation solvers refinement is an exact no-op
+        # (S0 A S0 == S0), so the half path skips it; its only role in the
+        # full-RHS path was correcting eigh rounding, which cannot be
+        # expressed as a stable nip x nip polynomial
+        refine = 0
+        w, v = jnp.linalg.eigh(a_s)
+        wmax = jnp.max(jnp.abs(w))
+        rc = a.shape[-1] * jnp.finfo(w.dtype).eps if rcond is None else rcond
+        keep = w > rc * wmax
+        if rank is not None:
+            idx = jnp.argsort(w)[::-1]
+            kmask = jnp.zeros_like(keep).at[idx[:rank]].set(True)
+            keep = jnp.logical_and(keep, kmask)
+        sqw = jnp.sqrt(jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0))
+
+        def half(b):  # H b = SW V^H D b
+            return sqw[:, None] * (v.conj().T @ (d[:, None] * b))
+
+        def sandwich(m_in):  # H^H m_in H = D V SW m_in SW V^H D
+            t = v @ (sqw[:, None] * m_in * sqw[None, :]) @ v.conj().T
+            return d[:, None] * t * d[None, :]
+
+        rank_out = jnp.sum(keep.astype(jnp.int32))
+    else:
+        raise ValueError(f"unknown solver {method!r}")
+
+    if refine:
+        # P = sum_{j=0..refine} (I - S0 A)^j, built once at O(nip^3);
+        # S_refined = P S0 and S_r M S_r = P (S0 M S0) P^H
+        g = gmat()
+        p = jnp.eye(a.shape[-1], dtype=a.dtype)
+        term = p
+        for _ in range(refine):
+            term = term @ g
+            p = p + term
+
+        def finish(m_in):
+            w0 = sandwich(m_in)
+            return p @ w0 @ p.conj().T
+    else:
+        def finish(m_in):
+            return sandwich(m_in)
+
+    return half, finish, rank_out
+
+
+def fitting_operator(a, method="lstsq", rcond=1e-10, rank=None,
+                     precondition=True, refine=None):
+    """Hermitian solve operator for the fitting normal matrix; dispatches
+    over the reference's solver variants like :func:`solve_fitting` but
+    returns (apply, rank) so callers can exploit operator structure — the
+    metric-side w_q assembly applies it to nip x nip matrices instead of the
+    nip x ngrid RHS (isdf.kpoint._sector_wq)."""
+    if method in ("lstsq", "pinv", "eigh"):
+        return hermitian_operator(a, rcond=rcond, rank=rank,
+                                  precondition=precondition, refine=refine)
+    if method == "svd":
+        # SVD of a hermitian PSD matrix == eigh; the reference's variant
+        # truncates the raw (unpreconditioned) spectrum and does not refine
+        return hermitian_operator(a, rcond=rcond, rank=rank,
+                                  precondition=False, refine=0)
+    if method == "ridge":
+        return ridge_operator(a, rcond=rcond, refine=refine)
+    raise ValueError(f"unknown solver {method!r}")
 
 
 def solve_fitting(a, b, method="lstsq", rcond=1e-10, rank=None,
@@ -114,23 +279,10 @@ def solve_fitting(a, b, method="lstsq", rcond=1e-10, rank=None,
 
     a: (nip, nip) hermitian PSD; b: (nip, m).  Returns (z, rank).
     """
-    if method in ("lstsq", "pinv", "eigh"):
-        return hermitian_solve(a, b, rcond=rcond, rank=rank,
-                               precondition=precondition, refine=refine)
-    if method == "ridge":
-        return ridge_solve(a, b, rcond=rcond, refine=refine)
-    if method == "svd":
-        u, s, vh = jnp.linalg.svd(a)
-        smax = s[0]
-        keep = s > rcond * smax
-        if rank is not None:
-            keep = jnp.logical_and(
-                keep, jnp.arange(s.shape[0]) < rank
-            )
-        sinv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
-        z = vh.conj().T @ (sinv[:, None] * (u.conj().T @ b))
-        return z, jnp.sum(keep.astype(jnp.int32))
-    raise ValueError(f"unknown solver {method!r}")
+    apply_inv, rank_out = fitting_operator(
+        a, method=method, rcond=rcond, rank=rank,
+        precondition=precondition, refine=refine)
+    return apply_inv(b), rank_out
 
 
 def whiten_basis(x_k, x4_k, rcond=1e-10):

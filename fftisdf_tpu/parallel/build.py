@@ -21,9 +21,7 @@ import jax.numpy as jnp
 from jax.lax import with_sharding_constraint
 
 from fftisdf_tpu.basis.eval import make_evaluator
-from fftisdf_tpu.isdf.kpoint import _stripe_quartic, _rhs_block
-from fftisdf_tpu.linalg.solvers import solve_fitting
-from fftisdf_tpu.linalg.fft import fft3, ifft3
+from fftisdf_tpu.isdf.kpoint import _stripe_quartic, _rhs_block, _sector_wq
 from fftisdf_tpu.linalg.coulomb import get_coulG
 from fftisdf_tpu.isdf import jk as jk_mod
 from fftisdf_tpu.parallel.mesh import grid_sharding, sector_sharding, replicated
@@ -31,10 +29,8 @@ from fftisdf_tpu.utils.device import to_device
 
 
 def _sector_solve(x4_q, y_q, coulG_q, eiqr_q, mesh, vol, ngrid, solver, rcond):
-    z_q, _ = solve_fitting(x4_q, y_q.T, method=solver, rcond=rcond)
-    zeta = fft3(z_q * eiqr_q.conj()[None, :], mesh) * coulG_q
-    zeta = ifft3(zeta, mesh) * eiqr_q[None, :] * (vol / ngrid)
-    return zeta @ z_q.conj().T
+    return _sector_wq(x4_q, y_q, coulG_q, eiqr_q, mesh, vol, ngrid,
+                      solver=solver, rcond=rcond)[0]
 
 
 def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",

@@ -104,6 +104,38 @@ def test_solve_fitting_singular():
     np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-8)
 
 
+def test_fitting_half_operator_identity():
+    """w = S (B K B^H) S assembled through the split operator S = H^H H
+    (half/finish) must match the solve-then-contract path z = S B,
+    w = z K z^H — including the refinement polynomial — on an
+    ill-conditioned PSD matrix (the cond(A)^2-amplification regression that
+    motivated the half form; see isdf.kpoint._sector_wq)."""
+    from fftisdf_tpu.linalg.solvers import fitting_operator, fitting_half_operator
+
+    rng = np.random.default_rng(0)
+    n, m = 40, 90
+    x = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    u = np.linalg.qr(x)[0]
+    a = (u * 10.0 ** rng.uniform(-12, 0, n)) @ u.conj().T
+    b = rng.standard_normal((n, m)) + 1j * rng.standard_normal((n, m))
+    kdiag = rng.uniform(0, 2, m)
+
+    for method, refine in (("ridge", 0), ("ridge", 1), ("ridge", 2),
+                           ("lstsq", 0), ("svd", 0)):
+        ap, rk = fitting_operator(jnp.asarray(a), method=method, rcond=1e-8,
+                                  refine=refine)
+        z = np.asarray(ap(jnp.asarray(b)))
+        w_ref = (z * kdiag) @ z.conj().T
+        half, finish, rk2 = fitting_half_operator(
+            jnp.asarray(a), method=method, rcond=1e-8, refine=refine)
+        g = np.asarray(half(jnp.asarray(b)))
+        w_new = np.asarray(finish(jnp.asarray((g * kdiag) @ g.conj().T)))
+        scale = abs(w_ref).max()
+        # identical operators; rounding differs at ~eps * cond^(1/2)
+        assert abs(w_new - w_ref).max() < 3e-7 * scale, (method, refine)
+        assert int(rk) == int(rk2)
+
+
 def test_whiten_basis():
     # whitened solve == direct solve of x4 z = y
     rng = np.random.default_rng(4)
