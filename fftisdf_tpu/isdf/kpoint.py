@@ -37,7 +37,7 @@ from fftisdf_tpu.lattice import kpoints as kpt_mod
 from fftisdf_tpu.basis.eval import make_evaluator
 from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky
 from fftisdf_tpu.linalg.solvers import fitting_half_operator
-from fftisdf_tpu.linalg.fft import fft3, ifft3
+from fftisdf_tpu.linalg.fft import fft3
 from fftisdf_tpu.linalg.coulomb import get_coulG_batched
 from fftisdf_tpu.utils.logging import Logger
 from fftisdf_tpu.utils.device import to_device, jit_take
@@ -169,9 +169,12 @@ def _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
     half, finish, rank = fitting_half_operator(x4_q, method=solver,
                                                rcond=rcond)
     g = half(y_q.T)                             # (nip, ngrid) = H B
-    gk = fft3(g * eiqr.conj()[None, :], mesh) * coulG_q
-    gk = ifft3(gk, mesh) * eiqr[None, :] * (vol / ngrid)   # rows: G K_q^T
-    w_q = finish(gk @ g.conj().T)
+    # Parseval: G K_q^T G^H == (vol/ngrid^2) Gf diag(coulG) Gf^H with
+    # Gf = FFT[G e^{-iqr}] row-wise — the inverse FFT and the second phase
+    # multiplication of the real-space form (ref fftisdf.py:113-121) cancel
+    # inside the hermitian gram and are never computed.
+    gf = fft3(g * eiqr.conj()[None, :], mesh)
+    w_q = finish((gf * coulG_q) @ gf.conj().T * (vol / ngrid**2))
     return w_q, rank
 
 
@@ -306,8 +309,10 @@ class FFTISDF:
         mesh = tuple(int(m) for m in cell.mesh)
         y_gb = nk * ngrid * nip * itemsize / 1e9
         per_sector_gb = ngrid * nip * itemsize / 1e9
-        # sector chunking: the solve stage additionally holds z (nip, ngrid)
-        # per in-flight sector; budget ~half the limit for y
+        # sector chunking: the solve stage additionally holds the G-space
+        # factor (nip, ngrid) per in-flight sector; budget ~half the limit
+        # for y.  (Caching the AO values across chunks was tried and lost:
+        # the coarser chunking it forces costs more than the re-evaluation.)
         qchunk = nk
         if y_gb > self.max_memory_gb / 2:
             qchunk = max(1, int((self.max_memory_gb / 2) / per_sector_gb))
