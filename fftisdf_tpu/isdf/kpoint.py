@@ -142,7 +142,7 @@ def _rhs_block(f_k, x_k, phase):
 
 
 def _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
-               solver="lstsq", rcond=1e-10):
+               solver="lstsq", rcond=1e-10, refine=None):
     """One momentum sector: w_q from the fit + FFT Coulomb kernel,
     metric-side form.
 
@@ -167,7 +167,7 @@ def _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
     factor and applying S twice would square the condition number (verified
     by the 1e-10 full-rank gates in tests/test_isdf_kpoint.py)."""
     half, finish, rank = fitting_half_operator(x4_q, method=solver,
-                                               rcond=rcond)
+                                               rcond=rcond, refine=refine)
     g = half(y_q.T)                             # (nip, ngrid) = H B
     # Parseval: G K_q^T G^H == (vol/ngrid^2) Gf diag(coulG) Gf^H with
     # Gf = FFT[G e^{-iqr}] row-wise — the inverse FFT and the second phase
@@ -178,11 +178,12 @@ def _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
     return w_q, rank
 
 
-@partial(jax.jit, static_argnames=("solver", "mesh", "vol", "ngrid"))
+@partial(jax.jit, static_argnames=("solver", "mesh", "vol", "ngrid",
+                                   "refine"))
 def _solve_coulomb_q(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
-                     solver="lstsq", rcond=1e-10):
+                     solver="lstsq", rcond=1e-10, refine=None):
     return _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
-                      solver=solver, rcond=rcond)
+                      solver=solver, rcond=rcond, refine=refine)
 
 
 @dataclass
@@ -209,6 +210,7 @@ class FFTISDF:
     m0: tuple = (15, 15, 15)
     solver: str = "ridge"      # ridge (default) | lstsq | pinv | svd
     rcond: float = None        # None: dtype-aware (1e-10 f64, 1e-5 f32)
+    refine: int = None         # refinement steps; None: dtype-aware (0/1)
     select_tol: float = None   # pivot threshold; ref isdf.py:45 uses 1e-20
     blksize: int = 16384
     max_memory_gb: float = 12.0  # HBM budget driving sector chunking
@@ -232,6 +234,12 @@ class FFTISDF:
             # f32 eigenvalues carry O(eps_f32 * wmax) errors that a 1e-10
             # cutoff would keep and amplify by 1/w
             self.rcond = 1e-10 if self.dtype == jnp.float64 else 1e-5
+        if self.refine is None:
+            # refinement in the metric-side build is O(nip^3) — free next to
+            # the O(nip^2 ngrid) passes.  2 steps reach the f32 pipeline
+            # floor (measured: c0=40 J err 5.3e-5 / 1.4e-5 / 5.3e-6 at
+            # refine 0/1/2; step 3 gives <1.4x more)
+            self.refine = 0 if self.dtype == jnp.float64 else 2
         self.kpts = np.asarray(self.kpts)
         self.kmesh = np.asarray(kpt_mod.kpts_to_kmesh(self.cell, self.kpts))
         self._log = Logger(self.verbose)
@@ -362,7 +370,8 @@ class FFTISDF:
             def per_q(args):
                 x4_q, y_q, cg, ph = args
                 return _solve_coulomb_q(x4_q, y_q, cg, ph, mesh, vol, ngrid,
-                                        solver=self.solver, rcond=self.rcond)
+                                        solver=self.solver, rcond=self.rcond,
+                                        refine=self.refine)
 
             return jax.lax.map(per_q, (x4_c, y, coulG_c, eiqr_c))
 

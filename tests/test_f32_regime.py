@@ -42,3 +42,14 @@ def test_f32_ridge_jk_accuracy():
     # truncated-eigh solve sat ~40x higher
     assert ej < 5e-4, ej
     assert ek < 5e-4, ek
+
+    # high-compression regime (the reference driver's c0=40): the free
+    # metric-side refinement (default 2 steps on f32) must hold the f32
+    # pipeline floor ~5e-6; refine=0 sits ~10x higher
+    df = FFTISDF(cell, kpts, c0=40.0, m0=(9, 9, 9), verbose=0,
+                 dtype=jnp.float32).build()
+    vj, vk = df.get_jk(dm_dev)
+    ej40 = float(jnp.max(jnp.abs(vj - vj_e)))
+    ek40 = float(jnp.max(jnp.abs(vk - vk_e)))
+    assert ej40 < 1.5e-5, ej40
+    assert ek40 < 1.5e-5, ek40
