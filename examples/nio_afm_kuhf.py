@@ -54,12 +54,22 @@ def main():
     init_spin = {0: +1.0, 1: -1.0}
 
     t0 = time.time()
-    df = FFTISDF(cell, kpts, c0=args.c0, m0=(11, 11, 11), verbose=3).build()
+    m0 = tuple(min(15, int(m)) for m in cell.mesh)
+    df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=3).build()
     print(f"ISDF build: {time.time()-t0:.1f}s, nip={df.nip}")
 
-    mf = KUHF(cell, kpts, with_df=df, verbose=3, conv_tol=1e-8,
-              max_cycle=80, init_spin=init_spin,
-              level_shift=args.level_shift, smearing=args.smearing)
+    # on TPU (transfer-limited transport) use the device-resident SCF loop:
+    # one small fetch per cycle instead of moving vj/vk/fock across the
+    # tunnel (scf.device; ~10x per-iteration wall-clock)
+    if args.tpu and args.level_shift == 0.0:
+        from fftisdf_tpu.scf.device import DeviceKUHF as _KUHF
+        conv_tol = 1e-6   # f32 J/K noise floor
+    else:
+        _KUHF = KUHF
+        conv_tol = 1e-8
+    mf = _KUHF(cell, kpts, with_df=df, verbose=3, conv_tol=conv_tol,
+               max_cycle=80, init_spin=init_spin,
+               level_shift=args.level_shift, smearing=args.smearing)
     t0 = time.time()
     e = mf.kernel()
     # local spin moments (Mulliken-style, diagonal of dm.S per atom)

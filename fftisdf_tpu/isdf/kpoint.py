@@ -98,10 +98,23 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
 
             x4 = gram_sq(x0)
         max_rank = min(int(min(c0, 1e6) * nao), ng0)
-        if select_tol is None and dtype != jnp.float64:
-            select_tol = 0.0
-        _, piv, rank, hist = pivoted_cholesky(x4, max_rank=max_rank,
-                                              tol=select_tol)
+        if dtype != jnp.float64:
+            # f32 rank *detection* is noise-limited: the Schur diagonal can
+            # go non-positive long before the true rank (observed: NiO
+            # m0=11 stops at 189 of 520).  Selection therefore always takes
+            # max_rank greedy pivots (continuing past the fp rank); the
+            # redundant directions are damped by the ridge fit.
+            from fftisdf_tpu.linalg.pivoted_cholesky import pivot_selection
+
+            piv, rank_fp, hist = pivot_selection(
+                x4, max_rank=max_rank,
+                tol=0.0 if select_tol is None else select_tol)
+            log.debug("select: f32 fp-rank %d of %d pivots (cap-based "
+                      "selection keeps all)", int(rank_fp), max_rank)
+            rank = max_rank
+        else:
+            _, piv, rank, hist = pivoted_cholesky(x4, max_rank=max_rank,
+                                                  tol=select_tol)
     piv = np.asarray(piv)
     rank = int(rank)
     nip = min(int(nao * c0), rank)
@@ -216,7 +229,11 @@ class FFTISDF:
     max_memory_gb: float = 12.0  # HBM budget driving sector chunking
     use_trs: bool = True       # exploit w_{-q} = conj(w_q) in the build
     select_host_f64: bool = None  # force host-f64 selection (slow host path)
-    dtype: object = jnp.float64
+    dtype: object = None       # None: f64 on CPU (x64), f32 otherwise.
+                               # NB explicit f64 on an f32-only device would
+                               # silently truncate arrays while keeping f64
+                               # numerics knobs (rcond/refine/selection) — a
+                               # NaN factory; the auto default prevents it.
     verbose: int = 3
     validate: bool = False     # debug: check stripe-reality invariants
                                # (the asserts at ref fftisdf.py:43,81)
@@ -229,6 +246,9 @@ class FFTISDF:
     _log: Logger = field(default=None, repr=False)
 
     def __post_init__(self):
+        if self.dtype is None:
+            self.dtype = (jnp.float64 if jax.default_backend() == "cpu"
+                          and jax.config.jax_enable_x64 else jnp.float32)
         if self.rcond is None:
             # spectral cutoff must sit above the eigensolver's noise floor:
             # f32 eigenvalues carry O(eps_f32 * wmax) errors that a 1e-10

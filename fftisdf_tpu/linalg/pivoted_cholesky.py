@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("max_rank",))
-def _pivoted_cholesky_impl(a, tol, max_rank: int):
+@partial(jax.jit, static_argnames=("max_rank", "keep_indefinite"))
+def _pivoted_cholesky_impl(a, tol, max_rank: int, keep_indefinite: bool):
     n = a.shape[0]
     rdtype = jnp.real(a).dtype
     d0 = jnp.real(jnp.diagonal(a)).astype(rdtype)
@@ -36,13 +36,18 @@ def _pivoted_cholesky_impl(a, tol, max_rank: int):
         col = a[i, :]
         corr = L[:, i].conj() @ L
         lj = (col - corr) / jnp.sqrt(jnp.maximum(dmax, 1e-300).astype(rdtype))
-        # freeze the step once dmax <= 0 (numerical exhaustion)
+        # once dmax <= 0 (numerical exhaustion) the factor row is frozen to
+        # zero either way; with keep_indefinite the *pivot* is still emitted
+        # (and the point retired) — the selection consumer wants max_rank
+        # well-spread points even past the fp noise rank, where the stale
+        # residual diagonal is still the best available spreading criterion
         ok = dmax > 0
         lj = jnp.where(ok, lj, jnp.zeros_like(lj))
         d = d - jnp.real(lj * lj.conj())
-        d = d.at[i].set(jnp.where(ok, -jnp.inf, d[i]))
+        retire = ok if not keep_indefinite else True
+        d = d.at[i].set(jnp.where(retire, -jnp.inf, d[i]))
         L = L.at[j].set(lj)
-        piv = piv.at[j].set(jnp.where(ok, i, -1))
+        piv = piv.at[j].set(jnp.where(ok | keep_indefinite, i, -1))
         dmax_hist = dmax_hist.at[j].set(dmax)
         return d, L, piv, dmax_hist
 
@@ -52,6 +57,19 @@ def _pivoted_cholesky_impl(a, tol, max_rank: int):
     d, L, piv, hist = jax.lax.fori_loop(0, max_rank, body, (d0, L0, piv0, hist0))
     rank = jnp.sum((hist > tol).astype(jnp.int32))
     return L, piv, rank, hist
+
+
+def pivot_selection(a, max_rank=None, tol=0.0):
+    """Pivot indices for point *selection* on noise-limited dtypes: always
+    returns ``max_rank`` distinct pivots (greedy residual-diagonal order,
+    continuing past the fp rank), plus the detected numerical rank."""
+    a = jnp.asarray(a)
+    n = a.shape[0]
+    max_rank = n if max_rank is None else int(min(max_rank, n))
+    tol = jnp.asarray(tol, dtype=jnp.real(a).dtype)
+    _, piv, rank, hist = _pivoted_cholesky_impl(a, tol, max_rank,
+                                                keep_indefinite=True)
+    return piv, rank, hist
 
 
 def pivoted_cholesky_np(a, tol=None, max_rank=None):
@@ -102,4 +120,4 @@ def pivoted_cholesky(a, tol=None, max_rank=None):
         eps = jnp.finfo(jnp.real(a).dtype).eps
         tol = n * eps * jnp.max(jnp.abs(jnp.real(jnp.diagonal(a))))
     tol = jnp.asarray(tol, dtype=jnp.real(a).dtype)
-    return _pivoted_cholesky_impl(a, tol, max_rank)
+    return _pivoted_cholesky_impl(a, tol, max_rank, keep_indefinite=False)

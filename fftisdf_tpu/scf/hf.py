@@ -80,11 +80,16 @@ class DIIS:
         return sum(c * f for c, f in zip(coef, self.focks))
 
 
-def _eigh_gen(f, s):
+def _eigh_gen(f, s, cutoff=1e-10):
     """Generalized hermitian eigensolve F C = S C e via canonical
-    orthogonalization (threshold tiny overlap eigenvalues)."""
+    orthogonalization (threshold tiny overlap eigenvalues).
+
+    ``cutoff`` must sit above the noise floor of the overlap's provenance:
+    1e-10 for f64 integrals, ~1e-6 when S was computed in f32 on device
+    (f32 quadrature noise in near-null directions otherwise gets amplified
+    by 1/sqrt(noise) and the SCF NaNs out)."""
     se, sv = np.linalg.eigh(s)
-    keep = se > 1e-10 * se.max()
+    keep = se > cutoff * se.max()
     x = sv[:, keep] / np.sqrt(se[keep])[None, :]
     fo = x.conj().T @ f @ x
     e, c = np.linalg.eigh(fo)
@@ -167,6 +172,8 @@ class KRHF:
     damp: float = 0.0          # density mixing dm <- (1-damp) dm_new + damp dm
     smearing: float = 0.0      # sigma (Ha); > 0 enables fractional occupations
     smearing_method: str = "fermi"   # fermi | gauss
+    ovlp_cutoff: float = None  # canonical-orthogonalization threshold;
+                               # None: dtype-aware (1e-10 f64, 2e-6 f32)
     dtype: object = None       # device dtype; None = f64 (f32 on TPU)
     verbose: int = 3
 
@@ -188,6 +195,8 @@ class KRHF:
 
             self.dtype = (jnp.float64 if _jax.default_backend() == "cpu"
                           else jnp.float32)
+        if self.ovlp_cutoff is None:
+            self.ovlp_cutoff = 1e-10 if self.dtype == jnp.float64 else 2e-6
         fn = make_evaluator(cell, kpts=self.kpts, dtype=self.dtype)
         coords = cell.gen_uniform_grids()
         self._ao = fn(jnp.asarray(coords, dtype=self.dtype))
@@ -211,7 +220,8 @@ class KRHF:
         nk, nao = self.h1e.shape[:2]
         occs, cs = [], []
         for k in range(nk):
-            e, c = _eigh_gen(self.h1e[k], self.s1e[k])
+            e, c = _eigh_gen(self.h1e[k], self.s1e[k],
+                             cutoff=self.ovlp_cutoff)
             occ = np.zeros(c.shape[1])
             occ[: self.nocc] = 2.0
             occs.append(occ)
@@ -277,7 +287,8 @@ class KRHF:
                 ])
             es, cs = [], []
             for k in range(nk):
-                e, c = _eigh_gen(fock[k], self.s1e[k])
+                e, c = _eigh_gen(fock[k], self.s1e[k],
+                                 cutoff=self.ovlp_cutoff)
                 es.append(e)
                 cs.append(c)
             occs = self._occupations(es)
@@ -368,7 +379,7 @@ class KUHF(KRHF):
                         h[off:off + nfa, off:off + nfa] += (
                             sgn * self.spin_bias * bias
                             * self.s1e[k][off:off + nfa, off:off + nfa])
-                e, c = _eigh_gen(h, self.s1e[k])
+                e, c = _eigh_gen(h, self.s1e[k], cutoff=self.ovlp_cutoff)
                 occ = np.zeros(c.shape[1])
                 occ[:nocc] = 1.0
                 occs.append(occ)
@@ -428,7 +439,8 @@ class KUHF(KRHF):
             for s, nocc in enumerate((na, nb)):
                 es_s, cs_s = [], []
                 for k in range(nk):
-                    e, c = _eigh_gen(fock[s, k], self.s1e[k])
+                    e, c = _eigh_gen(fock[s, k], self.s1e[k],
+                                     cutoff=self.ovlp_cutoff)
                     es_s.append(e)
                     cs_s.append(c)
                 if self.smearing > 0:

@@ -42,18 +42,30 @@ def get_kinetic(cell, ao_kpts, kpts, coords=None):
     ng = ao_kpts.shape[1]
     if coords is None:
         coords = cell.gen_uniform_grids()
-    gv = jnp.asarray(cell.get_Gv())
-    kpts = jnp.asarray(kpts)
-    coords = jnp.asarray(coords)
+    rdtype = (jnp.float64 if ao_kpts.dtype == jnp.complex128
+              else jnp.float32)
+    gv = jnp.asarray(cell.get_Gv(), dtype=rdtype)
+    kpts = jnp.asarray(kpts, dtype=rdtype)
+    coords = jnp.asarray(coords, dtype=rdtype)
+    vol = float(cell.vol)
 
-    def per_k(ao_k, kpt):
-        phase = jnp.exp(-1j * coords @ kpt)
-        c = fft3((ao_k * phase[:, None]).T, mesh) / ng  # (nao, ng)
-        gk = gv + kpt[None, :]
-        g2 = 0.5 * jnp.sum(gk * gk, axis=1)
-        return cell.vol * jnp.einsum("mg,g,ng->mn", c.conj(), g2, c)
+    # one jit around the whole k batch: no eager complex dispatch and no
+    # host complex constants (e^{-ikr} built via lax.complex) — both fail
+    # on complex-hostile device transports
+    @jax.jit
+    def kernel(ao_kpts, kpts, coords, gv):
+        def per_k(ao_k, kpt):
+            t = coords @ kpt
+            phase = jax.lax.complex(jnp.cos(t), -jnp.sin(t)).astype(
+                ao_k.dtype)
+            c = fft3((ao_k * phase[:, None]).T, mesh) / ng  # (nao, ng)
+            gk = gv + kpt[None, :]
+            g2 = (0.5 * jnp.sum(gk * gk, axis=1)).astype(jnp.real(c).dtype)
+            return vol * jnp.einsum("mg,g,ng->mn", c.conj(), g2, c)
 
-    return jax.vmap(per_k)(ao_kpts, kpts)
+        return jax.vmap(per_k)(ao_kpts, kpts)
+
+    return kernel(ao_kpts, kpts, coords, gv)
 
 
 # ----------------------------------------------------------------- local PSP
@@ -107,8 +119,15 @@ def vloc_on_grid(cell):
             vG = gth_vloc_G(ps, G2)
             vG[G2 <= 1e-12] = gth_vloc_G0(ps)
         f += vG * np.exp(-1j * gv @ np.asarray(xyz))
-    v = ifft3(jnp.asarray(f), mesh) * (ng / cell.vol)
-    return v.real
+    # host complex -> device through the split-transfer helper, ifft under
+    # jit (complex-hostile transports)
+    from fftisdf_tpu.utils.device import to_device
+
+    ao_dtype = jnp.complex128 if jax.config.jax_enable_x64 and \
+        jax.default_backend() == "cpu" else jnp.complex64
+    f_dev = to_device(f, dtype=ao_dtype)
+    v = jax.jit(lambda f: ifft3(f, mesh).real * (ng / cell.vol))(f_dev)
+    return v
 
 
 def get_vloc(cell, ao_kpts, vgrid=None):
@@ -178,7 +197,9 @@ def get_vnl(cell, ao_kpts, kpts, dtype=jnp.float64, return_projections=False):
     p_k = fn(jnp.asarray(coords, dtype=dtype))  # (nk, ng, nproj)
     w = cell.vol / ng
     b = w * jnp.einsum("kgp,kgm->kpm", p_k.conj(), ao_kpts)
-    h = jnp.asarray(hmat, dtype=ao_kpts.dtype)
+    # keep h real on the host->device crossing (complex transfers can be
+    # unsupported); promotion to complex happens on device in the einsum
+    h = jnp.asarray(hmat, dtype=jnp.real(ao_kpts).dtype)
     v = jnp.einsum("kpm,pq,kqn->kmn", b.conj(), h, b)
     return (v, b) if return_projections else v
 
