@@ -96,14 +96,19 @@ def main():
     df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0, dtype=dtype).build()
     nip_first = df.nip
     # NB: block_until_ready does not actually block on async tunnel
-    # transports — sync through a device-reduced scalar fetch.  Warm build
-    # timing is best-of-2 (remote dispatch varies ~20% run-to-run).
+    # transports — sync through a jitted device-reduced scalar fetch (also
+    # keeps complex math under jit, required on complex-hostile transports).
+    # Warm build timing is best-of-2 (remote dispatch varies ~20%).
+    @jax.jit
+    def _sync(*arrs):
+        return sum(jnp.sum(jnp.abs(jnp.real(a))) for a in arrs)
+
     t_build = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0,
                      dtype=dtype).build()
-        float(jnp.sum(jnp.abs(jnp.real(df.wq))))
+        float(_sync(df.wq))
         t_build = min(t_build, time.perf_counter() - t0)
     if df.nip != nip_first:  # shape change would retrigger compiles
         t_build = float("nan")
@@ -118,10 +123,6 @@ def main():
         vj = jk_mod.get_j_kpts(x_k, wq[0], dm[None])[0]
         vk = jk_mod.get_k_kpts(x_k, wq, ph, dm[None])[0]
         return vj, vk
-
-    @jax.jit
-    def _sync(*arrs):  # device-reduced scalar: forces completion on fetch
-        return sum(jnp.sum(jnp.abs(jnp.real(a))) for a in arrs)
 
     args_i = (df.x_k, df.wq, phase, dm_dev)
     vj_i, vk_i = isdf_jk(*args_i)  # compile

@@ -26,14 +26,4 @@ TPU-first:
 
 __version__ = "0.1.0"
 
-import jax as _jax
-
-if _jax.config.jax_default_matmul_precision is None and \
-        _jax.default_backend() != "cpu":
-    # Scientific f32 on TPU requires full-f32 matmuls: the default bf16
-    # passes cost ~170x on J/K accuracy and NaN the near-singular pair-gram
-    # Cholesky/eigh factorizations (measured; see README "TPU notes").
-    # Set once at import; an explicit user/config setting is respected.
-    _jax.config.update("jax_default_matmul_precision", "highest")
-
 from fftisdf_tpu.lattice.cell import Cell  # noqa: F401

@@ -128,6 +128,13 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
 
 
 @jax.jit
+def _eiqr_kernel(coords, kpts):
+    """e^{i q.r} phases (nq, ngrid), built on device (no host complex)."""
+    t = coords @ kpts.T
+    return jax.lax.complex(jnp.cos(t), jnp.sin(t)).T
+
+
+@jax.jit
 def _stripe_quartic(x_k, phase):
     """x4_k[q] via the stripe trick: k -> image space, elementwise square,
     back to k (ref fftisdf.py:38-48).  Equals (1/sqrt(nk)) * the normal
@@ -246,6 +253,9 @@ class FFTISDF:
     _log: Logger = field(default=None, repr=False)
 
     def __post_init__(self):
+        from fftisdf_tpu.utils.device import ensure_f32_matmul_precision
+
+        ensure_f32_matmul_precision()
         if self.dtype is None:
             self.dtype = (jnp.float64 if jax.default_backend() == "cpu"
                           and jax.config.jax_enable_x64 else jnp.float32)
@@ -364,9 +374,7 @@ class FFTISDF:
         kpts_d = jnp.asarray(kpts, dtype=self.dtype)
         coulG = get_coulG_batched(cell, kpts_d, gv, dtype=self.dtype)
         coords_d = jnp.asarray(coords, dtype=self.dtype)
-        eiqr = jax.jit(lambda c, k: jax.lax.complex(
-            jnp.cos(c @ k.T), jnp.sin(c @ k.T)).T.astype(cdtype))(
-            coords_d, kpts_d)
+        eiqr = _eiqr_kernel(coords_d, kpts_d).astype(cdtype)
         vol = float(cell.vol)
         log.debug("build: setup (evaluator, coulG, phases) %.2fs",
                   time.perf_counter() - t_set)

@@ -28,23 +28,25 @@ def get_coulG(cell, q=None, mesh=None, gv=None):
     return jnp.where(absg2 > 1e-12, 4.0 * jnp.pi / jnp.where(absg2 > 1e-12, absg2, 1.0), 0.0)
 
 
+@jax.jit
+def _coulG_kernel(qs, gv):
+    def one(q):
+        g = gv + q[None, :]
+        absg2 = jnp.sum(g * g, axis=1)
+        ok = absg2 > 1e-12
+        return jnp.where(ok, 4.0 * jnp.pi / jnp.where(ok, absg2, 1.0), 0.0)
+
+    return jax.vmap(one)(qs)
+
+
 def get_coulG_batched(cell, qs, gv, dtype=None):
     """coulG for all momentum sectors at once: (nq, ngrid) real, on device.
 
     One jitted vmap over q instead of a per-q host loop — the host in this
-    environment is single-core and nq*ngrid arrays are costly to transfer."""
+    environment is single-core and nq*ngrid arrays are costly to transfer.
+    (The kernel is module-level so repeated builds hit the in-process jit
+    cache instead of re-tracing per call.)"""
     if dtype is not None:
         gv = jnp.asarray(gv, dtype=dtype)
         qs = jnp.asarray(qs, dtype=dtype)
-
-    @jax.jit
-    def kernel(qs, gv):
-        def one(q):
-            g = gv + q[None, :]
-            absg2 = jnp.sum(g * g, axis=1)
-            ok = absg2 > 1e-12
-            return jnp.where(ok, 4.0 * jnp.pi / jnp.where(ok, absg2, 1.0), 0.0)
-
-        return jax.vmap(one)(qs)
-
-    return kernel(qs, gv)
+    return _coulG_kernel(qs, gv)

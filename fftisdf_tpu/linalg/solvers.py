@@ -13,13 +13,73 @@ four solvers (SURVEY.md section 2a #7-10):
 On TPU all four reduce to one eigendecomposition of the hermitian ``A``
 (XLA eigh) followed by MXU matmuls; ``gelsy``'s column-pivoted QR has no TPU
 advantage over eigh for hermitian systems, so eigh is the canonical kernel.
-``whiten`` is exposed through :func:`whiten_basis` (it rotates x_k instead of
-solving).
+The framework's default is ``ridge`` (Tikhonov + Cholesky): eigh-free and,
+with refinement, 40-150x more accurate than spectral truncation in f32.
+``whiten`` is exposed through :func:`whiten_basis` (it rotates x_k instead
+of solving).
+
+Two operator forms share one factorization layer:
+- full operators (:func:`fitting_operator` / :func:`solve_fitting`) apply
+  S = A^-1-like to a right-hand side;
+- the split form (:func:`fitting_half_operator`, S = H^H H) lets the
+  metric-side w_q assembly in isdf.kpoint touch the O(nip^2 ngrid) RHS only
+  twice while keeping cond(A)^1 error amplification.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+
+def _real_dtype(a):
+    return (jnp.float64 if a.dtype in (jnp.complex128, jnp.float64)
+            else jnp.float32)
+
+
+def _default_refine(a, refine):
+    if refine is None:
+        return 0 if _real_dtype(a) == jnp.float64 else 1
+    return refine
+
+
+def _jacobi(a):
+    """Two-sided diagonal (Jacobi) scaling: (d, dinv, D a D) with
+    D = diag(a)^-1/2, zero-guarded.  Collapses the amplitude-driven part of
+    the condition number before factorization."""
+    dscale = jnp.real(jnp.diagonal(a))
+    dmax = jnp.max(jnp.abs(dscale))
+    dok = dscale > 1e-30 * dmax
+    d = jnp.where(dok, 1.0 / jnp.sqrt(jnp.where(dok, dscale, 1.0)), 0.0)
+    dinv = jnp.where(dok, jnp.sqrt(jnp.where(dok, dscale, 1.0)), 0.0)
+    return d, dinv, a * d[:, None] * d[None, :]
+
+
+def _ridge_factor(a, rcond):
+    """Cholesky factor of D a D + lam*I.  Returns (d, dinv, chol, lam)."""
+    d, dinv, a_s = _jacobi(a)
+    lam = rcond * jnp.max(jnp.real(jnp.diagonal(a_s)))
+    a_r = a_s + lam * jnp.eye(a.shape[-1], dtype=a.dtype)
+    return d, dinv, jnp.linalg.cholesky(a_r), lam
+
+
+def _eigh_factor(a, rcond, rank, precondition):
+    """Truncated eigh of (optionally Jacobi-scaled) a.
+    Returns (d, w, v, keep) with keep the retained-eigenvalue mask."""
+    if precondition:
+        d, _, a_s = _jacobi(a)
+    else:
+        d = jnp.ones(a.shape[-1], dtype=_real_dtype(a))
+        a_s = a
+    w, v = jnp.linalg.eigh(a_s)
+    wmax = jnp.max(jnp.abs(w))
+    rc = a.shape[-1] * jnp.finfo(w.dtype).eps if rcond is None else rcond
+    keep = w > rc * wmax
+    if rank is not None:
+        # additionally cap the rank: keep the `rank` largest eigenvalues
+        idx = jnp.argsort(w)[::-1]
+        kmask = jnp.zeros_like(keep).at[idx[:rank]].set(True)
+        keep = jnp.logical_and(keep, kmask)
+    return d, w, v, keep
 
 
 def _with_refinement(apply_base, a, refine):
@@ -44,48 +104,20 @@ def hermitian_operator(a, rcond=None, rank=None, precondition=True,
     """Truncated-eigh solve operator for hermitian PSD a.
 
     Numerical hardening for f32 devices (where the pair-density normal
-    matrices are severely ill-conditioned):
-    - Jacobi (two-sided diagonal) preconditioning: eigh runs on
-      D a D with D = diag(a)^-1/2, collapsing the amplitude-driven part of
-      the condition number;
-    - fixed-precision iterative refinement (default 1 step on f32): corrects
-      the truncated-eigh solve against the original matrix.
+    matrices are severely ill-conditioned): Jacobi preconditioning +
+    fixed-precision iterative refinement (default 1 step on f32, correcting
+    the truncated-eigh solve against the original matrix).
 
     Returns (apply(rhs) -> z, numerical_rank); apply is a hermitian linear
     operator."""
-    rdtype = jnp.real(a).dtype
-    if refine is None:
-        refine = 0 if rdtype == jnp.float64 else 1
-    if precondition:
-        dscale = jnp.real(jnp.diagonal(a))
-        dmax = jnp.max(jnp.abs(dscale))
-        d = jnp.where(dscale > 1e-30 * dmax,
-                      1.0 / jnp.sqrt(jnp.where(dscale > 1e-30 * dmax,
-                                               dscale, 1.0)), 0.0)
-        a_s = a * d[:, None] * d[None, :]
-    else:
-        d = None
-        a_s = a
-    w, v = jnp.linalg.eigh(a_s)
-    wmax = jnp.max(jnp.abs(w))
-    if rcond is None:
-        rcond = a.shape[-1] * jnp.finfo(w.dtype).eps
-    cutoff = rcond * wmax
-    keep = w > cutoff
-    if rank is not None:
-        # additionally cap the rank: keep the `rank` largest eigenvalues
-        idx = jnp.argsort(w)[::-1]
-        kmask = jnp.zeros_like(keep).at[idx[:rank]].set(True)
-        keep = jnp.logical_and(keep, kmask)
+    refine = _default_refine(a, refine)
+    d, w, v, keep = _eigh_factor(a, rcond, rank, precondition)
     winv = jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0)
 
     def apply_inv(rhs):
-        if d is not None:
-            rhs = d[:, None] * rhs
+        rhs = d[:, None] * rhs
         out = v @ (winv[:, None] * (v.conj().T @ rhs))
-        if d is not None:
-            out = d[:, None] * out
-        return out
+        return d[:, None] * out
 
     return (_with_refinement(apply_inv, a, refine),
             jnp.sum(keep.astype(jnp.int32)))
@@ -109,18 +141,8 @@ def ridge_operator(a, rcond=1e-10, refine=None):
     eigh on TPU (no QDWH iterations).  Jacobi preconditioning and optional
     iterative refinement as in hermitian_operator.  Returns
     (apply, rank=n); apply is a hermitian linear operator."""
-    rdtype = jnp.real(a).dtype
-    if refine is None:
-        refine = 0 if rdtype == jnp.float64 else 1
-    dscale = jnp.real(jnp.diagonal(a))
-    dmax = jnp.max(jnp.abs(dscale))
-    d = jnp.where(dscale > 1e-30 * dmax,
-                  1.0 / jnp.sqrt(jnp.where(dscale > 1e-30 * dmax,
-                                           dscale, 1.0)), 0.0)
-    a_s = a * d[:, None] * d[None, :]
-    lam = rcond * jnp.max(jnp.real(jnp.diagonal(a_s)))
-    a_r = a_s + lam * jnp.eye(a.shape[-1], dtype=a.dtype)
-    chol = jnp.linalg.cholesky(a_r)
+    refine = _default_refine(a, refine)
+    d, _, chol, _ = _ridge_factor(a, rcond)
 
     def apply_inv(rhs):
         rhs = d[:, None] * rhs
@@ -156,22 +178,20 @@ def fitting_half_operator(a, method="lstsq", rcond=1e-10, rank=None,
     factor H keeps every intermediate at O(cond(A)^(1/2)) amplification per
     side (cond(A)^1 total — the same as the reference's solve-then-contract
     path) while still touching the O(nip^2 * ngrid) data only twice.
+
+    NB for spectral-truncation methods (lstsq/pinv/eigh/svd) refinement is
+    forced to 0: in exact arithmetic S0 A S0 == S0 (refinement is a no-op
+    for a truncated inverse); its only role in the full-RHS path is
+    correcting eigh rounding, which has no stable nip x nip polynomial form.
+    Ridge keeps refinement (the lam bias is what it removes), computed
+    analytically: I - S0 A == lam * D (C C^H)^{-1} D^{-1} — forming S0 @ A
+    and subtracting numerically would carry eps*cond(A) cancellation garbage
+    in f32.
     """
-    rdtype = jnp.real(a).dtype
-    if refine is None:
-        refine = 0 if rdtype == jnp.float64 else 1
-    gmat = None   # analytic I - S0 A (refinement generator), if available
+    refine = _default_refine(a, refine)
 
     if method == "ridge":
-        dscale = jnp.real(jnp.diagonal(a))
-        dmax = jnp.max(jnp.abs(dscale))
-        dok = dscale > 1e-30 * dmax
-        d = jnp.where(dok, 1.0 / jnp.sqrt(jnp.where(dok, dscale, 1.0)), 0.0)
-        dinv = jnp.where(dok, jnp.sqrt(jnp.where(dok, dscale, 1.0)), 0.0)
-        a_s = a * d[:, None] * d[None, :]
-        lam = rcond * jnp.max(jnp.real(jnp.diagonal(a_s)))
-        a_r = a_s + lam * jnp.eye(a.shape[-1], dtype=a.dtype)
-        chol = jnp.linalg.cholesky(a_r)
+        d, dinv, chol, lam = _ridge_factor(a, rcond)
 
         def half(b):  # H b = C^{-1} D b
             return jax.scipy.linalg.solve_triangular(
@@ -184,10 +204,7 @@ def fitting_half_operator(a, method="lstsq", rcond=1e-10, rank=None,
                 chol.conj().T, t.conj().T, lower=False)    # C^{-H} m^H C^{-1}
             return d[:, None] * t.conj().T * d[None, :]
 
-        def gmat():
-            # I - S0 A == lam * D (C C^H)^{-1} D^{-1} exactly (A_r = A_s +
-            # lam*I): no large-product cancellation, unlike forming S0 @ A
-            # and subtracting (which carries eps*cond(A) garbage in f32)
+        def gmat():  # I - S0 A, analytic (see docstring)
             eye = jnp.eye(a.shape[-1], dtype=a.dtype)
             t = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
             t = jax.scipy.linalg.solve_triangular(
@@ -196,30 +213,9 @@ def fitting_half_operator(a, method="lstsq", rcond=1e-10, rank=None,
 
         rank_out = jnp.asarray(a.shape[-1], dtype=jnp.int32)
     elif method in ("lstsq", "pinv", "eigh", "svd"):
-        precond = precondition and method != "svd"
-        if precond:
-            dscale = jnp.real(jnp.diagonal(a))
-            dmax = jnp.max(jnp.abs(dscale))
-            d = jnp.where(dscale > 1e-30 * dmax,
-                          1.0 / jnp.sqrt(jnp.where(dscale > 1e-30 * dmax,
-                                                   dscale, 1.0)), 0.0)
-            a_s = a * d[:, None] * d[None, :]
-        else:
-            d = jnp.ones(a.shape[-1], dtype=rdtype)
-            a_s = a
-        # for spectral-truncation solvers refinement is an exact no-op
-        # (S0 A S0 == S0), so the half path skips it; its only role in the
-        # full-RHS path was correcting eigh rounding, which cannot be
-        # expressed as a stable nip x nip polynomial
         refine = 0
-        w, v = jnp.linalg.eigh(a_s)
-        wmax = jnp.max(jnp.abs(w))
-        rc = a.shape[-1] * jnp.finfo(w.dtype).eps if rcond is None else rcond
-        keep = w > rc * wmax
-        if rank is not None:
-            idx = jnp.argsort(w)[::-1]
-            kmask = jnp.zeros_like(keep).at[idx[:rank]].set(True)
-            keep = jnp.logical_and(keep, kmask)
+        d, w, v, keep = _eigh_factor(a, rcond, rank,
+                                     precondition and method != "svd")
         sqw = jnp.sqrt(jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0))
 
         def half(b):  # H b = SW V^H D b

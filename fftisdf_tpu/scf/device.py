@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from fftisdf_tpu.isdf import jk as jk_mod
 from fftisdf_tpu.utils.device import to_device, to_host
 from fftisdf_tpu.utils.logging import Logger
-from fftisdf_tpu.scf.hf import KRHF, KUHF, _eigh_gen
+from fftisdf_tpu.scf.hf import KUHF, _eigh_gen, smeared_occupations
 
 
 def orth_and_penalty(s1e, cutoff):
@@ -50,7 +50,7 @@ def orth_and_penalty(s1e, cutoff):
         keep = se > cutoff * se.max()
         xk = sv * np.where(keep, 1.0 / np.sqrt(np.where(keep, se, 1.0)), 0.0)
         x[k] = xk
-        pen[k] = np.where(keep, 0.0, 1e6)
+        pen[k] = np.where(keep, 0.0, _PENALTY)
     return x, pen
 
 
@@ -84,11 +84,20 @@ def _diis_update(errs, focks, n, err_flat, fock_flat):
     return fock_out, errs, focks, n
 
 
-def _smeared_occ(e, pen, nocc, sigma, factor):
-    """Fermi occupations from a bisected global mu, on device.
+# Penalized (dropped-overlap-direction) eigenvalues sit at ~+1e6 Ha AFTER
+# the eigensolve sorts them to the top of each spectrum; the validity mask
+# must therefore be derived from the eigenvalues themselves, NOT from the
+# per-column penalty vector (positions no longer correspond after sorting).
+_PENALTY = 1e6
+_PENALTY_GATE = 0.5e6
 
-    e: (nk, nmo) eigenvalues (penalized entries excluded via pen>0)."""
-    ok = pen <= 0.0
+
+def _smeared_occ(e, nocc, sigma, factor, method="fermi"):
+    """Smeared occupations from a bisected global mu, on device.
+
+    e: (nk, nmo) eigenvalues; entries above the penalty gate are dropped
+    overlap directions and get occupation 0."""
+    ok = e < _PENALTY_GATE
     big = jnp.asarray(1e30, e.dtype)
     emin = jnp.min(jnp.where(ok, e, big))
     emax = jnp.max(jnp.where(ok, e, -big))
@@ -96,7 +105,11 @@ def _smeared_occ(e, pen, nocc, sigma, factor):
 
     def nelec(mu):
         x = jnp.clip((e - mu) / sigma, -60.0, 60.0)
-        f = jnp.where(ok, 1.0 / (1.0 + jnp.exp(x)), 0.0)
+        if method == "fermi":
+            f = 1.0 / (1.0 + jnp.exp(x))
+        else:  # gauss
+            f = 0.5 * jax.scipy.special.erfc(x)
+        f = jnp.where(ok, f, 0.0)
         return factor * jnp.sum(f), f
 
     def body(_, lohi):
@@ -109,14 +122,18 @@ def _smeared_occ(e, pen, nocc, sigma, factor):
         0, 60, body, (emin - 45.0 * sigma, emax + 45.0 * sigma))
     mu = 0.5 * (lo + hi)
     _, f = nelec(mu)
-    fc = jnp.clip(f, 1e-30, 1.0 - 1e-7)
-    s = jnp.where(ok & (f > 1e-30) & (f < 1.0 - 1e-7),
-                  -(fc * jnp.log(fc) + (1 - fc) * jnp.log1p(-fc)), 0.0)
+    if method == "fermi":
+        fc = jnp.clip(f, 1e-30, 1.0 - 1e-7)
+        s = jnp.where(ok & (f > 1e-30) & (f < 1.0 - 1e-7),
+                      -(fc * jnp.log(fc) + (1 - fc) * jnp.log1p(-fc)), 0.0)
+    else:
+        x = (e - mu) / sigma
+        s = jnp.where(ok, jnp.exp(-x * x) / (2.0 * jnp.sqrt(jnp.pi)), 0.0)
     return factor * f, factor * jnp.sum(s)
 
 
-def _fixed_occ(e, pen, nocc, factor):
-    ok = pen <= 0.0
+def _fixed_occ(e, nocc, factor):
+    ok = e < _PENALTY_GATE
     rank = jnp.argsort(jnp.argsort(jnp.where(ok, e, 1e30), axis=-1), axis=-1)
     return factor * ((rank < nocc) & ok).astype(jnp.real(e).dtype), 0.0
 
@@ -173,8 +190,13 @@ class DeviceKUHF(KUHF):
             lambda: (jnp.zeros((m, L), dtype=cdtype),
                      jnp.zeros((m, L), dtype=cdtype)))()
 
+        if self.level_shift or self.damp:
+            raise NotImplementedError(
+                "DeviceKUHF does not implement level_shift/damp — use the "
+                "host driver (scf.hf.KUHF) or smearing, the small-gap tool")
         sigma = float(self.smearing)
         method_smear = sigma > 0.0
+        smear_method = self.smearing_method
         e_nuc = float(self.e_nuc)
         bias_cycles = int(self.bias_cycles)
 
@@ -204,9 +226,10 @@ class DeviceKUHF(KUHF):
             occs = []
             for sp, nocc in ((0, na), (1, nb)):
                 if method_smear:
-                    occ_s, ent_s = _smeared_occ(e[sp], pen, nocc, sigma, 1.0)
+                    occ_s, ent_s = _smeared_occ(e[sp], nocc, sigma, 1.0,
+                                                method=smear_method)
                 else:
-                    occ_s, ent_s = _fixed_occ(e[sp], pen, nocc, 1.0)
+                    occ_s, ent_s = _fixed_occ(e[sp], nocc, 1.0)
                 occs.append(occ_s)
                 ent = ent + ent_s
             occ = jnp.stack(occs)
@@ -241,20 +264,49 @@ class DeviceKUHF(KUHF):
             e_last = e_tot
             self.entropy = ent
         # the on-device energy reduction is f32-granular (~6e-5 Ha at
-        # |E|~340); recompute the final energy from the converged density on
-        # the host in f64 (two transfers, once)
+        # |E|~340); recompute the final energy AND the molecular orbitals
+        # from the converged density on the host in f64 (transfers once) so
+        # downstream consumers (mp2, analysis) see the same attributes the
+        # host driver provides
         self.dm = to_host(dm)
         fock, vj, vk = self.get_fock(self.dm)
         self.e_tot = float(self.energy_elec(self.dm, vj, vk) + self.e_nuc)
         self.e_free = self.e_tot - sigma * self.entropy / nk
+        es, cs, occs, mus = [], [], [], []
+        for s, nocc in ((0, na), (1, nb)):
+            es_s, cs_s = [], []
+            for k in range(nk):
+                e, c = _eigh_gen(fock[s, k], self.s1e[k],
+                                 cutoff=self.ovlp_cutoff)
+                es_s.append(e)
+                cs_s.append(c)
+            if sigma > 0:
+                occ_s, mu_s, _ = smeared_occupations(
+                    es_s, nocc, sigma, self.smearing_method, factor=1.0)
+                mus.append(mu_s)
+            else:
+                occ_s = []
+                for e in es_s:
+                    occ = np.zeros(len(e))
+                    occ[:nocc] = 1.0
+                    occ_s.append(occ)
+            es.append(es_s)
+            cs.append(cs_s)
+            occs.append(occ_s)
+        self.mo_energy = np.asarray(es)
+        self.mo_coeff = np.asarray(cs)
+        self.mo_occ = np.asarray(occs)
+        if mus:
+            self.mu = tuple(mus)
         return self.e_tot
 
 
 @dataclass
 class DeviceKRHF(DeviceKUHF):
-    """Restricted wrapper: runs the UHF step with na == nb and returns the
-    spin-summed density.  (For closed shells UHF and RHF coincide; the
-    device loop stays a single code path.)"""
+    """Restricted wrapper: runs the UHF step with na == nb, then presents
+    RHF-convention results (spin-summed ``dm`` of shape (nk, nao, nao),
+    doubled ``mo_occ``).  For closed shells UHF and RHF coincide; the device
+    loop stays a single code path."""
     init_spin: dict = None
 
     def __post_init__(self):
@@ -262,6 +314,17 @@ class DeviceKRHF(DeviceKUHF):
             self.init_spin = {}
         assert self.cell.nelectron % 2 == 0, "odd electron count: use UHF"
         super().__post_init__()
+
+    def kernel(self, dm0=None):
+        if dm0 is not None and np.asarray(dm0).ndim == 3:
+            dm0 = np.stack([np.asarray(dm0) / 2.0] * 2)
+        e = super().kernel(dm0=dm0)
+        # restricted view for downstream consumers (host-KRHF conventions)
+        self.dm = self.dm[0] + self.dm[1]
+        self.mo_energy = self.mo_energy[0]
+        self.mo_coeff = self.mo_coeff[0]
+        self.mo_occ = 2.0 * self.mo_occ[0]
+        return e
 
     def get_init_guess(self):
         nk, nao = self.h1e.shape[:2]

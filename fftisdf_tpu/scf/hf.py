@@ -187,6 +187,9 @@ class KRHF:
     converged: bool = False
 
     def __post_init__(self):
+        from fftisdf_tpu.utils.device import ensure_f32_matmul_precision
+
+        ensure_f32_matmul_precision()
         self.kpts = np.asarray(self.kpts)
         self._log = Logger(self.verbose)
         cell = self.cell

@@ -198,8 +198,11 @@ def get_vnl(cell, ao_kpts, kpts, dtype=jnp.float64, return_projections=False):
     w = cell.vol / ng
     b = w * jnp.einsum("kgp,kgm->kpm", p_k.conj(), ao_kpts)
     # keep h real on the host->device crossing (complex transfers can be
-    # unsupported); promotion to complex happens on device in the einsum
-    h = jnp.asarray(hmat, dtype=jnp.real(ao_kpts).dtype)
+    # unsupported); promotion to complex happens on device in the einsum.
+    # (dtype read from the array's dtype attribute — jnp.real() would
+    # materialize a full real copy of the AO array just to get a dtype)
+    rdt = jnp.float64 if ao_kpts.dtype == jnp.complex128 else jnp.float32
+    h = jnp.asarray(hmat, dtype=rdt)
     v = jnp.einsum("kpm,pq,kqn->kmn", b.conj(), h, b)
     return (v, b) if return_projections else v
 

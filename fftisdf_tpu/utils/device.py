@@ -71,6 +71,23 @@ def to_host(x):
     return np.asarray(x)
 
 
+def ensure_f32_matmul_precision():
+    """On non-CPU backends, set jax_default_matmul_precision='highest' if
+    the user has not chosen one.  Scientific f32 on TPU needs full-f32
+    matmuls: the default bf16 passes cost ~170x on J/K accuracy and NaN the
+    near-singular pair-gram factorizations (measured; README 'TPU notes').
+
+    Called lazily from compute entry points (FFTISDF / KRHF construction) —
+    NOT at package import: ``jax.default_backend()`` instantiates the
+    backend, and an import must never grab the TPU before user code can
+    switch platforms."""
+    import jax
+
+    if jax.config.jax_default_matmul_precision is None and \
+            jax.default_backend() != "cpu":
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+
 def enable_persistent_cache(path=None):
     """Persistent XLA compilation cache: first-compile costs (~minutes via
     the axon remote-compile tunnel) are paid once per shape across
