@@ -150,8 +150,23 @@ def make_evaluator(cell, kpts=None, precision=None, dtype=jnp.float64,
 
     ``kpts=None`` gives the gamma-point real evaluator ``fn(coords) -> (ng, nao)``.
     ``shells`` overrides the cell basis with explicit (center, Shell) pairs.
+
+    Evaluators are cached on the cell (keyed by kpts/precision/dtype): a
+    stable function identity keeps jax's in-memory jit cache warm across
+    repeated builds — without it every rebuild re-traces and re-loads
+    executables from the persistent cache, which costs seconds per build on
+    a single-core host.  (Cells are treated as immutable after ``build()``;
+    ``cell.copy()`` starts a fresh cache.)
     """
     precision = cell.precision if precision is None else precision
+    cache_key = None
+    if shells is None:
+        cache_key = (None if kpts is None else np.asarray(kpts).tobytes(),
+                     float(precision), jnp.dtype(dtype).name)
+        cache = cell.__dict__.setdefault("_evaluator_cache", {})
+        hit = cache.get(cache_key)
+        if hit is not None:
+            return hit
     table = build_shell_table(cell, precision, shells)
     groups = _group_by_center(cell, table, precision)
     gamma = kpts is None
@@ -191,7 +206,10 @@ def make_evaluator(cell, kpts=None, precision=None, dtype=jnp.float64,
             out = out * ptphase.T[:, :, None]
         return out
 
-    return jax.jit(eval_fn)
+    fn = jax.jit(eval_fn)
+    if cache_key is not None:
+        cache[cache_key] = fn
+    return fn
 
 
 def eval_ao_numpy(cell, coords, kpts=None, precision=None):

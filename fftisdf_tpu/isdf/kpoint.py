@@ -109,8 +109,9 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
             piv, rank_fp, hist = pivot_selection(
                 x4, max_rank=max_rank,
                 tol=0.0 if select_tol is None else select_tol)
-            log.debug("select: f32 fp-rank %d of %d pivots (cap-based "
-                      "selection keeps all)", int(rank_fp), max_rank)
+            if log.verbose >= 5:  # int() is a host fetch (~0.25s tunnel)
+                log.debug("select: f32 fp-rank %d of %d pivots (cap-based "
+                          "selection keeps all)", int(rank_fp), max_rank)
             rank = max_rank
         else:
             _, piv, rank, hist = pivoted_cholesky(x4, max_rank=max_rank,
@@ -119,11 +120,13 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
     rank = int(rank)
     nip = min(int(nao * c0), rank)
     mask = piv[:nip]
-    err = float(np.asarray(hist)[min(nip, len(np.asarray(hist)) - 1)])
-    log.info("select_interpolation_points: ng0=%d rank=%d nip=%d "
-             "pivot-residual=%.2e (%.2fs)", ng0, rank, nip, err,
-             time.perf_counter() - t0)
-    x_k = jax.jit(lambda a, m: a[:, m, :])(x0, jnp.asarray(mask))
+    if log.verbose >= 3:  # residual fetch only when the line is printed
+        hist = np.asarray(hist)
+        err = float(hist[min(nip, len(hist) - 1)])
+        log.info("select_interpolation_points: ng0=%d rank=%d nip=%d "
+                 "pivot-residual=%.2e (%.2fs)", ng0, rank, nip, err,
+                 time.perf_counter() - t0)
+    x_k = _mask_rows(x0, jnp.asarray(mask))
     return x_k, mask, rank
 
 
@@ -204,6 +207,46 @@ def _solve_coulomb_q(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
                      solver="lstsq", rcond=1e-10, refine=None):
     return _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
                       solver=solver, rcond=rcond, refine=refine)
+
+
+# Module-level jitted build stages: stable function identities keep the
+# in-memory jit cache warm across repeated builds (closures defined inside
+# build() would re-trace and re-load executables from the persistent cache
+# on every call — measured at ~8s/build on a single-core host for NiO 4x4x4).
+_take_rows = jax.jit(lambda a, i: a[i])
+_take_cols = jax.jit(lambda a, i: a[:, i])
+_mask_rows = jax.jit(lambda a, m: a[:, m, :])
+_scatter_trs = jax.jit(lambda w, o, c: jnp.where(
+    c[:, None, None], jnp.conj(w[o]), w[o]))
+
+
+@partial(jax.jit, static_argnames=("fn", "nq", "ngrid", "mesh", "vol",
+                                   "solver", "rcond", "refine"))
+def _chunk_pipeline(coords_p, x_k, phase_full, phase_cols, x4_c, coulG_c,
+                    eiqr_c, *, fn, nq, ngrid, mesh, vol, solver, rcond,
+                    refine):
+    """RHS sweep (ref HOT LOOP 1, fftisdf.py:72-87) fused with the per-sector
+    solve/FFT (ref HOT LOOP 2, fftisdf.py:97-124) for one chunk of momentum
+    sectors.  ``fn`` is the (cached, static) AO evaluator."""
+    nip = x_k.shape[1]
+
+    def block_fn(c):
+        f_k = fn(c)
+        fx_k = jnp.einsum("kgm,kIm->kgI", f_k.conj(), x_k)
+        fx_s = jnp.einsum("Rk,kgI->RgI", phase_full, fx_k)
+        y_s = (fx_s.real ** 2).astype(fx_s.dtype)
+        return jnp.einsum("Rq,RgI->qgI", phase_cols, y_s)
+
+    y_blocks = jax.lax.map(block_fn, coords_p)
+    y = jnp.transpose(y_blocks, (1, 0, 2, 3))
+    y = y.reshape(nq, -1, nip)[:, :ngrid, :]
+
+    def per_q(args):
+        x4_q, y_q, cg, ph = args
+        return _sector_wq(x4_q, y_q, cg, ph, mesh, vol, ngrid,
+                          solver=solver, rcond=rcond, refine=refine)
+
+    return jax.lax.map(per_q, (x4_c, y, coulG_c, eiqr_c))
 
 
 @dataclass
@@ -380,29 +423,9 @@ class FFTISDF:
                   time.perf_counter() - t_set)
 
         # ---- RHS sweep (ref HOT LOOP 1, fftisdf.py:72-87) + per-sector
-        # solve/FFT (ref HOT LOOP 2, fftisdf.py:97-124), chunked over q
-        @partial(jax.jit, static_argnames=("nq",))
-        def chunk_pipeline(coords_p, x_k, phase_full, phase_cols, x4_c,
-                           coulG_c, eiqr_c, nq):
-            def block_fn(c):
-                f_k = fn(c)
-                fx_k = jnp.einsum("kgm,kIm->kgI", f_k.conj(), x_k)
-                fx_s = jnp.einsum("Rk,kgI->RgI", phase_full, fx_k)
-                y_s = (fx_s.real ** 2).astype(fx_s.dtype)
-                return jnp.einsum("Rq,RgI->qgI", phase_cols, y_s)
-
-            y_blocks = jax.lax.map(block_fn, coords_p)
-            y = jnp.transpose(y_blocks, (1, 0, 2, 3))
-            y = y.reshape(nq, -1, nip)[:, :ngrid, :]
-
-            def per_q(args):
-                x4_q, y_q, cg, ph = args
-                return _solve_coulomb_q(x4_q, y_q, cg, ph, mesh, vol, ngrid,
-                                        solver=self.solver, rcond=self.rcond,
-                                        refine=self.refine)
-
-            return jax.lax.map(per_q, (x4_c, y, coulG_c, eiqr_c))
-
+        # solve/FFT (ref HOT LOOP 2, fftisdf.py:97-124), chunked over q,
+        # through the module-level jitted pipeline (stable jit cache).
+        #
         # time-reversal symmetry: w_{-q} = conj(w_q) (real AOs), so only
         # canonical sectors (q <= mirror(q)) need the solve+FFT stage; the
         # rest are mirrored.  Halves stage-2 work on large k-meshes (no-op
@@ -414,16 +437,16 @@ class FFTISDF:
             qsel = np.array([q for q in range(nk) if q <= mirror[q]])
         else:
             qsel = np.arange(nk)
-        take_rows = jax.jit(lambda a, i: a[i])
-        take_cols = jax.jit(lambda a, i: a[:, i])
         t0 = time.perf_counter()
         wq_parts, rank_parts = [], []
         for q0 in range(0, len(qsel), qchunk):
             qs = jnp.asarray(qsel[q0:q0 + qchunk])
-            wq_c, ranks_c = chunk_pipeline(
-                coords_p, x_k, phase, take_cols(phase, qs),
-                take_rows(x4_k, qs), take_rows(coulG, qs),
-                take_rows(eiqr, qs), nq=len(qs))
+            wq_c, ranks_c = _chunk_pipeline(
+                coords_p, x_k, phase, _take_cols(phase, qs),
+                _take_rows(x4_k, qs), _take_rows(coulG, qs),
+                _take_rows(eiqr, qs), fn=fn, nq=len(qs), ngrid=ngrid,
+                mesh=mesh, vol=vol, solver=self.solver, rcond=self.rcond,
+                refine=self.refine)
             wq_parts.append(wq_c)
             rank_parts.append(ranks_c)
         wq_sel = (jnp.concatenate(wq_parts, axis=0)
@@ -439,17 +462,18 @@ class FFTISDF:
                 else:
                     order[q] = pos_of[int(mirror[q])]
                     conj_flag[q] = True
-            wq = jax.jit(lambda w, o, c: jnp.where(
-                c[:, None, None], jnp.conj(w[o]), w[o]))(
-                wq_sel, jnp.asarray(order), jnp.asarray(conj_flag))
+            wq = _scatter_trs(wq_sel, jnp.asarray(order),
+                              jnp.asarray(conj_flag))
         else:
             wq = wq_sel
         # NB: w_q is NOT symmetrized: on even FFT meshes the discrete
         # Coulomb operator carries a small skew part from the unmatched -N/2
         # frequency, and the exact plane-wave oracle shares it -- symmetrizing
         # would trade oracle consistency for cosmetic hermiticity.
-        ranks = np.concatenate([np.asarray(r) for r in rank_parts])
-        wq.block_until_ready()
+        # One host fetch for all chunk ranks (each fetch pays ~0.25s tunnel
+        # latency; it doubles as the queue drain for the timing log).
+        ranks = np.asarray(jnp.concatenate(
+            [jnp.atleast_1d(r) for r in rank_parts]))
         log.info("build: %d/%d sectors solved in %d chunk(s), fit ranks %s "
                  "(%.2fs)", len(qsel), nk, -(-len(qsel) // qchunk), ranks[:8],
                  time.perf_counter() - t0)
@@ -465,12 +489,14 @@ class FFTISDF:
         if omega is not None:
             raise NotImplementedError("range separation not supported "
                                       "(matches ref fftisdf.py:392)")
-        if exxdiv is not None:
-            raise NotImplementedError("exxdiv corrections not supported "
-                                      "(matches ref fftisdf.py:395)")
+        if exxdiv not in (None, "ewald"):
+            # the reference guards ALL exxdiv out (fftisdf.py:395); 'ewald'
+            # (probe-charge Madelung correction) is supported beyond it
+            raise NotImplementedError(f"exxdiv={exxdiv!r} not supported")
         if kpts_band is not None:
             raise NotImplementedError("kpts_band != kpts not supported "
-                                      "(matches ref fftisdf.py:194)")
+                                      "(matches ref fftisdf.py:194); use "
+                                      "scf.KRHF.get_bands for band energies")
         from fftisdf_tpu.isdf import jk as jk_mod
 
         assert self.x_k is not None, "call build() first"
@@ -493,8 +519,31 @@ class FFTISDF:
                 vk = None if vk is None else vk[0]
             return vj, vk
 
-        return _kernel(self.x_k, self.wq, phase, dm,
-                       with_j=with_j, with_k=with_k, single=single)
+        vj, vk = _kernel(self.x_k, self.wq, phase, dm,
+                         with_j=with_j, with_k=with_k, single=single)
+        if exxdiv == "ewald" and with_k:
+            # get_ovlp_kpts builds in self.dtype, so s1e already matches the
+            # wq complex dtype (no eager cast needed)
+            vk = jk_mod.add_ewald_exx(vk, self.get_ovlp(), dm,
+                                      self.madelung())
+        return vj, vk
+
+    def madelung(self) -> float:
+        """Probe-charge Madelung constant of the BvK supercell (cached)."""
+        if getattr(self, "_madelung", None) is None:
+            from fftisdf_tpu.scf.integrals import madelung as _mad
+
+            self._madelung = _mad(self.cell, self.kmesh)
+        return self._madelung
+
+    def get_ovlp(self):
+        """Overlap S_k on the FFT-grid quadrature (cached; streamed build)."""
+        if getattr(self, "_s1e", None) is None:
+            from fftisdf_tpu.scf.integrals import get_ovlp_kpts
+
+            self._s1e = get_ovlp_kpts(self.cell, self.kpts, dtype=self.dtype,
+                                      blksize=self.blksize)
+        return self._s1e
 
     def get_eri(self, kidx, compact=False):
         """ERI tensor for the momentum-conserving quadruple kidx=(k1,k2,k3,k4)

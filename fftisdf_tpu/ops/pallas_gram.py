@@ -71,6 +71,7 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+@partial(jax.jit, static_argnames=("square", "tile", "interpret"))
 def pair_gram_sq(x_kpts, square=True, tile=256, interpret=False):
     """x4[g,h] = (|sum_k conj(X_k) X_k^T|^2 / nk^2)^(2 if square else 1).
 
