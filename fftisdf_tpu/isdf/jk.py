@@ -33,6 +33,15 @@ def get_j_kpts(x_k, w0, dms):
 
 
 @jax.jit
+def add_ewald_exx(vk, s1e, dms, mad):
+    """Probe-charge (exxdiv='ewald') G=0 exchange correction:
+    vk[k] += madelung * S_k dm_k S_k, batched over any leading set axes.
+    The add stays under jit (eager complex dispatch is broken on some TPU
+    transports)."""
+    return vk + mad * jnp.einsum("kmp,...kpq,kqn->...kmn", s1e, dms, s1e)
+
+
+@jax.jit
 def get_k_kpts(x_k, wq, phase, dms):
     """vk (nset, nk, nao, nao); phase (nimg, nk) unitary DFT matrix."""
     nk = x_k.shape[0]

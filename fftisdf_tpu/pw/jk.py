@@ -19,8 +19,12 @@ from fftisdf_tpu.linalg.fft import fft3, ifft3
 from fftisdf_tpu.linalg.coulomb import get_coulG
 
 
-def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None):
-    """Hartree matrix vj[k] from AO values ao_kpts (nk, ng, nao)."""
+def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None):
+    """Hartree matrix vj[k] from AO values ao_kpts (nk, ng, nao).
+
+    ``ao_band`` (nb, ng, nao): integrate the Hartree potential of the mesh
+    density against band-kpoint AOs instead (returns (nb, nao, nao)); the
+    potential itself is k-independent, so bands need no new Poisson solve."""
     mesh = cell.mesh if mesh is None else mesh
     fmesh = tuple(int(m) for m in mesh)
     nk, ng, nao = ao_kpts.shape
@@ -28,25 +32,41 @@ def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None):
     coulG = jnp.asarray(np.asarray(get_coulG(cell, mesh=mesh)),
                         dtype=jnp.real(ao_kpts).dtype)
     w = cell.vol / ng
+    ao_out = ao_kpts if ao_band is None else ao_band
 
     @jax.jit
-    def _j(dm, ao_kpts, coulG):
+    def _j(dm, ao_kpts, ao_out, coulG):
         n_g = jnp.einsum("kgm,kmn,kgn->g", ao_kpts, dm, ao_kpts.conj()) / nk
         vcoul = ifft3(fft3(n_g, fmesh) * coulG, fmesh)
-        return w * jnp.einsum("kgm,g,kgn->kmn", ao_kpts.conj(), vcoul,
-                              ao_kpts)
+        return w * jnp.einsum("kgm,g,kgn->kmn", ao_out.conj(), vcoul,
+                              ao_out)
 
-    return _j(dm, ao_kpts, coulG)
+    return _j(dm, ao_kpts, ao_out, coulG)
 
 
 def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
-               pair_chunk=256):
+               pair_chunk=256, ao_band=None, kpts_band=None,
+               g0_thresh=1e-12):
     """Exchange matrix vk[k1] from AO values; exact pairwise Poisson solves.
 
     The nk^2 (k1, k2) pairs run through a compiled ``lax.map`` body
     (nao^2 batched 3D FFTs per pair), dispatched in chunks of ``pair_chunk``
     pairs so no single device kernel runs unboundedly long (large-nk runs
-    fault the device otherwise), and reduced on device."""
+    fault the device otherwise), and reduced on device.
+
+    ``ao_band``/``kpts_band`` (nb, ng, nao)/(nb, 3): compute vk at band
+    k-points instead — pairs become (band kb, mesh k2) and the result is
+    (nb, nao, nao).  The density matrix always lives on the mesh kpts.
+
+    ``g0_thresh``: the Coulomb kernel sample with |q+G|^2 below this is
+    excluded.  On the mesh the default 1e-12 removes exactly the singular
+    q+G = 0 term (the exxdiv=None convention).  For off-mesh band points no
+    sample is exactly zero, but one falls arbitrarily close to the BZ
+    singularity and produces O(1/|delta|^2 / nk) artifacts in the bands;
+    band callers pass (half the minimum BvK q-lattice spacing)^2 so the one
+    sample inside the singular Wigner-Seitz cell is excluded — the exact
+    generalization of the mesh convention (identical at mesh points, same
+    infinite-mesh limit)."""
     mesh = cell.mesh if mesh is None else mesh
     fmesh = tuple(int(m) for m in mesh)
     if coords is None:
@@ -54,44 +74,52 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
     nk, ng, nao = ao_kpts.shape
     dm = jnp.asarray(dm_kpts)
     kpts_d = jnp.asarray(np.asarray(kpts), dtype=jnp.real(ao_kpts).dtype)
+    if ao_band is None:
+        ao_row, kpts_row, nrow = ao_kpts, kpts_d, nk
+    else:
+        ao_row = ao_band
+        kpts_row = jnp.asarray(np.asarray(kpts_band).reshape(-1, 3),
+                               dtype=jnp.real(ao_kpts).dtype)
+        nrow = ao_band.shape[0]
     coords_d = jnp.asarray(np.asarray(coords), dtype=jnp.real(ao_kpts).dtype)
     gv = jnp.asarray(cell.get_Gv(fmesh), dtype=jnp.real(ao_kpts).dtype)
     w = cell.vol / ng
 
-    def pair_body(idx, ao_kpts, dm):
+    def pair_body(idx, ao_row, ao_kpts, dm):
         k1 = idx // nk
         k2 = idx % nk
-        ao1 = jax.lax.dynamic_index_in_dim(ao_kpts, k1, 0, keepdims=False)
+        ao1 = jax.lax.dynamic_index_in_dim(ao_row, k1, 0, keepdims=False)
         ao2 = jax.lax.dynamic_index_in_dim(ao_kpts, k2, 0, keepdims=False)
         dm2 = jax.lax.dynamic_index_in_dim(dm, k2, 0, keepdims=False)
-        q = kpts_d[k2] - kpts_d[k1]
+        q = kpts_d[k2] - kpts_row[k1]
         eiqr = jnp.exp(1j * (coords_d @ q))
         rho = (ao1.conj()[:, :, None] * ao2[:, None, :]).reshape(ng, -1)
         gk = gv + q[None, :]
         absg2 = jnp.sum(gk * gk, axis=1)
-        coulG = jnp.where(absg2 > 1e-12,
-                          4.0 * jnp.pi / jnp.where(absg2 > 1e-12, absg2, 1.0),
+        coulG = jnp.where(absg2 > g0_thresh,
+                          4.0 * jnp.pi / jnp.where(absg2 > g0_thresh,
+                                                   absg2, 1.0),
                           0.0)
         work = fft3((rho * eiqr.conj()[:, None]).T, fmesh) * coulG
         v = (ifft3(work, fmesh) * eiqr[None, :]).T.reshape(ng, nao, nao)
         u = jnp.einsum("ls,gs->gl", dm2, ao2.conj())
         return (w / nk) * jnp.einsum("gml,gl,gn->mn", v, u, ao1)
 
-    npair = nk * nk
+    npair = nrow * nk
     chunk = min(pair_chunk, npair)
 
     # complex device arrays go in as jit *arguments* (closure constants
     # round-trip through the host on complex-hostile transports)
     @jax.jit
-    def map_chunk(idx, ao_kpts, dm):
-        return jax.lax.map(lambda i: pair_body(i, ao_kpts, dm), idx)
+    def map_chunk(idx, ao_row, ao_kpts, dm):
+        return jax.lax.map(lambda i: pair_body(i, ao_row, ao_kpts, dm), idx)
 
     parts = []
     for p0 in range(0, npair, chunk):
         idx = jnp.arange(p0, min(p0 + chunk, npair))
-        parts.append(map_chunk(idx, ao_kpts, dm))
+        parts.append(map_chunk(idx, ao_row, ao_kpts, dm))
     contribs = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    return jnp.sum(contribs.reshape(nk, nk, nao, nao), axis=1)
+    return jnp.sum(contribs.reshape(nrow, nk, nao, nao), axis=1)
 
 
 def get_jk_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,

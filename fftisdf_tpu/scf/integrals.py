@@ -274,3 +274,66 @@ def ewald(cell, eta=None, rcut_mult=1.0):
     e_self = np.sqrt(eta / np.pi) * np.sum(charges ** 2)
     e_bg = np.pi / (2.0 * eta * vol) * np.sum(charges) ** 2
     return float(e_real + e_recip - e_self - e_bg)
+
+
+def madelung(cell, kmesh) -> float:
+    """Madelung constant of the Born-von-Karman supercell.
+
+    The probe-charge Ewald correction for the G=0 divergence of the exchange
+    kernel (``exxdiv='ewald'``): ``-2 *`` the Ewald energy of a single unit
+    point charge (with neutralizing background) on the kmesh-scaled lattice.
+    The reference guards this capability out with NotImplementedError
+    (``/root/reference/fftisdf.py:392-396``); it is provided here because
+    production HF exchange converges ~1/N_k faster with it.
+    """
+    a_sc = np.asarray(kmesh, dtype=np.float64)[:, None] * np.asarray(cell.a)
+
+    class _Probe:
+        a = a_sc
+        vol = float(abs(np.linalg.det(a_sc)))
+
+        @staticmethod
+        def atom_charges():
+            return np.array([1.0])
+
+        @staticmethod
+        def atom_coords():
+            return np.zeros((1, 3))
+
+        @staticmethod
+        def reciprocal_vectors():
+            return 2.0 * np.pi * np.linalg.inv(a_sc).T
+
+    return -2.0 * ewald(_Probe)
+
+
+def get_ovlp_kpts(cell, kpts, dtype=jnp.float64, blksize=16384):
+    """Overlap S_k by streamed grid quadrature (no full-grid AO tensor).
+
+    Same quadrature as :func:`get_ovlp`, but the grid axis streams through
+    ``lax.map`` so only one (nk, blk, nao) AO block is live — used where the
+    caller has no AO tensor at hand (e.g. the exxdiv correction on a bare
+    FFTISDF object)."""
+    fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
+    coords = cell.gen_uniform_grids()
+    ng = coords.shape[0]
+    blk = min(blksize, ng)
+    nblk = -(-ng // blk)
+    pad = nblk * blk - ng
+    coords_p = jnp.asarray(
+        np.concatenate([coords, np.zeros((pad, 3))], 0).reshape(nblk, blk, 3),
+        dtype=dtype)
+    wts = jnp.asarray(
+        np.concatenate([np.full(ng, cell.vol / ng), np.zeros(pad)]).reshape(
+            nblk, blk), dtype=dtype)
+
+    @jax.jit
+    def kernel(coords_p, wts):
+        def body(args):
+            c, w = args
+            f = fn(c)
+            return jnp.einsum("kgm,g,kgn->kmn", f.conj(), w, f)
+
+        return jnp.sum(jax.lax.map(body, (coords_p, wts)), axis=0)
+
+    return kernel(coords_p, wts)
