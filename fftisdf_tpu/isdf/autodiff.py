@@ -28,11 +28,15 @@ from fftisdf_tpu.linalg.coulomb import get_coulG
 from fftisdf_tpu.isdf.eri import assemble_eri
 
 
-def make_evaluator_diff(cell, kpts=None, precision=None, dtype=jnp.float64):
+def make_evaluator_diff(cell, kpts=None, precision=None, dtype=jnp.float64,
+                        shells=None):
     """Positions-traced Bloch AO evaluator: fn(coords, positions) with
-    positions (natm, 3); image lists stay those of the reference geometry."""
+    positions (natm, 3); image lists stay those of the reference geometry.
+    ``shells``: optional explicit [(center, Shell)] list (e.g. GTH projector
+    functions, scf.integrals._projector_shells) instead of the cell basis;
+    each shell is attached to the nearest atom and moves with it."""
     precision = cell.precision if precision is None else precision
-    table = build_shell_table(cell, precision)
+    table = build_shell_table(cell, precision, shells)
     groups = _group_by_center(cell, table, precision)
     # map each center group back to its atom index
     atom_xyz = [np.asarray(x) for _, x in cell.atom]
