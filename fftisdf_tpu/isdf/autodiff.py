@@ -79,12 +79,14 @@ def make_evaluator_diff(cell, kpts=None, precision=None, dtype=jnp.float64,
             if gamma:
                 blocks.append(jnp.sum(chi_all, axis=1))
             else:
-                ph = jnp.asarray(
-                    np.exp(1j * np.asarray(g.images) @ kpts_arr.T).astype(
-                        np.complex128 if dtype == jnp.float64
-                        else np.complex64))
-                blocks.append(jnp.einsum("gTf,Tk->kgf",
-                                         chi_all.astype(cdtype), ph))
+                # image phases from a real host constant (complex host
+                # constants round-trip through transports that reject them);
+                # split re/im contraction as in basis.eval
+                tph = jnp.asarray(np.asarray(g.images) @ kpts_arr.T,
+                                  dtype=dtype)
+                out_r = jnp.einsum("gTf,Tk->kgf", chi_all, jnp.cos(tph))
+                out_i = jnp.einsum("gTf,Tk->kgf", chi_all, jnp.sin(tph))
+                blocks.append(jax.lax.complex(out_r, out_i).astype(cdtype))
         out = jnp.concatenate(blocks, axis=-1)
         if not gamma:
             ptphase = jnp.exp(1j * (tvec @ jnp.asarray(
@@ -116,13 +118,17 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
     vol = float(cell.vol)
     gv = cell.get_Gv(mesh)
     coulG = np.stack([np.asarray(get_coulG(cell, q=q, gv=gv)) for q in kpts])
-    eiqr = np.exp(1j * coords @ np.asarray(kpts).T).T
+    # q-phase angles as a real host constant; complex built on device
+    tqr = (coords @ np.asarray(kpts).T).T
     fn = make_evaluator_diff(cell, kpts=kpts, dtype=dtype)
 
     def state(positions):
-        phase = jnp.asarray(phase_np.astype(np.complex128
-                                            if dtype == jnp.float64
-                                            else np.complex64))
+        phase = jax.lax.complex(
+            jnp.asarray(phase_np.real, dtype=dtype),
+            jnp.asarray(phase_np.imag, dtype=dtype)).astype(cdtype)
+        eiqr = jax.lax.complex(
+            jnp.cos(jnp.asarray(tqr, dtype=dtype)),
+            jnp.sin(jnp.asarray(tqr, dtype=dtype))).astype(cdtype)
         x_k = fn(jnp.asarray(coords_sel, dtype=dtype), positions)
         f_k = fn(jnp.asarray(coords, dtype=dtype), positions)
         x4_k = _stripe_quartic(x_k, phase)
@@ -136,9 +142,7 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
             return zeta @ z_q.conj().T
 
         wq = jax.lax.map(per_q, (
-            x4_k, y, jnp.asarray(coulG, dtype=dtype),
-            jnp.asarray(eiqr.astype(np.complex128 if dtype == jnp.float64
-                                    else np.complex64))))
+            x4_k, y, jnp.asarray(coulG, dtype=dtype), eiqr))
         return x_k, wq
 
     return state

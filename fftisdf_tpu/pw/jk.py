@@ -29,7 +29,9 @@ def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None):
     fmesh = tuple(int(m) for m in mesh)
     nk, ng, nao = ao_kpts.shape
     dm = jnp.asarray(dm_kpts)
-    coulG = jnp.asarray(np.asarray(get_coulG(cell, mesh=mesh)),
+    # no np round-trip: this is traced when a caller (e.g. scf.grad) wraps
+    # the whole energy in one jit
+    coulG = jnp.asarray(get_coulG(cell, mesh=mesh),
                         dtype=jnp.real(ao_kpts).dtype)
     w = cell.vol / ng
     ao_out = ao_kpts if ao_band is None else ao_band

@@ -268,13 +268,20 @@ def energy_weighted_dm(mf):
     return wk, tr / nk
 
 
-def kernel(mf, two_electron="pw", df=None, dtype=jnp.float64):
+def kernel(mf, two_electron="pw", df=None, dtype=None):
     """Nuclear gradient dE/dR (natm, 3) of a converged KRHF/KUHF.
 
     Forces are the negative.  ``two_electron='isdf'`` differentiates the
     ISDF approximant of ``df`` (a built FFTISDF) at its frozen interpolation
-    points; 'pw' differentiates the exact plane-wave energy."""
+    points; 'pw' differentiates the exact plane-wave energy.  The whole
+    value-and-grad sweep runs under one jit (complex math never dispatches
+    eagerly; complex inputs cross the host boundary via utils.device)."""
     assert getattr(mf, "dm", None) is not None, "run mf.kernel() first"
+    from fftisdf_tpu.utils.device import to_device
+
+    if dtype is None:
+        dtype = (jnp.float64 if jax.default_backend() == "cpu"
+                 and jax.config.jax_enable_x64 else jnp.float32)
     cell = mf.cell
     kw = {}
     if two_electron == "isdf":
@@ -285,7 +292,9 @@ def kernel(mf, two_electron="pw", df=None, dtype=jnp.float64):
     wdm, w_trace = energy_weighted_dm(mf)
     positions = jnp.asarray(cell.atom_coords(), dtype=dtype)
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    dm = jnp.asarray(np.asarray(mf.dm).astype(np.complex128), dtype=cdtype)
-    wdm = jnp.asarray(wdm.astype(np.complex128), dtype=cdtype)
-    val, grad = jax.value_and_grad(e_fn)(positions, dm, wdm, w_trace)
-    return np.asarray(grad), float(val)
+    dm = to_device(np.asarray(mf.dm).astype(np.complex128), dtype=cdtype)
+    wdm = to_device(wdm.astype(np.complex128), dtype=cdtype)
+    val, grad = jax.jit(jax.value_and_grad(e_fn))(positions, dm, wdm,
+                                                  jnp.asarray(w_trace,
+                                                              dtype=dtype))
+    return np.asarray(grad), float(val)  # real transfers: tunnel-safe
