@@ -1,0 +1,144 @@
+"""Geometry optimization on the analytic nuclear gradients.
+
+BFGS on the flattened Cartesian coordinates with a trust-radius step cap;
+each step fully re-converges the SCF at the displaced geometry (warm-started
+from the previous density matrix) and takes the force from one reverse-mode
+sweep through the whole stack (``scf.grad``).  Because the gradient tracks
+the *discretized* energy surface (egg-box included, see docs/THEORY.md §8),
+the optimizer descends the same surface the SCF evaluates — no force/energy
+inconsistency, which is what makes quasi-Newton steps reliable here.
+
+The reference (`/root/reference/fftisdf.py` and friends) is single-point
+only — it has no forces and no relaxation capability; this module is the
+downstream consumer its SCF energies point at.
+
+Net translations are projected out of every step: a rigid translation is an
+exact symmetry of the continuum energy and only the egg-box artifact breaks
+it on the mesh, so following it would drift the system without physical
+gain.
+"""
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fftisdf_tpu.scf import grad as scf_grad
+from fftisdf_tpu.utils.logging import Logger
+
+
+@dataclass
+class OptResult:
+    converged: bool
+    positions: np.ndarray          # (natm, 3) bohr, final geometry
+    energy: float                  # final total energy (Ha)
+    grad: np.ndarray               # (natm, 3) final gradient (Ha/bohr)
+    mf: object                     # converged SCF at the final geometry
+    trajectory: list = field(default_factory=list)  # [(positions, e, fmax)]
+    nsteps: int = 0
+
+
+def _clone_mf(mf, cell):
+    """A fresh SCF object at a displaced geometry, same knobs as ``mf``."""
+    return type(mf)(
+        cell, mf.kpts,
+        max_cycle=mf.max_cycle, conv_tol=mf.conv_tol,
+        diis_space=mf.diis_space, exxdiv=mf.exxdiv,
+        level_shift=mf.level_shift, damp=mf.damp,
+        smearing=mf.smearing, smearing_method=mf.smearing_method,
+        ovlp_cutoff=mf.ovlp_cutoff, dtype=mf.dtype, verbose=0,
+    )
+
+
+def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
+           isdf_kwargs=None, callback=None):
+    """Relax the atoms of ``mf.cell`` until ``max|grad| < fmax`` (Ha/bohr).
+
+    ``mf`` may be converged or not (its ``kernel`` is run if needed).  With
+    ``two_electron='isdf'`` a fresh ``FFTISDF`` (``isdf_kwargs``: c0, m0,
+    solver, ...) is built at every geometry and used for BOTH the SCF J/K
+    and the gradient's frozen-point ISDF energy, so forces stay consistent
+    with the energy being minimized.  Returns an :class:`OptResult`.
+    """
+    log = Logger(getattr(mf, "verbose", 3))
+    cell = mf.cell
+    assert cell._built
+
+    def scf_at(positions, dm0):
+        new_cell = cell.copy(
+            atom=[(sym, np.asarray(p)) for sym, p in
+                  zip(cell.atom_symbols(), positions)]).build()
+        new_mf = _clone_mf(mf, new_cell)
+        df = None
+        if two_electron == "isdf":
+            from fftisdf_tpu.isdf import FFTISDF
+            df = FFTISDF(new_cell, mf.kpts, dtype=mf.dtype, verbose=0,
+                         **(isdf_kwargs or {})).build()
+            new_mf.with_df = df
+        new_mf.kernel(dm0=dm0)
+        if not new_mf.converged:
+            raise RuntimeError("SCF failed to converge during relaxation; "
+                               "loosen conv_tol or improve the start")
+        g, e = scf_grad.kernel(new_mf, two_electron=two_electron, df=df)
+        return new_mf, float(e), np.asarray(g, dtype=np.float64)
+
+    x = np.asarray(cell.atom_coords(), dtype=np.float64).ravel()
+    n = x.size
+
+    # seed from the caller's mf if already converged at the start geometry
+    # (for the isdf force backend the caller's df must itself be a built
+    # FFTISDF — otherwise rebuild through scf_at)
+    usable = (getattr(mf, "dm", None) is not None and mf.converged
+              and (two_electron != "isdf" or hasattr(mf.with_df, "wq")))
+    if usable:
+        df0 = mf.with_df if two_electron == "isdf" else None
+        g0, e0 = scf_grad.kernel(mf, two_electron=two_electron, df=df0)
+        cur_mf, e, g = mf, float(e0), np.asarray(g0, dtype=np.float64)
+    else:
+        cur_mf, e, g = scf_at(x.reshape(-1, 3), None)
+
+    H = np.eye(n)  # inverse-Hessian estimate (bohr^2/Ha); unit seed + cap
+    traj = []
+    converged = False
+    step = 0
+    for step in range(1, max_steps + 1):
+        gv = g - g.mean(axis=0, keepdims=True)  # project out translation
+        f_inf = np.abs(gv).max()
+        traj.append((x.reshape(-1, 3).copy(), e, float(f_inf)))
+        log.info("relax step %d  E=%.10f  max|F|=%.3e", step - 1, e, f_inf)
+        if callback is not None:
+            callback(step - 1, x.reshape(-1, 3), e, g)
+        if f_inf < fmax:
+            converged = True
+            break
+
+        p = -H @ gv.ravel()
+        p = (p.reshape(-1, 3) - p.reshape(-1, 3).mean(axis=0)).ravel()
+        pn = np.linalg.norm(p)
+        if pn > step_max * np.sqrt(len(p) / 3):
+            p *= step_max * np.sqrt(len(p) / 3) / pn
+        x_new = x + p
+        mf_new, e_new, g_new = scf_at(x_new.reshape(-1, 3),
+                                      getattr(cur_mf, "dm", None))
+        gv_new = g_new - g_new.mean(axis=0, keepdims=True)
+
+        # backtrack once if the quasi-Newton step overshot badly
+        if e_new > e + 1e-12 and np.abs(gv_new).max() > f_inf:
+            p *= 0.25
+            x_new = x + p
+            mf_new, e_new, g_new = scf_at(x_new.reshape(-1, 3),
+                                          getattr(cur_mf, "dm", None))
+            gv_new = g_new - g_new.mean(axis=0, keepdims=True)
+
+        # BFGS update of the inverse Hessian (curvature-guarded)
+        s = x_new - x
+        y = (gv_new - gv).ravel()
+        sy = float(s @ y)
+        if sy > 1e-12:
+            rho = 1.0 / sy
+            I = np.eye(n)
+            V = I - rho * np.outer(s, y)
+            H = V @ H @ V.T + rho * np.outer(s, s)
+        x, e, g, cur_mf = x_new, e_new, g_new, mf_new
+
+    return OptResult(converged=converged, positions=x.reshape(-1, 3),
+                     energy=e, grad=g, mf=cur_mf, trajectory=traj,
+                     nsteps=len(traj) - 1)
