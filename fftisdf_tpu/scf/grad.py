@@ -268,6 +268,47 @@ def energy_weighted_dm(mf):
     return wk, tr / nk
 
 
+def _default_dtype():
+    return (jnp.float64 if jax.default_backend() == "cpu"
+            and jax.config.jax_enable_x64 else jnp.float32)
+
+
+def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None):
+    """A reusable gradient evaluator: ``fn(mf) -> (grad (natm,3), E)``.
+
+    The value-and-grad jit is traced ONCE for the given lattice/mesh/basis
+    and reused across geometries (the frozen image/translation/G lists are
+    exact for sub-cell displacements), so repeated-geometry callers —
+    relaxation (scf.optimize) and finite-difference Hessians (scf.hessian) —
+    pay compilation only on the first call instead of per geometry.  With
+    ``two_electron='isdf'`` the interpolation-point mask of ``df`` stays
+    frozen across all evaluations (the derivative of one fixed approximant)."""
+    from fftisdf_tpu.utils.device import to_device
+
+    if dtype is None:
+        dtype = _default_dtype()
+    kw = {}
+    if two_electron == "isdf":
+        assert df is not None and df.mask is not None
+        kw = dict(mask=df.mask, m0=df.m0, solver=df.solver, rcond=df.rcond)
+    e_fn = make_energy_fn(cell, kpts, dtype=dtype,
+                          two_electron=two_electron, **kw)
+    vag = jax.jit(jax.value_and_grad(e_fn))
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+    def fn(mf):
+        assert getattr(mf, "dm", None) is not None, "run mf.kernel() first"
+        wdm, w_trace = energy_weighted_dm(mf)
+        positions = jnp.asarray(mf.cell.atom_coords(), dtype=dtype)
+        dm = to_device(np.asarray(mf.dm).astype(np.complex128), dtype=cdtype)
+        wdm = to_device(wdm.astype(np.complex128), dtype=cdtype)
+        val, grad = vag(positions, dm, wdm,
+                        jnp.asarray(w_trace, dtype=dtype))
+        return np.asarray(grad), float(val)  # real transfers: tunnel-safe
+
+    return fn
+
+
 def kernel(mf, two_electron="pw", df=None, dtype=None):
     """Nuclear gradient dE/dR (natm, 3) of a converged KRHF/KUHF.
 
@@ -276,25 +317,5 @@ def kernel(mf, two_electron="pw", df=None, dtype=None):
     points; 'pw' differentiates the exact plane-wave energy.  The whole
     value-and-grad sweep runs under one jit (complex math never dispatches
     eagerly; complex inputs cross the host boundary via utils.device)."""
-    assert getattr(mf, "dm", None) is not None, "run mf.kernel() first"
-    from fftisdf_tpu.utils.device import to_device
-
-    if dtype is None:
-        dtype = (jnp.float64 if jax.default_backend() == "cpu"
-                 and jax.config.jax_enable_x64 else jnp.float32)
-    cell = mf.cell
-    kw = {}
-    if two_electron == "isdf":
-        assert df is not None and df.mask is not None
-        kw = dict(mask=df.mask, m0=df.m0, solver=df.solver, rcond=df.rcond)
-    e_fn = make_energy_fn(cell, mf.kpts, dtype=dtype,
-                          two_electron=two_electron, **kw)
-    wdm, w_trace = energy_weighted_dm(mf)
-    positions = jnp.asarray(cell.atom_coords(), dtype=dtype)
-    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    dm = to_device(np.asarray(mf.dm).astype(np.complex128), dtype=cdtype)
-    wdm = to_device(wdm.astype(np.complex128), dtype=cdtype)
-    val, grad = jax.jit(jax.value_and_grad(e_fn))(positions, dm, wdm,
-                                                  jnp.asarray(w_trace,
-                                                              dtype=dtype))
-    return np.asarray(grad), float(val)  # real transfers: tunnel-safe
+    return make_grad_fn(mf.cell, mf.kpts, two_electron=two_electron, df=df,
+                        dtype=dtype)(mf)

@@ -62,6 +62,13 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
     cell = mf.cell
     assert cell._built
 
+    # exact-PW forces: one traced gradient fn serves every geometry (frozen
+    # image lists are exact for the sub-cell steps taken here).  The ISDF
+    # backend re-selects interpolation points per geometry, so its state fn
+    # is rebuilt inside scf_at.
+    pw_grad = (scf_grad.make_grad_fn(cell, mf.kpts, two_electron="pw")
+               if two_electron == "pw" else None)
+
     def scf_at(positions, dm0):
         new_cell = cell.copy(
             atom=[(sym, np.asarray(p)) for sym, p in
@@ -77,7 +84,10 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
         if not new_mf.converged:
             raise RuntimeError("SCF failed to converge during relaxation; "
                                "loosen conv_tol or improve the start")
-        g, e = scf_grad.kernel(new_mf, two_electron=two_electron, df=df)
+        if pw_grad is not None:
+            g, e = pw_grad(new_mf)
+        else:
+            g, e = scf_grad.kernel(new_mf, two_electron=two_electron, df=df)
         return new_mf, float(e), np.asarray(g, dtype=np.float64)
 
     x = np.asarray(cell.atom_coords(), dtype=np.float64).ravel()
@@ -89,8 +99,10 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
     usable = (getattr(mf, "dm", None) is not None and mf.converged
               and (two_electron != "isdf" or hasattr(mf.with_df, "wq")))
     if usable:
-        df0 = mf.with_df if two_electron == "isdf" else None
-        g0, e0 = scf_grad.kernel(mf, two_electron=two_electron, df=df0)
+        if pw_grad is not None:
+            g0, e0 = pw_grad(mf)
+        else:
+            g0, e0 = scf_grad.kernel(mf, two_electron="isdf", df=mf.with_df)
         cur_mf, e, g = mf, float(e0), np.asarray(g0, dtype=np.float64)
     else:
         cur_mf, e, g = scf_at(x.reshape(-1, 3), None)
