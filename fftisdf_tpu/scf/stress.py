@@ -1,0 +1,356 @@
+"""Analytic stress tensor for periodic KRHF/KUHF by reverse-mode strain.
+
+The lattice is traced through a symmetric strain ``eps``: ``A = a0 @ (1 +
+eps)`` with atoms at FIXED fractional coordinates (the standard cell-
+gradient convention; internal relaxation is scf.grad's job).  At SCF
+stationarity the strain derivative of the frozen-density Lagrangian
+
+    L(eps) = (1/nk) sum_k tr(D_k h_k) + E_2e(D) - (1/nk) sum_k tr(W_k S_k)
+             + E_nn + const
+
+is the exact energy derivative (same variational + Pulay argument as the
+force, docs/THEORY.md section 8), so
+
+    sigma = (1/vol) dL/deps|_{eps=0},   P = -tr(sigma)/3 .
+
+What makes this cheap on the discretized stack: every oscillatory phase is
+a dot product of an integer/fractional pair — r.k = 2pi frac_r.frac_k,
+T.k = 2pi int_T.frac_k, G.r = 2pi int_G.frac_r — and is therefore
+STRAIN-INVARIANT.  All complex phase tables stay frozen host constants;
+only AO values (Gaussians are fixed shapes in Cartesian space), |G|-
+dependent kernels (kinetic |G+k|^2, Coulomb 4pi/|q+G|^2, GTH form factors),
+volume measures, and the Ewald vector lists trace through ``eps``.  The FFTs
+themselves are discrete index transforms and never see the strain.
+
+Two-electron term: exact plane-wave (the oracle path).  An ISDF-backend
+strain (frozen interpolation points) is a possible future extension; the
+compression error would enter the stress exactly as it enters the force.
+
+The reference has no derivative capability of any kind (numpy/LAPACK
+pipelines cannot differentiate themselves); stress is new capability on top
+of SURVEY.md section 2.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fftisdf_tpu.basis.eval import (
+    build_shell_table, _group_by_center, real_solid_harmonics)
+from fftisdf_tpu.basis import data as basis_data
+from fftisdf_tpu.linalg.fft import fft3, ifft3
+from fftisdf_tpu.scf import integrals
+from fftisdf_tpu.scf.grad import energy_weighted_dm, _default_dtype
+
+
+def _strain_evaluator(cell, kpts, dtype, shells=None):
+    """Returns eval_fn(A, positions) -> f_k (nk, ng, nfunc) on the full FFT
+    grid, with the lattice matrix A traced.  Image lists (membership) and
+    image-phase tables are frozen at the reference lattice; both are exact
+    for the infinitesimal strains of a derivative evaluation."""
+    table = build_shell_table(cell, cell.precision, shells)
+    groups = _group_by_center(cell, table, cell.precision)
+    atom_xyz = [np.asarray(x) for _, x in cell.atom]
+    group_atom = [
+        min(range(len(atom_xyz)),
+            key=lambda i: np.linalg.norm(atom_xyz[i] - g.center))
+        for g in groups
+    ]
+    a0inv = np.linalg.inv(np.asarray(cell.a))
+    kscaled = cell.get_scaled_kpts(np.asarray(kpts))
+    frac_grid = cell.gen_uniform_grids() @ a0inv
+    assert np.all(frac_grid > -1e-9) and np.all(frac_grid < 1 + 1e-9)
+    frac_grid_j = jnp.asarray(frac_grid, dtype=dtype)
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+    img_ints = [np.rint(np.asarray(g.images) @ a0inv) for g in groups]
+    # T.k phases: strain-invariant host constants (integer x fractional)
+    tphs = [jnp.asarray(2.0 * np.pi * ii @ kscaled.T, dtype=dtype)
+            for ii in img_ints]
+    img_ints_j = [jnp.asarray(ii, dtype=dtype) for ii in img_ints]
+
+    def eval_fn(A, positions):
+        coords = frac_grid_j @ A
+        blocks = []
+        for g, ia, ii, tph in zip(groups, group_atom, img_ints_j, tphs):
+            centers = positions[ia][None, :] + ii @ A
+            d = coords[:, None, :] - centers[None, :, :]
+            dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+            r2 = dx * dx + dy * dy + dz * dz
+            feats = []
+            for spec in g.specs:
+                rad = jnp.exp(-r2[..., None]
+                              * jnp.asarray(spec.exps, dtype=dtype))
+                rad = rad @ jnp.asarray(spec.coeffs, dtype=dtype)
+                for _ in range(spec.rpow):
+                    rad = rad * r2[..., None]
+                ang = jnp.stack(
+                    real_solid_harmonics(dx, dy, dz, spec.l, jnp), axis=-1)
+                chi = rad[..., None, :] * ang[..., :, None]
+                feats.append(chi.reshape(r2.shape + (spec.nfunc,)))
+            chi_all = jnp.concatenate(feats, axis=-1)
+            out_r = jnp.einsum("gTf,Tk->kgf", chi_all, jnp.cos(tph))
+            out_i = jnp.einsum("gTf,Tk->kgf", chi_all, jnp.sin(tph))
+            blocks.append(jax.lax.complex(out_r, out_i).astype(cdtype))
+        # frac_grid lives in [0,1): no wrap translation, no extra phase
+        return jnp.concatenate(blocks, axis=-1)
+
+    return eval_fn
+
+
+def ewald_strain_fn(cell, dtype=jnp.float64, eta=None):
+    """Differentiable ion-ion Ewald energy as a function of the lattice
+    matrix A (atoms at fixed fractional coordinates).  eta and the
+    translation/G integer lists are frozen at the reference lattice (the
+    total is eta-independent; list margins cover infinitesimal strain)."""
+    charges = np.asarray(cell.atom_charges())
+    vol0 = float(cell.vol)
+    if eta is None:
+        eta = float(np.pi / vol0 ** (2.0 / 3.0))
+    a0 = np.asarray(cell.a)
+    frac_atoms = np.asarray(cell.atom_coords()) @ np.linalg.inv(a0)
+
+    rcut = np.sqrt(-np.log(1e-14) / eta)
+    heights = np.array([
+        vol0 / np.linalg.norm(np.cross(a0[(i + 1) % 3], a0[(i + 2) % 3]))
+        for i in range(3)
+    ])
+    nmax = np.ceil(rcut / heights).astype(int) + 1
+    rng = [np.arange(-n, n + 1) for n in nmax]
+    ints_t = np.stack(np.meshgrid(*rng, indexing="ij"), -1).reshape(-1, 3)
+    t0_idx = int(np.argmin(np.einsum("ti,ti->t", ints_t, ints_t)))
+
+    gcut = 2.0 * np.sqrt(eta * -np.log(1e-14))
+    bh = 2 * np.pi / np.linalg.norm(a0, axis=1)
+    nmax = np.ceil(gcut / bh).astype(int) + 1
+    rng = [np.arange(-n, n + 1) for n in nmax]
+    ints_g = np.stack(np.meshgrid(*rng, indexing="ij"), -1).reshape(-1, 3)
+    ints_g = ints_g[np.einsum("gi,gi->g", ints_g, ints_g) > 0]
+
+    e_self = float(np.sqrt(eta / np.pi) * np.sum(charges ** 2))
+    zsum2 = float(np.sum(charges)) ** 2
+    z = jnp.asarray(charges, dtype=dtype)
+    zz = z[:, None] * z[None, :]
+    ints_t_j = jnp.asarray(ints_t, dtype=dtype)
+    ints_g_j = jnp.asarray(ints_g, dtype=dtype)
+    frac_j = jnp.asarray(frac_atoms, dtype=dtype)
+    natm = len(charges)
+    diag0 = jnp.eye(natm, dtype=bool)
+    # G.r phases: strain-invariant (integer x fractional) host constants
+    gp = jnp.asarray(2.0 * np.pi * ints_g @ frac_atoms.T, dtype=dtype)
+    sfr = jnp.cos(gp) @ z
+    sfi = jnp.sin(gp) @ z
+    sf2 = sfr * sfr + sfi * sfi
+
+    def energy(A):
+        vol = jnp.abs(jnp.linalg.det(A))
+        B = 2.0 * jnp.pi * jnp.linalg.inv(A).T
+        positions = frac_j @ A
+        ts = ints_t_j @ A
+        d = positions[:, None, :] - positions[None, :, :]
+        dall = d[None, :, :, :] + ts[:, None, None, :]
+        r2 = jnp.sum(dall * dall, axis=-1)
+        bad = jnp.zeros(r2.shape, dtype=bool).at[t0_idx].set(diag0)
+        rsafe = jnp.sqrt(jnp.where(bad, 1.0, r2))
+        e_real = 0.5 * jnp.sum(jnp.where(
+            bad, 0.0, zz * jax.scipy.special.erfc(np.sqrt(eta) * rsafe)
+            / rsafe))
+        gs = ints_g_j @ B
+        g2 = jnp.sum(gs * gs, axis=1)
+        e_recip = (2.0 * jnp.pi / vol) * jnp.sum(
+            jnp.exp(-g2 / (4.0 * eta)) / g2 * sf2)
+        e_bg = jnp.pi / (2.0 * eta * vol) * zsum2
+        return e_real + e_recip - e_self - e_bg
+
+    return energy
+
+
+def make_stress_energy_fn(cell, kpts, dtype=jnp.float64):
+    """Differentiable Lagrangian L(eps, dm, wdm, w_trace) with the lattice
+    strained as A = a0 @ (1 + eps); exact plane-wave two-electron term."""
+    kpts = np.asarray(kpts)
+    nk = len(kpts)
+    mesh = tuple(int(m) for m in cell.mesh)
+    ngrid = int(np.prod(mesh))
+    a0 = np.asarray(cell.a)
+    a0inv = np.linalg.inv(a0)
+    a0_j = jnp.asarray(a0, dtype=dtype)
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    kscaled = cell.get_scaled_kpts(kpts)
+    frac_atoms = np.asarray(cell.atom_coords()) @ a0inv
+    frac_atoms_j = jnp.asarray(frac_atoms, dtype=dtype)
+    frac_grid = cell.gen_uniform_grids() @ a0inv
+    gidx = np.rint(cell.get_Gv(mesh) @ a0.T / (2.0 * np.pi))
+    assert np.abs(gidx - cell.get_Gv(mesh) @ a0.T / (2.0 * np.pi)).max() < 1e-6
+    gidx_j = jnp.asarray(gidx, dtype=dtype)
+    kscaled_j = jnp.asarray(kscaled, dtype=dtype)
+
+    # strain-invariant phase-angle tables (all integer/fractional products)
+    tk = jnp.asarray(2.0 * np.pi * frac_grid @ kscaled.T, dtype=dtype)
+    ga = jnp.asarray(2.0 * np.pi * gidx @ frac_atoms.T, dtype=dtype)
+
+    fn_ao = _strain_evaluator(cell, kpts, dtype)
+
+    # GTH local form-factor constants per atom (strain enters through G2)
+    vloc_params = []
+    for sym, _ in cell.atom:
+        ps = cell._pseudo.get(sym)
+        if ps is None:
+            zc = basis_data.ATOMIC_NUMBER[basis_data.element_symbol(sym)]
+            vloc_params.append(("coulomb", float(zc), None, None, None))
+        else:
+            c = np.zeros(4)
+            c[: len(ps.cloc)] = ps.cloc
+            vloc_params.append(("gth", float(ps.zion), float(ps.rloc), c,
+                                float(integrals.gth_vloc_G0(ps))))
+
+    proj_shells, hmat = integrals._projector_shells(cell)
+    fn_proj = (_strain_evaluator(cell, kpts, dtype, shells=proj_shells)
+               if proj_shells else None)
+    hmat_j = jnp.asarray(hmat, dtype=dtype) if proj_shells else None
+
+    e_nn = ewald_strain_fn(cell, dtype=dtype)
+
+    g2_is_zero = np.einsum("gi,gi->g", gidx, gidx) < 1e-12  # static G=0 mask
+    g2_zero_j = jnp.asarray(g2_is_zero)
+    # static q+G = 0 masks per k-pair are recomputed on the fly from
+    # integer+fractional sums (strain cannot move a zero on/off zero)
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def energy(eps, dm, wdm, w_trace):
+        A = a0_j @ (eye3 + eps)
+        B = 2.0 * jnp.pi * jnp.linalg.inv(A).T
+        vol = jnp.abs(jnp.linalg.det(A))
+        w = vol / ngrid
+        positions = frac_atoms_j @ A
+        f_k = fn_ao(A, positions)                     # (nk, ng, nao)
+
+        dm_tot = dm[0] + dm[1] if dm.ndim == 4 else dm
+        wdm_tot = wdm[0] + wdm[1] if wdm.ndim == 4 else wdm
+
+        # ---- kinetic: (1/nk) sum_k tr(D_k T_k)
+        def kin_k(f, tcol, fk, d):
+            ph = jax.lax.complex(jnp.cos(tcol), -jnp.sin(tcol)).astype(cdtype)
+            c = fft3((f * ph[:, None]).T, mesh) / ngrid
+            gk = (gidx_j + fk[None, :]) @ B
+            g2k = 0.5 * jnp.sum(gk * gk, axis=1)
+            t_mat = vol * jnp.einsum("mg,g,ng->mn", c.conj(), g2k, c)
+            return jnp.einsum("mn,nm->", d, t_mat).real
+
+        e_kin = jnp.sum(jax.vmap(kin_k)(f_k, tk.T, kscaled_j,
+                                        dm_tot)) / nk
+
+        # ---- local PSP: quadrature of the mesh density against v_loc(eps)
+        gv = gidx_j @ B
+        G2 = jnp.sum(gv * gv, axis=1)
+        G2safe = jnp.where(g2_zero_j, 1.0, G2)
+        fr = jnp.zeros(ngrid, dtype=dtype)
+        fi = jnp.zeros(ngrid, dtype=dtype)
+        for ia, (kind, zc, rloc, cloc, vg0) in enumerate(vloc_params):
+            if kind == "coulomb":
+                vG = jnp.where(g2_zero_j, 0.0, -4.0 * jnp.pi * zc / G2safe)
+            else:
+                x2 = G2safe * rloc ** 2
+                poly = (cloc[0]
+                        + cloc[1] * (3.0 - x2)
+                        + cloc[2] * (15.0 - 10.0 * x2 + x2 ** 2)
+                        + cloc[3] * (105.0 - 105.0 * x2 + 21.0 * x2 ** 2
+                                     - x2 ** 3))
+                vG_full = jnp.exp(-0.5 * x2) * (
+                    -4.0 * jnp.pi * zc / G2safe
+                    + np.sqrt(8.0 * np.pi ** 3) * rloc ** 3 * poly)
+                vG = jnp.where(g2_zero_j, vg0, vG_full)
+            fr = fr + vG * jnp.cos(ga[:, ia])
+            fi = fi - vG * jnp.sin(ga[:, ia])
+        vgrid = ifft3(jax.lax.complex(fr, fi).astype(cdtype),
+                      mesh).real * (ngrid / vol)
+        n_r = jnp.einsum("kgm,kmn,kgn->g", f_k, dm_tot,
+                         f_k.conj()).real / nk
+        e_loc = w * jnp.sum(n_r * vgrid)
+
+        # ---- nonlocal PSP
+        e_nl = 0.0
+        if fn_proj is not None:
+            p_k = fn_proj(A, positions)
+            bmat = w * jnp.einsum("kgp,kgm->kpm", p_k.conj(), f_k)
+            vnl = jnp.einsum("kpm,pq,kqn->kmn", bmat.conj(), hmat_j, bmat)
+            e_nl = jnp.sum(jnp.einsum("kmn,knm->k", dm_tot, vnl)).real / nk
+
+        # ---- Pulay: -(1/nk) sum_k tr(W_k S_k)
+        s_k = w * jnp.einsum("kgm,kgn->kmn", f_k.conj(), f_k)
+        e_pulay = -jnp.sum(jnp.einsum("kmn,knm->k", wdm_tot, s_k)).real / nk
+
+        # ---- Hartree: (vol / 2 ngrid^2) sum_G coulG |FFT(n)|^2, G=0 dropped
+        nG = fft3(n_r.astype(cdtype), mesh)
+        coulG = jnp.where(g2_zero_j, 0.0, 4.0 * jnp.pi / G2safe)
+        e_j = (vol / (2.0 * ngrid ** 2)) * jnp.sum(
+            coulG * (nG.real ** 2 + nG.imag ** 2))
+
+        # ---- exchange: pairwise Poisson solves, energy-only contraction
+        def ex_pairs(dmat):
+            def pair_body(idx):
+                k1 = idx // nk
+                k2 = idx % nk
+                ao1 = jax.lax.dynamic_index_in_dim(f_k, k1, 0, False)
+                ao2 = jax.lax.dynamic_index_in_dim(f_k, k2, 0, False)
+                d1 = jax.lax.dynamic_index_in_dim(dmat, k1, 0, False)
+                d2 = jax.lax.dynamic_index_in_dim(dmat, k2, 0, False)
+                tq = (jax.lax.dynamic_index_in_dim(tk.T, k2, 0, False)
+                      - jax.lax.dynamic_index_in_dim(tk.T, k1, 0, False))
+                eiqr = jax.lax.complex(jnp.cos(tq), jnp.sin(tq)).astype(
+                    cdtype)
+                fq = (jax.lax.dynamic_index_in_dim(kscaled_j, k2, 0, False)
+                      - jax.lax.dynamic_index_in_dim(kscaled_j, k1, 0,
+                                                     False))
+                gk = (gidx_j + fq[None, :]) @ B
+                absg2 = jnp.sum(gk * gk, axis=1)
+                # q+G = 0 iff the integer+fractional index vector vanishes:
+                # strain-independent, safe to recompute inside the trace
+                zero = absg2 < 1e-12
+                cg = jnp.where(zero, 0.0,
+                               4.0 * jnp.pi / jnp.where(zero, 1.0, absg2))
+                rho = (ao1.conj()[:, :, None] * ao2[:, None, :]).reshape(
+                    ngrid, -1)
+                work = fft3((rho * eiqr.conj()[:, None]).T, mesh) * cg
+                v = (ifft3(work, mesh) * eiqr[None, :]).T.reshape(
+                    ngrid, ao1.shape[1], ao1.shape[1])
+                u = jnp.einsum("ls,gs->gl", d2, ao2.conj())
+                return jnp.einsum("gml,gl,gn,nm->", v, u, ao1, d1).real
+
+            return jnp.sum(jax.lax.map(
+                pair_body, jnp.arange(nk * nk))) * (w / nk ** 2)
+
+        if dm.ndim == 4:
+            e_k = -0.5 * (ex_pairs(dm[0]) + ex_pairs(dm[1]))
+        else:
+            e_k = -0.25 * ex_pairs(dm)
+
+        return (e_kin + e_loc + e_nl + e_pulay + e_j + e_k + w_trace
+                + e_nn(A))
+
+    return energy
+
+
+def kernel(mf, dtype=None):
+    """Stress tensor sigma (3,3) (Ha/bohr^3), pressure (Ha/bohr^3), and the
+    Lagrangian value (== e_tot at eps=0, the sanity gate) of a converged
+    KRHF/KUHF.  sigma > 0 components mean the cell wants to shrink."""
+    assert getattr(mf, "dm", None) is not None, "run mf.kernel() first"
+    from fftisdf_tpu.utils.device import to_device
+
+    if dtype is None:
+        dtype = _default_dtype()
+    cell = mf.cell
+    e_fn = make_stress_energy_fn(cell, mf.kpts, dtype=dtype)
+    wdm, w_trace = energy_weighted_dm(mf)
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    dm = to_device(np.asarray(mf.dm).astype(np.complex128), dtype=cdtype)
+    wdm_d = to_device(wdm.astype(np.complex128), dtype=cdtype)
+    eps0 = jnp.zeros((3, 3), dtype=dtype)
+    val, g = jax.jit(jax.value_and_grad(e_fn))(
+        eps0, dm, wdm_d, jnp.asarray(w_trace, dtype=dtype))
+    g = np.asarray(g)
+    sigma = 0.5 * (g + g.T) / float(cell.vol)
+    pressure = -np.trace(sigma) / 3.0
+    return sigma, float(pressure), float(val)
