@@ -154,3 +154,172 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
     return OptResult(converged=converged, positions=x.reshape(-1, 3),
                      energy=e, grad=g, mf=cur_mf, trajectory=traj,
                      nsteps=len(traj) - 1)
+
+
+@dataclass
+class CellOptResult:
+    converged: bool
+    cell: object                   # final built Cell
+    energy: float
+    sigma: np.ndarray              # (3,3) final stress (Ha/bohr^3)
+    forces_max: float              # final max Cartesian force component
+    mf: object
+    trajectory: list = field(default_factory=list)  # [(e, max|F|, max|s|)]
+    nsteps: int = 0
+
+
+def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
+               relax_atoms=True, re_anchor=0.04, callback=None):
+    """Variable-cell relaxation: BFGS on [strain (6), fractional atoms].
+
+    One traced cell-Lagrangian (scf.stress.make_cell_energy_fn, anchored at
+    the starting lattice) yields the stress AND the forces per step in a
+    single reverse sweep with no per-geometry recompilation; the SCF is
+    fully re-converged at every (eps, dfrac) iterate on the SAME FFT mesh
+    (the mesh deforms with the cell — the discretized surface being
+    minimized; re-mesh and re-run to polish if the volume changed a lot).
+    Converged when max Cartesian force < ``fmax`` (Ha/bohr) and
+    max |sigma| < ``smax`` (Ha/bohr^3).  ``relax_atoms=False`` freezes the
+    fractional coordinates (cell-only relaxation; the force gate is then
+    not applied).
+
+    The anchored Lagrangian is only valid for sub-cell strains (frozen
+    image/Ewald lists); whenever the accumulated strain exceeds
+    ``re_anchor`` (or displacements exceed 5x ``step_max``) the function is
+    RE-ANCHORED at the current cell — one retrace, BFGS memory reset —
+    so arbitrarily large total relaxations stay on the true surface.
+    """
+    from fftisdf_tpu.scf import stress as scf_stress
+
+    log = Logger(getattr(mf, "verbose", 3))
+    cell0 = mf.cell
+    assert cell0._built
+    a0 = np.asarray(cell0.a)
+    frac0 = np.asarray(cell0.atom_coords()) @ np.linalg.inv(a0)
+    syms = cell0.atom_symbols()
+    natm = len(syms)
+    grad_fn = scf_stress.make_cell_grad_fn(cell0, mf.kpts, dtype=mf.dtype)
+
+    def scf_at(eps, dfrac, dm0):
+        A = a0 @ (np.eye(3) + eps)
+        new_cell = cell0.copy(
+            a=A, atom=[(s, f @ A) for s, f in zip(syms, frac0 + dfrac)],
+        ).build()
+        new_mf = _clone_mf(mf, new_cell)
+        new_mf.kernel(dm0=dm0)
+        if not new_mf.converged:
+            raise RuntimeError("SCF failed to converge during cell "
+                               "relaxation")
+        val, geps, gfrac = grad_fn(new_mf, eps, dfrac)
+        return new_mf, new_cell, val, geps, gfrac
+
+    # pack [eps6, dfrac*3natm]; symmetric-strain gradient: off-diagonals of
+    # sym(geps) summed (d/deps_xy + d/deps_yx for a symmetric step)
+    iu = np.triu_indices(3)
+
+    def pack_grad(geps, gfrac):
+        gs = geps + geps.T
+        g6 = gs[iu] * np.where(iu[0] == iu[1], 0.5, 1.0)
+        return np.concatenate([g6, gfrac.ravel()])
+
+    def unpack(x):
+        eps = np.zeros((3, 3))
+        eps[iu] = x[:6]
+        eps = eps + eps.T - np.diag(np.diag(eps))
+        return eps, x[6:].reshape(natm, 3)
+
+    x = np.zeros(6 + 3 * natm)
+    cur_mf, cur_cell, e, geps, gfrac = scf_at(*unpack(x), getattr(mf, "dm",
+                                                                  None))
+    n = x.size
+    # seed inverse Hessian with the right scales: strain curvature is
+    # O(vol * elastic modulus) — a unit seed would take O(vol*sigma) strain
+    # steps; 1/vol makes the first step ~sigma itself
+    vol0 = float(cell0.vol)
+    H = np.diag(np.concatenate([np.full(6, 1.0 / vol0),
+                                np.ones(3 * natm)]))
+    eps_cap = 0.02  # per-step strain cap (image lists frozen at reference)
+    traj = []
+    converged = False
+    for step in range(1, max_steps + 1):
+        eps, dfrac = unpack(x)
+        A = a0 @ (np.eye(3) + eps)
+        vol = float(abs(np.linalg.det(A)))
+        sigma = 0.5 * (geps + geps.T) / vol
+        # Cartesian forces from the dfrac gradient (rows: g_cart = gfrac A^-T)
+        g_cart = gfrac @ np.linalg.inv(A).T
+        g_cart -= g_cart.mean(axis=0, keepdims=True)
+        f_inf = float(np.abs(g_cart).max())
+        s_inf = float(np.abs(sigma).max())
+        traj.append((e, f_inf, s_inf))
+        log.info("relax_cell step %d  E=%.10f  max|F|=%.3e  max|s|=%.3e",
+                 step - 1, e, f_inf, s_inf)
+        if callback is not None:
+            callback(step - 1, eps, dfrac, e, sigma, g_cart)
+        if (f_inf < fmax or not relax_atoms) and s_inf < smax:
+            converged = True
+            break
+
+        def _project(gvec):
+            gv = gvec.copy()
+            gv[6:] = (gv[6:].reshape(natm, 3)
+                      - gv[6:].reshape(natm, 3).mean(axis=0)).ravel()
+            if not relax_atoms:
+                gv[6:] = 0.0
+            return gv
+
+        g = _project(pack_grad(geps, gfrac))
+        p = _project(-H @ g)
+        scale = min(1.0,
+                    eps_cap / max(np.abs(p[:6]).max(), 1e-30),
+                    step_max / max(np.abs(p[6:]).max(), 1e-30))
+        p *= scale
+        x_new = x + p
+        mf_new, cell_new, e_new, geps_new, gfrac_new = scf_at(
+            *unpack(x_new), getattr(cur_mf, "dm", None))
+        g_new = _project(pack_grad(geps_new, gfrac_new))
+        if e_new > e + 1e-12 and np.abs(g_new).max() > np.abs(g).max():
+            p *= 0.25
+            x_new = x + p
+            mf_new, cell_new, e_new, geps_new, gfrac_new = scf_at(
+                *unpack(x_new), getattr(cur_mf, "dm", None))
+            g_new = _project(pack_grad(geps_new, gfrac_new))
+        s = x_new - x
+        y = g_new - g
+        sy = float(s @ y)
+        if sy > 1e-12:
+            rho = 1.0 / sy
+            I = np.eye(n)
+            V = I - rho * np.outer(s, y)
+            H = V @ H @ V.T + rho * np.outer(s, s)
+        x, e = x_new, e_new
+        geps, gfrac = geps_new, gfrac_new
+        cur_mf, cur_cell = mf_new, cell_new
+
+        eps_now, dfrac_now = unpack(x)
+        if (np.abs(eps_now).max() > re_anchor
+                or np.abs(dfrac_now).max() > 5 * step_max):
+            # accumulated deformation is leaving the anchored function's
+            # frozen-list validity: re-anchor at the current cell (one
+            # retrace), fold the displacement into the reference, reset BFGS
+            a0 = a0 @ (np.eye(3) + eps_now)
+            frac0 = frac0 + dfrac_now
+            grad_fn = scf_stress.make_cell_grad_fn(cur_cell, mf.kpts,
+                                                   dtype=mf.dtype)
+            x = np.zeros(n)
+            # keep the BFGS curvature: the re-anchored parametrization
+            # differs from the old one only at O(eps_anchor) — refreshing
+            # H to the seed at every anchor was measured to dither
+            _, geps, gfrac = grad_fn(cur_mf)
+            log.info("relax_cell: re-anchored (accumulated strain %.3f)",
+                     float(np.abs(eps_now).max()))
+
+    eps, dfrac = unpack(x)
+    A = a0 @ (np.eye(3) + eps)
+    vol = float(abs(np.linalg.det(A)))
+    sigma = 0.5 * (geps + geps.T) / vol
+    g_cart = gfrac @ np.linalg.inv(A).T
+    g_cart -= g_cart.mean(axis=0, keepdims=True)
+    return CellOptResult(converged=converged, cell=cur_cell, energy=e,
+                         sigma=sigma, forces_max=float(np.abs(g_cart).max()),
+                         mf=cur_mf, trajectory=traj, nsteps=len(traj) - 1)

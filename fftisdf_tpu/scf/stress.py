@@ -101,9 +101,10 @@ def _strain_evaluator(cell, kpts, dtype, shells=None):
 
 def ewald_strain_fn(cell, dtype=jnp.float64, eta=None):
     """Differentiable ion-ion Ewald energy as a function of the lattice
-    matrix A (atoms at fixed fractional coordinates).  eta and the
-    translation/G integer lists are frozen at the reference lattice (the
-    total is eta-independent; list margins cover infinitesimal strain)."""
+    matrix A and fractional atom displacements dfrac (natm, 3).  eta and
+    the translation/G integer lists are frozen at the reference lattice
+    (the total is eta-independent; list margins cover the sub-cell moves of
+    derivative evaluation and relaxation steps)."""
     charges = np.asarray(cell.atom_charges())
     vol0 = float(cell.vol)
     if eta is None:
@@ -137,16 +138,20 @@ def ewald_strain_fn(cell, dtype=jnp.float64, eta=None):
     frac_j = jnp.asarray(frac_atoms, dtype=dtype)
     natm = len(charges)
     diag0 = jnp.eye(natm, dtype=bool)
-    # G.r phases: strain-invariant (integer x fractional) host constants
-    gp = jnp.asarray(2.0 * np.pi * ints_g @ frac_atoms.T, dtype=dtype)
-    sfr = jnp.cos(gp) @ z
-    sfi = jnp.sin(gp) @ z
-    sf2 = sfr * sfr + sfi * sfi
+    # G.r phase angles: strain-invariant (integer x fractional); the
+    # traced dfrac displacement adds on top
+    gp0 = jnp.asarray(2.0 * np.pi * ints_g @ frac_atoms.T, dtype=dtype)
 
-    def energy(A):
+    def energy(A, dfrac=None):
+        if dfrac is None:
+            dfrac = jnp.zeros((natm, 3), dtype=dtype)
+        gp = gp0 + 2.0 * jnp.pi * ints_g_j @ dfrac.T
+        sfr = jnp.cos(gp) @ z
+        sfi = jnp.sin(gp) @ z
+        sf2 = sfr * sfr + sfi * sfi
         vol = jnp.abs(jnp.linalg.det(A))
         B = 2.0 * jnp.pi * jnp.linalg.inv(A).T
-        positions = frac_j @ A
+        positions = (frac_j + dfrac) @ A
         ts = ints_t_j @ A
         d = positions[:, None, :] - positions[None, :, :]
         dall = d[None, :, :, :] + ts[:, None, None, :]
@@ -166,9 +171,14 @@ def ewald_strain_fn(cell, dtype=jnp.float64, eta=None):
     return energy
 
 
-def make_stress_energy_fn(cell, kpts, dtype=jnp.float64):
-    """Differentiable Lagrangian L(eps, dm, wdm, w_trace) with the lattice
-    strained as A = a0 @ (1 + eps); exact plane-wave two-electron term."""
+def make_cell_energy_fn(cell, kpts, dtype=jnp.float64):
+    """Differentiable Lagrangian L(eps, dfrac, dm, wdm, w_trace): the
+    lattice strained as A = a0 @ (1 + eps) AND atoms displaced by dfrac
+    (natm, 3) in fractional coordinates; exact plane-wave two-electron term.
+    One reverse sweep yields the stress (d/deps) and the forces (d/ddfrac,
+    related to the Cartesian gradient by the chain rule g_cart = A^-T
+    g_dfrac... i.e. g_dfrac = A @ g_cart for row-vector conventions) — the
+    engine of variable-cell relaxation (scf.optimize.relax_cell)."""
     kpts = np.asarray(kpts)
     nk = len(kpts)
     mesh = tuple(int(m) for m in cell.mesh)
@@ -218,12 +228,13 @@ def make_stress_energy_fn(cell, kpts, dtype=jnp.float64):
     # integer+fractional sums (strain cannot move a zero on/off zero)
     eye3 = jnp.eye(3, dtype=dtype)
 
-    def energy(eps, dm, wdm, w_trace):
+    def energy(eps, dfrac, dm, wdm, w_trace):
         A = a0_j @ (eye3 + eps)
         B = 2.0 * jnp.pi * jnp.linalg.inv(A).T
         vol = jnp.abs(jnp.linalg.det(A))
         w = vol / ngrid
-        positions = frac_atoms_j @ A
+        positions = (frac_atoms_j + dfrac) @ A
+        ga_t = ga + 2.0 * jnp.pi * gidx_j @ dfrac.T   # traced G.r angles
         f_k = fn_ao(A, positions)                     # (nk, ng, nao)
 
         dm_tot = dm[0] + dm[1] if dm.ndim == 4 else dm
@@ -261,8 +272,8 @@ def make_stress_energy_fn(cell, kpts, dtype=jnp.float64):
                     -4.0 * jnp.pi * zc / G2safe
                     + np.sqrt(8.0 * np.pi ** 3) * rloc ** 3 * poly)
                 vG = jnp.where(g2_zero_j, vg0, vG_full)
-            fr = fr + vG * jnp.cos(ga[:, ia])
-            fi = fi - vG * jnp.sin(ga[:, ia])
+            fr = fr + vG * jnp.cos(ga_t[:, ia])
+            fi = fi - vG * jnp.sin(ga_t[:, ia])
         vgrid = ifft3(jax.lax.complex(fr, fi).astype(cdtype),
                       mesh).real * (ngrid / vol)
         n_r = jnp.einsum("kgm,kmn,kgn->g", f_k, dm_tot,
@@ -327,30 +338,48 @@ def make_stress_energy_fn(cell, kpts, dtype=jnp.float64):
             e_k = -0.25 * ex_pairs(dm)
 
         return (e_kin + e_loc + e_nl + e_pulay + e_j + e_k + w_trace
-                + e_nn(A))
+                + e_nn(A, dfrac))
 
     return energy
+
+
+def make_cell_grad_fn(cell, kpts, dtype=None):
+    """Reusable evaluator ``fn(mf, eps, dfrac) -> (val, dL/deps, dL/ddfrac)``.
+
+    One value-and-grad jit, traced once at the reference lattice, serves the
+    whole variable-cell relaxation trajectory (image/Ewald lists frozen at
+    the reference — keep accumulated strains/displacements sub-cell, which a
+    trust-radius-capped optimizer does)."""
+    from fftisdf_tpu.utils.device import to_device
+
+    if dtype is None:
+        dtype = _default_dtype()
+    e_fn = make_cell_energy_fn(cell, kpts, dtype=dtype)
+    vag = jax.jit(jax.value_and_grad(e_fn, argnums=(0, 1)))
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+    def fn(mf, eps=None, dfrac=None):
+        assert getattr(mf, "dm", None) is not None, "run mf.kernel() first"
+        natm = cell.natm
+        eps = np.zeros((3, 3)) if eps is None else np.asarray(eps)
+        dfrac = (np.zeros((natm, 3)) if dfrac is None
+                 else np.asarray(dfrac))
+        wdm, w_trace = energy_weighted_dm(mf)
+        dm = to_device(np.asarray(mf.dm).astype(np.complex128), dtype=cdtype)
+        wdm_d = to_device(wdm.astype(np.complex128), dtype=cdtype)
+        val, (geps, gfrac) = vag(
+            jnp.asarray(eps, dtype=dtype), jnp.asarray(dfrac, dtype=dtype),
+            dm, wdm_d, jnp.asarray(w_trace, dtype=dtype))
+        return float(val), np.asarray(geps), np.asarray(gfrac)
+
+    return fn
 
 
 def kernel(mf, dtype=None):
     """Stress tensor sigma (3,3) (Ha/bohr^3), pressure (Ha/bohr^3), and the
     Lagrangian value (== e_tot at eps=0, the sanity gate) of a converged
     KRHF/KUHF.  sigma > 0 components mean the cell wants to shrink."""
-    assert getattr(mf, "dm", None) is not None, "run mf.kernel() first"
-    from fftisdf_tpu.utils.device import to_device
-
-    if dtype is None:
-        dtype = _default_dtype()
-    cell = mf.cell
-    e_fn = make_stress_energy_fn(cell, mf.kpts, dtype=dtype)
-    wdm, w_trace = energy_weighted_dm(mf)
-    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
-    dm = to_device(np.asarray(mf.dm).astype(np.complex128), dtype=cdtype)
-    wdm_d = to_device(wdm.astype(np.complex128), dtype=cdtype)
-    eps0 = jnp.zeros((3, 3), dtype=dtype)
-    val, g = jax.jit(jax.value_and_grad(e_fn))(
-        eps0, dm, wdm_d, jnp.asarray(w_trace, dtype=dtype))
-    g = np.asarray(g)
-    sigma = 0.5 * (g + g.T) / float(cell.vol)
+    val, g, _ = make_cell_grad_fn(mf.cell, mf.kpts, dtype=dtype)(mf)
+    sigma = 0.5 * (g + g.T) / float(mf.cell.vol)
     pressure = -np.trace(sigma) / 3.0
-    return sigma, float(pressure), float(val)
+    return sigma, float(pressure), val
