@@ -44,11 +44,12 @@ from fftisdf_tpu.scf import integrals
 from fftisdf_tpu.scf.grad import energy_weighted_dm, _default_dtype
 
 
-def _strain_evaluator(cell, kpts, dtype, shells=None):
-    """Returns eval_fn(A, positions) -> f_k (nk, ng, nfunc) on the full FFT
-    grid, with the lattice matrix A traced.  Image lists (membership) and
-    image-phase tables are frozen at the reference lattice; both are exact
-    for the infinitesimal strains of a derivative evaluation."""
+def _strain_evaluator(cell, kpts, dtype, shells=None, frac_pts=None):
+    """Returns eval_fn(A, positions) -> f_k (nk, ng, nfunc) with the lattice
+    matrix A traced, evaluated at ``frac_pts`` (fractional, in [0,1);
+    default: the full FFT grid).  Image lists (membership) and image-phase
+    tables are frozen at the reference lattice; both are exact for the
+    infinitesimal strains of a derivative evaluation."""
     table = build_shell_table(cell, cell.precision, shells)
     groups = _group_by_center(cell, table, cell.precision)
     atom_xyz = [np.asarray(x) for _, x in cell.atom]
@@ -59,7 +60,8 @@ def _strain_evaluator(cell, kpts, dtype, shells=None):
     ]
     a0inv = np.linalg.inv(np.asarray(cell.a))
     kscaled = cell.get_scaled_kpts(np.asarray(kpts))
-    frac_grid = cell.gen_uniform_grids() @ a0inv
+    frac_grid = (cell.gen_uniform_grids() @ a0inv if frac_pts is None
+                 else np.asarray(frac_pts))
     assert np.all(frac_grid > -1e-9) and np.all(frac_grid < 1 + 1e-9)
     frac_grid_j = jnp.asarray(frac_grid, dtype=dtype)
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -171,14 +173,19 @@ def ewald_strain_fn(cell, dtype=jnp.float64, eta=None):
     return energy
 
 
-def make_cell_energy_fn(cell, kpts, dtype=jnp.float64):
+def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
+                        df=None):
     """Differentiable Lagrangian L(eps, dfrac, dm, wdm, w_trace): the
     lattice strained as A = a0 @ (1 + eps) AND atoms displaced by dfrac
-    (natm, 3) in fractional coordinates; exact plane-wave two-electron term.
-    One reverse sweep yields the stress (d/deps) and the forces (d/ddfrac,
-    related to the Cartesian gradient by the chain rule g_cart = A^-T
-    g_dfrac... i.e. g_dfrac = A @ g_cart for row-vector conventions) — the
-    engine of variable-cell relaxation (scf.optimize.relax_cell)."""
+    (natm, 3) in fractional coordinates.  One reverse sweep yields the
+    stress (d/deps) and the forces (d/ddfrac, related to the Cartesian
+    gradient by g_dfrac = A @ g_cart for row-vector conventions) — the
+    engine of variable-cell relaxation (scf.optimize.relax_cell).
+
+    ``two_electron='pw'`` (exact plane-wave) or ``'isdf'`` (the fast path):
+    the frozen-interpolation-point ISDF approximant of ``df`` (a built
+    FFTISDF) re-fitted under the traced deformation — the exact derivative
+    of the approximant, mirroring scf.grad's force semantics."""
     kpts = np.asarray(kpts)
     nk = len(kpts)
     mesh = tuple(int(m) for m in cell.mesh)
@@ -222,11 +229,69 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64):
 
     e_nn = ewald_strain_fn(cell, dtype=dtype)
 
+    if two_electron == "isdf":
+        assert df is not None and df.mask is not None
+        from fftisdf_tpu.lattice import kpoints as kpt_mod
+
+        m0 = cell.mesh if df.m0 is None else df.m0
+        frac_sel = (cell.gen_uniform_grids(m0) @ a0inv)[np.asarray(df.mask)]
+        frac_sel = frac_sel - np.floor(frac_sel)
+        fn_sel = _strain_evaluator(cell, kpts, dtype, frac_pts=frac_sel)
+        kmesh = kpt_mod.kpts_to_kmesh(cell, kpts)
+        phase_np = kpt_mod.get_phase(cell, kpts, kmesh)  # strain-invariant
+        isdf_solver, isdf_rcond = df.solver, df.rcond
+    elif two_electron != "pw":
+        raise ValueError(two_electron)
+
     g2_is_zero = np.einsum("gi,gi->g", gidx, gidx) < 1e-12  # static G=0 mask
     g2_zero_j = jnp.asarray(g2_is_zero)
     # static q+G = 0 masks per k-pair are recomputed on the fly from
     # integer+fractional sums (strain cannot move a zero on/off zero)
     eye3 = jnp.eye(3, dtype=dtype)
+
+    if two_electron == "isdf":
+        from fftisdf_tpu.isdf.kpoint import _stripe_quartic, _rhs_block
+        from fftisdf_tpu.linalg.solvers import solve_fitting
+        from fftisdf_tpu.isdf import jk as jkm
+
+        def e2_isdf(A, B, vol, positions, f_k, dm):
+            cdt = f_k.dtype
+            phase = jax.lax.complex(
+                jnp.asarray(phase_np.real, dtype=dtype),
+                jnp.asarray(phase_np.imag, dtype=dtype)).astype(cdt)
+            x_k = fn_sel(A, positions)
+            x4_k = _stripe_quartic(x_k, phase)
+            y = _rhs_block(f_k, x_k, phase)
+
+            def per_q(args):
+                x4_q, y_q, fq, tq = args
+                z_q, _ = solve_fitting(x4_q, y_q.T, method=isdf_solver,
+                                       rcond=isdf_rcond)
+                gk = (gidx_j + fq[None, :]) @ B
+                absg2 = jnp.sum(gk * gk, axis=1)
+                zero = absg2 < 1e-12
+                cg = jnp.where(zero, 0.0,
+                               4.0 * jnp.pi / jnp.where(zero, 1.0, absg2))
+                ph = jax.lax.complex(jnp.cos(tq), jnp.sin(tq)).astype(cdt)
+                zeta = fft3(z_q * ph.conj()[None, :], mesh) * cg
+                zeta = ifft3(zeta, mesh) * ph[None, :] * (vol / ngrid)
+                return zeta @ z_q.conj().T
+
+            wq = jax.lax.map(per_q, (x4_k, y, kscaled_j, tk.T))
+            if dm.ndim == 4:
+                dm_t = dm[0] + dm[1]
+                vj = jkm.get_j_kpts(x_k, wq[0], dm_t[None])[0]
+                ej = 0.5 * jnp.sum(jnp.einsum(
+                    "kmn,knm->k", dm_t, vj)).real / nk
+                vk = jkm.get_k_kpts(x_k, wq, phase, dm)
+                ek = -0.5 * jnp.sum(jnp.einsum(
+                    "skmn,sknm->sk", dm, vk)).real / nk
+                return ej + ek
+            vj = jkm.get_j_kpts(x_k, wq[0], dm[None])[0]
+            vk = jkm.get_k_kpts(x_k, wq, phase, dm[None])[0]
+            return (0.5 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vj))
+                    - 0.25 * jnp.sum(jnp.einsum(
+                        "kmn,knm->k", dm, vk))).real / nk
 
     def energy(eps, dfrac, dm, wdm, w_trace):
         A = a0_j @ (eye3 + eps)
@@ -292,6 +357,11 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64):
         s_k = w * jnp.einsum("kgm,kgn->kmn", f_k.conj(), f_k)
         e_pulay = -jnp.sum(jnp.einsum("kmn,knm->k", wdm_tot, s_k)).real / nk
 
+        if two_electron == "isdf":
+            e_2e = e2_isdf(A, B, vol, positions, f_k, dm)
+            return (e_kin + e_loc + e_nl + e_pulay + e_2e + w_trace
+                    + e_nn(A, dfrac))
+
         # ---- Hartree: (vol / 2 ngrid^2) sum_G coulG |FFT(n)|^2, G=0 dropped
         nG = fft3(n_r.astype(cdtype), mesh)
         coulG = jnp.where(g2_zero_j, 0.0, 4.0 * jnp.pi / G2safe)
@@ -343,7 +413,7 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64):
     return energy
 
 
-def make_cell_grad_fn(cell, kpts, dtype=None):
+def make_cell_grad_fn(cell, kpts, dtype=None, two_electron="pw", df=None):
     """Reusable evaluator ``fn(mf, eps, dfrac) -> (val, dL/deps, dL/ddfrac)``.
 
     One value-and-grad jit, traced once at the reference lattice, serves the
@@ -354,7 +424,8 @@ def make_cell_grad_fn(cell, kpts, dtype=None):
 
     if dtype is None:
         dtype = _default_dtype()
-    e_fn = make_cell_energy_fn(cell, kpts, dtype=dtype)
+    e_fn = make_cell_energy_fn(cell, kpts, dtype=dtype,
+                               two_electron=two_electron, df=df)
     vag = jax.jit(jax.value_and_grad(e_fn, argnums=(0, 1)))
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
@@ -375,11 +446,14 @@ def make_cell_grad_fn(cell, kpts, dtype=None):
     return fn
 
 
-def kernel(mf, dtype=None):
+def kernel(mf, dtype=None, two_electron="pw", df=None):
     """Stress tensor sigma (3,3) (Ha/bohr^3), pressure (Ha/bohr^3), and the
     Lagrangian value (== e_tot at eps=0, the sanity gate) of a converged
-    KRHF/KUHF.  sigma > 0 components mean the cell wants to shrink."""
-    val, g, _ = make_cell_grad_fn(mf.cell, mf.kpts, dtype=dtype)(mf)
+    KRHF/KUHF.  sigma > 0 components mean the cell wants to shrink.
+    ``two_electron='isdf'`` differentiates the frozen-point ISDF approximant
+    of ``df`` instead of the exact plane-wave energy."""
+    val, g, _ = make_cell_grad_fn(mf.cell, mf.kpts, dtype=dtype,
+                                  two_electron=two_electron, df=df)(mf)
     sigma = 0.5 * (g + g.T) / float(mf.cell.vol)
     pressure = -np.trace(sigma) / 3.0
     return sigma, float(pressure), val

@@ -114,6 +114,21 @@ def test_stress_vs_fd_gth_diamond():
                                rtol=5e-5, atol=5e-6)
 
 
+def test_isdf_stress_matches_pw_at_full_rank():
+    """The frozen-point ISDF-backend stress equals the exact-PW stress when
+    the fit is full-rank (the strain analog of the force gate in
+    test_forces.py; measured 1.4e-9)."""
+    from fftisdf_tpu.isdf import FFTISDF
+
+    mf = scf_he2()
+    s_pw, p_pw, _ = scf_stress.kernel(mf)
+    df = FFTISDF(mf.cell, mf.kpts, c0=40.0, verbose=0).build()
+    s_is, p_is, v_is = scf_stress.kernel(mf, two_electron="isdf", df=df)
+    np.testing.assert_allclose(v_is, mf.e_tot, atol=1e-6)
+    np.testing.assert_allclose(s_is, s_pw, atol=1e-7)
+    np.testing.assert_allclose(p_is, p_pw, atol=1e-7)
+
+
 @pytest.mark.slow
 def test_stress_uhf_matches_rhf_closed_shell():
     """KUHF on a closed-shell system gives the same stress as KRHF."""
