@@ -125,9 +125,13 @@ def _group_by_center(cell, table, precision):
     return out
 
 
-def _group_chi(coords, group: CenterGroup, images, dtype):
-    """chi values of all shells in a center group: (ng, nT, nfunc) real."""
-    centers = jnp.asarray(group.center[None, :] + images, dtype=dtype)  # (T,3)
+def _group_chi(coords, group: CenterGroup, centers, dtype):
+    """chi values of all shells in a center group: (ng, nT, nfunc) real.
+
+    ``centers`` (nT, 3) may be a host constant OR a traced array (the
+    positions-/strain-differentiable evaluators in isdf.autodiff and
+    scf.stress route through here with traced centers)."""
+    centers = jnp.asarray(centers, dtype=dtype)           # (T, 3)
     d = coords[:, None, :] - centers[None, :, :]          # (g, T, 3)
     dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
     r2 = dx * dx + dy * dy + dz * dz                      # (g, T)
@@ -185,7 +189,8 @@ def make_evaluator(cell, kpts=None, precision=None, dtype=jnp.float64,
         blocks = []
         for group in groups:
             images = group.images
-            chi = _group_chi(coords0, group, images, dtype)  # (g, T, f)
+            chi = _group_chi(coords0, group,
+                             group.center[None, :] + images, dtype)  # (g,T,f)
             if gamma:
                 blocks.append(jnp.sum(chi, axis=1))
             else:

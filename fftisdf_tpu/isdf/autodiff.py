@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from fftisdf_tpu.basis.eval import (
-    build_shell_table, _group_by_center, real_solid_harmonics)
+    build_shell_table, _group_by_center, _group_chi)
 from fftisdf_tpu.isdf.kpoint import _stripe_quartic, _rhs_block
 from fftisdf_tpu.linalg.solvers import solve_fitting
 from fftisdf_tpu.linalg.fft import fft3, ifft3
@@ -61,21 +61,7 @@ def make_evaluator_diff(cell, kpts=None, precision=None, dtype=jnp.float64,
         for g, ia in zip(groups, group_atom):
             images = jnp.asarray(g.images, dtype=dtype)
             centers = positions[ia][None, :] + images
-            d = coords0[:, None, :] - centers[None, :, :]
-            dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
-            r2 = dx * dx + dy * dy + dz * dz
-            feats = []
-            for spec in g.specs:
-                rad = jnp.exp(-r2[..., None]
-                              * jnp.asarray(spec.exps, dtype=dtype))
-                rad = rad @ jnp.asarray(spec.coeffs, dtype=dtype)
-                for _ in range(spec.rpow):
-                    rad = rad * r2[..., None]
-                ang = jnp.stack(
-                    real_solid_harmonics(dx, dy, dz, spec.l, jnp), axis=-1)
-                chi = rad[..., None, :] * ang[..., :, None]
-                feats.append(chi.reshape(r2.shape + (spec.nfunc,)))
-            chi_all = jnp.concatenate(feats, axis=-1)
+            chi_all = _group_chi(coords0, g, centers, dtype)
             if gamma:
                 blocks.append(jnp.sum(chi_all, axis=1))
             else:

@@ -40,68 +40,25 @@ from fftisdf_tpu.scf import integrals
 from fftisdf_tpu.basis import data as basis_data
 
 
-def ewald_fn(cell, eta=None):
+def ewald_fn(cell, eta=None, dtype=jnp.float64):
     """Differentiable ion-ion Ewald energy: positions (natm, 3) -> float.
 
     Same convention as scf.integrals.ewald (point charges + neutralizing
     background); translation/G lists are frozen at the reference geometry
-    (exact for the usual sub-Angstrom displacements of force evaluation)."""
-    charges = np.asarray(cell.atom_charges())
-    vol = float(cell.vol)
-    if eta is None:
-        eta = float(np.pi / vol ** (2.0 / 3.0))
-    a = np.asarray(cell.a)
-    rcut = np.sqrt(-np.log(1e-14) / eta)
-    heights = np.array([
-        vol / np.linalg.norm(np.cross(a[(i + 1) % 3], a[(i + 2) % 3]))
-        for i in range(3)
-    ])
-    nmax = np.ceil(rcut / heights).astype(int) + 1
-    rng = [np.arange(-n, n + 1) for n in nmax]
-    ints = np.stack(np.meshgrid(*rng, indexing="ij"), -1).reshape(-1, 3)
-    ts = ints.astype(np.float64) @ a
-    t0_idx = int(np.argmin(np.einsum("ti,ti->t", ts, ts)))
+    (exact for the usual sub-Angstrom displacements of force evaluation).
+    Implemented as the fixed-lattice slice of the strain-differentiable
+    Ewald (scf.stress.ewald_strain_fn) — one list-construction code path."""
+    from fftisdf_tpu.scf.stress import ewald_strain_fn
 
-    gcut = 2.0 * np.sqrt(eta * -np.log(1e-14))
-    b = cell.reciprocal_vectors()
-    bh = 2 * np.pi / np.linalg.norm(a, axis=1)
-    nmax = np.ceil(gcut / bh).astype(int) + 1
-    rng = [np.arange(-n, n + 1) for n in nmax]
-    ints = np.stack(np.meshgrid(*rng, indexing="ij"), -1).reshape(-1, 3)
-    gs = ints.astype(np.float64) @ b
-    g2 = np.einsum("gi,gi->g", gs, gs)
-    sel = g2 > 1e-12
-    gs, g2 = gs[sel], g2[sel]
-
-    e_self = float(np.sqrt(eta / np.pi) * np.sum(charges ** 2))
-    e_bg = float(np.pi / (2.0 * eta * vol) * np.sum(charges) ** 2)
-    z = jnp.asarray(charges)
-    zz = z[:, None] * z[None, :]
-    ts_j = jnp.asarray(ts)
-    gs_j = jnp.asarray(gs)
-    g2_j = jnp.asarray(g2)
-    gw = jnp.asarray(np.exp(-g2 / (4.0 * eta)) / g2)
-    natm = len(charges)
-    diag0 = jnp.eye(natm, dtype=bool)
+    e_strain = ewald_strain_fn(cell, dtype=dtype, eta=eta)
+    a0 = np.asarray(cell.a)
+    a0_j = jnp.asarray(a0, dtype=dtype)
+    a0inv_j = jnp.asarray(np.linalg.inv(a0), dtype=dtype)
+    frac0_j = jnp.asarray(cell.atom_coords() @ np.linalg.inv(a0),
+                          dtype=dtype)
 
     def energy(positions):
-        d = positions[:, None, :] - positions[None, :, :]    # (na, na, 3)
-        dall = d[None, :, :, :] + ts_j[:, None, None, :]     # (nt, na, na, 3)
-        r2 = jnp.sum(dall * dall, axis=-1)
-        # exclude self-interaction at t = 0.  NB the mask must be applied
-        # INSIDE the sqrt as well: sqrt'(0) = inf and reverse-mode turns the
-        # masked branch into 0 * inf = NaN otherwise (double-where pattern)
-        bad = jnp.zeros(r2.shape, dtype=bool).at[t0_idx].set(diag0)
-        rsafe = jnp.sqrt(jnp.where(bad, 1.0, r2))
-        e_real = 0.5 * jnp.sum(jnp.where(
-            bad, 0.0, zz * jax.scipy.special.erfc(np.sqrt(eta) * rsafe)
-            / rsafe))
-        # structure factor via cos/sin (no complex host constants)
-        gp = gs_j @ positions.T                              # (ng, na)
-        sfr = jnp.cos(gp) @ z
-        sfi = jnp.sin(gp) @ z
-        e_recip = (2.0 * np.pi / vol) * jnp.sum(gw * (sfr * sfr + sfi * sfi))
-        return e_real + e_recip - e_self - e_bg
+        return e_strain(a0_j, positions @ a0inv_j - frac0_j)
 
     return energy
 
@@ -153,15 +110,19 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                if proj_shells else None)
     hmat_j = jnp.asarray(hmat, dtype=dtype) if proj_shells else None
 
-    e_nn = ewald_fn(cell)
+    e_nn = ewald_fn(cell, dtype=dtype)
 
     if two_electron == "isdf":
         assert mask is not None, "isdf backend needs the frozen mask"
         state = isdf_state_fn(cell, kpts, mask, m0=m0, solver=solver,
                               rcond=rcond, dtype=dtype)
-        phase_j = jnp.asarray(kpt_mod.get_phase(
-            cell, kpts, kpt_mod.kpts_to_kmesh(cell, kpts)).astype(
-            np.complex128 if dtype == jnp.float64 else np.complex64))
+        # phase kept as REAL host parts; the complex array is built inside
+        # the trace (complex host constants embedded as jit closures
+        # round-trip through the host and fail on the TPU tunnel)
+        phase_host = kpt_mod.get_phase(cell, kpts,
+                                       kpt_mod.kpts_to_kmesh(cell, kpts))
+        phase_re = jnp.asarray(phase_host.real, dtype=dtype)
+        phase_im = jnp.asarray(phase_host.imag, dtype=dtype)
     elif two_electron == "pw":
         from fftisdf_tpu.pw import jk as pw_jk
     else:
@@ -214,6 +175,7 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
     def e2_isdf(positions, dm):
         x_k, wq = state(positions)
         from fftisdf_tpu.isdf import jk as jkm
+        phase_j = jax.lax.complex(phase_re, phase_im).astype(cdtype)
         if dm.ndim == 4:
             dm_tot = dm[0] + dm[1]
             vj = jkm.get_j_kpts(x_k, wq[0], dm_tot[None])[0]

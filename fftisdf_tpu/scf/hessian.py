@@ -25,15 +25,61 @@ AMU_TO_ME = 1822.888486209        # electron masses per amu
 HARTREE_TO_CM1 = 219474.6313632   # E_h to cm^-1
 
 
+class _FrozenPointDF:
+    """Minimal J/K provider from a frozen-interpolation-point ISDF state
+    re-fitted at a displaced geometry ((x_k, wq) arrays, not a full build).
+    Mirrors FFTISDF.get_jk's calling convention for the SCF drivers."""
+
+    def __init__(self, x_k, wq, phase):
+        import jax.numpy as jnp
+        from fftisdf_tpu.utils.device import to_device
+
+        self.x_k, self.wq = x_k, wq
+        self.phase = to_device(phase, dtype=wq.dtype)
+        self._jnp = jnp
+
+    def get_jk(self, dm_kpts, with_j=True, with_k=True, exxdiv=None,
+               omega=None, kpts_band=None):
+        if exxdiv is not None or omega is not None or kpts_band is not None:
+            raise NotImplementedError(
+                "FrozenPointDF supports plain exxdiv=None J/K only")
+        import jax
+        from functools import partial
+        from fftisdf_tpu.isdf import jk as jk_mod
+        from fftisdf_tpu.utils.device import to_device
+
+        jnp = self._jnp
+        single = np.asarray(dm_kpts).ndim == 3 if not isinstance(
+            dm_kpts, jax.Array) else dm_kpts.ndim == 3
+        dm = to_device(dm_kpts, dtype=self.wq.dtype)
+
+        @partial(jax.jit, static_argnames=("with_j", "with_k", "single"))
+        def _kernel(x_k, wq, phase, dm, with_j, with_k, single):
+            if single:
+                dm = dm[None]
+            vj = jk_mod.get_j_kpts(x_k, wq[0], dm) if with_j else None
+            vk = jk_mod.get_k_kpts(x_k, wq, phase, dm) if with_k else None
+            if single:
+                vj = None if vj is None else vj[0]
+                vk = None if vk is None else vk[0]
+            return vj, vk
+
+        return _kernel(self.x_k, self.wq, self.phase, dm,
+                       with_j=with_j, with_k=with_k, single=single)
+
+
 def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
     """Nuclear Hessian d2E/dR2, shape (3*natm, 3*natm), Ha/bohr^2.
 
     ``mf`` must be converged at the reference geometry.  Each displaced SCF
     warm-starts from ``mf.dm``.  With ``two_electron='isdf'`` the
-    interpolation points of ``df`` stay frozen across displacements
-    (consistent FD of one fixed approximant); the displaced SCFs serve J/K
-    from the reference-geometry state, an O(step) operator mismatch whose
-    density error enters the variational gradient only at O(step^2).
+    interpolation points of ``df`` stay frozen across displacements AND the
+    displaced SCFs serve J/K from the frozen-point approximant re-fitted at
+    the displaced positions (a small ``_FrozenPointDF`` provider), so the
+    density each gradient is evaluated at is stationary for exactly the
+    functional being differentiated — serving the reference-geometry state
+    instead would leak an O(step) odd density error into the central
+    difference as a step-independent Hessian bias.
     Returns ``(hess, g0)`` with ``g0`` the analytic gradient at the
     reference geometry.
     """
@@ -44,6 +90,16 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
     n = 3 * natm
     grad_fn = scf_grad.make_grad_fn(cell, mf.kpts, two_electron=two_electron,
                                     df=df)
+    if two_electron == "isdf":
+        import jax
+        import jax.numpy as jnp
+        from fftisdf_tpu.isdf.autodiff import isdf_state_fn
+
+        dt = scf_grad._default_dtype()
+        state = jax.jit(isdf_state_fn(cell, mf.kpts, df.mask, m0=df.m0,
+                                      solver=df.solver, rcond=df.rcond,
+                                      dtype=dt))
+        phase_host = df.phase
 
     def grad_at(positions):
         new_cell = cell.copy(
@@ -51,7 +107,8 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
                   zip(cell.atom_symbols(), positions)]).build()
         new_mf = _clone_mf(mf, new_cell)
         if two_electron == "isdf":
-            new_mf.with_df = df  # serve J/K from the frozen-point state
+            x_k, wq = state(jnp.asarray(positions, dtype=dt))
+            new_mf.with_df = _FrozenPointDF(x_k, wq, phase_host)
         new_mf.kernel(dm0=mf.dm)
         if not new_mf.converged:
             raise RuntimeError("SCF did not converge at a displaced "

@@ -36,16 +36,29 @@ class OptResult:
     nsteps: int = 0
 
 
-def _clone_mf(mf, cell):
-    """A fresh SCF object at a displaced geometry, same knobs as ``mf``."""
-    return type(mf)(
-        cell, mf.kpts,
-        max_cycle=mf.max_cycle, conv_tol=mf.conv_tol,
-        diis_space=mf.diis_space, exxdiv=mf.exxdiv,
-        level_shift=mf.level_shift, damp=mf.damp,
-        smearing=mf.smearing, smearing_method=mf.smearing_method,
-        ovlp_cutoff=mf.ovlp_cutoff, dtype=mf.dtype, verbose=0,
-    )
+_CLONE_SKIP = {
+    # positional / replaced
+    "cell", "kpts", "with_df",
+    # SCF outputs (overwritten by kernel(), but copying them would make the
+    # clone look converged before it runs)
+    "e_tot", "e_free", "entropy", "mu", "mo_energy", "mo_coeff", "mo_occ",
+    "converged",
+}
+
+
+def _clone_mf(mf, cell, kpts=None):
+    """A fresh SCF object at a displaced geometry, same knobs as ``mf``.
+
+    Copies every dataclass init field (so KUHF-only knobs like init_spin /
+    spin bias survive) except the geometry, the J/K provider, and the SCF
+    outputs."""
+    import dataclasses
+
+    kw = {f.name: getattr(mf, f.name)
+          for f in dataclasses.fields(type(mf))
+          if f.init and f.name not in _CLONE_SKIP}
+    kw["verbose"] = 0
+    return type(mf)(cell, mf.kpts if kpts is None else kpts, **kw)
 
 
 def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
@@ -108,18 +121,20 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
         cur_mf, e, g = scf_at(x.reshape(-1, 3), None)
 
     H = np.eye(n)  # inverse-Hessian estimate (bohr^2/Ha); unit seed + cap
+    x_anchor = x.copy()
     traj = []
     converged = False
-    step = 0
-    for step in range(1, max_steps + 1):
+    for step in range(max_steps + 1):
         gv = g - g.mean(axis=0, keepdims=True)  # project out translation
         f_inf = np.abs(gv).max()
         traj.append((x.reshape(-1, 3).copy(), e, float(f_inf)))
-        log.info("relax step %d  E=%.10f  max|F|=%.3e", step - 1, e, f_inf)
+        log.info("relax step %d  E=%.10f  max|F|=%.3e", step, e, f_inf)
         if callback is not None:
-            callback(step - 1, x.reshape(-1, 3), e, g)
+            callback(step, x.reshape(-1, 3), e, g)
         if f_inf < fmax:
             converged = True
+            break
+        if step == max_steps:  # out of steps; final iterate checked above
             break
 
         p = -H @ gv.ravel()
@@ -150,6 +165,17 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
             V = I - rho * np.outer(s, y)
             H = V @ H @ V.T + rho * np.outer(s, s)
         x, e, g, cur_mf = x_new, e_new, g_new, mf_new
+
+        # frozen image/Ewald lists degrade once the cumulative displacement
+        # from the traced reference grows beyond ~a bohr: re-anchor the
+        # gradient fn at the current geometry (one retrace)
+        drift = float(np.abs(x - x_anchor).max())
+        if pw_grad is not None and drift > 1.0:
+            pw_grad = scf_grad.make_grad_fn(cur_mf.cell, mf.kpts,
+                                            two_electron="pw")
+            x_anchor = x.copy()
+            log.info("relax: re-anchored gradient fn (displacement %.2f "
+                     "bohr)", drift)
 
     return OptResult(converged=converged, positions=x.reshape(-1, 3),
                      energy=e, grad=g, mf=cur_mf, trajectory=traj,
@@ -198,6 +224,11 @@ def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
     frac0 = np.asarray(cell0.atom_coords()) @ np.linalg.inv(a0)
     syms = cell0.atom_symbols()
     natm = len(syms)
+    # k-points deform WITH the cell (fixed fractional k) — the convention
+    # the cell Lagrangian differentiates; feeding the displaced SCF the
+    # reference Cartesian kpts would converge a different Hamiltonian and
+    # break the stationarity the frozen-D gradient relies on
+    kscaled0 = cell0.get_scaled_kpts(np.asarray(mf.kpts))
     grad_fn = scf_stress.make_cell_grad_fn(cell0, mf.kpts, dtype=mf.dtype)
 
     def scf_at(eps, dfrac, dm0):
@@ -205,7 +236,8 @@ def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
         new_cell = cell0.copy(
             a=A, atom=[(s, f @ A) for s, f in zip(syms, frac0 + dfrac)],
         ).build()
-        new_mf = _clone_mf(mf, new_cell)
+        new_mf = _clone_mf(mf, new_cell,
+                           kpts=kscaled0 @ new_cell.reciprocal_vectors())
         new_mf.kernel(dm0=dm0)
         if not new_mf.converged:
             raise RuntimeError("SCF failed to converge during cell "
@@ -241,7 +273,7 @@ def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
     eps_cap = 0.02  # per-step strain cap (image lists frozen at reference)
     traj = []
     converged = False
-    for step in range(1, max_steps + 1):
+    for step in range(max_steps + 1):
         eps, dfrac = unpack(x)
         A = a0 @ (np.eye(3) + eps)
         vol = float(abs(np.linalg.det(A)))
@@ -253,11 +285,13 @@ def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
         s_inf = float(np.abs(sigma).max())
         traj.append((e, f_inf, s_inf))
         log.info("relax_cell step %d  E=%.10f  max|F|=%.3e  max|s|=%.3e",
-                 step - 1, e, f_inf, s_inf)
+                 step, e, f_inf, s_inf)
         if callback is not None:
-            callback(step - 1, eps, dfrac, e, sigma, g_cart)
+            callback(step, eps, dfrac, e, sigma, g_cart)
         if (f_inf < fmax or not relax_atoms) and s_inf < smax:
             converged = True
+            break
+        if step == max_steps:  # out of steps; final iterate checked above
             break
 
         def _project(gvec):
@@ -304,8 +338,9 @@ def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
             # retrace), fold the displacement into the reference, reset BFGS
             a0 = a0 @ (np.eye(3) + eps_now)
             frac0 = frac0 + dfrac_now
-            grad_fn = scf_stress.make_cell_grad_fn(cur_cell, mf.kpts,
-                                                   dtype=mf.dtype)
+            grad_fn = scf_stress.make_cell_grad_fn(
+                cur_cell, kscaled0 @ cur_cell.reciprocal_vectors(),
+                dtype=mf.dtype)
             x = np.zeros(n)
             # keep the BFGS curvature: the re-anchored parametrization
             # differs from the old one only at O(eps_anchor) — refreshing

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from fftisdf_tpu.basis.eval import (
-    build_shell_table, _group_by_center, real_solid_harmonics)
+    build_shell_table, _group_by_center, _group_chi)
 from fftisdf_tpu.basis import data as basis_data
 from fftisdf_tpu.linalg.fft import fft3, ifft3
 from fftisdf_tpu.scf import integrals
@@ -77,21 +77,7 @@ def _strain_evaluator(cell, kpts, dtype, shells=None, frac_pts=None):
         blocks = []
         for g, ia, ii, tph in zip(groups, group_atom, img_ints_j, tphs):
             centers = positions[ia][None, :] + ii @ A
-            d = coords[:, None, :] - centers[None, :, :]
-            dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
-            r2 = dx * dx + dy * dy + dz * dz
-            feats = []
-            for spec in g.specs:
-                rad = jnp.exp(-r2[..., None]
-                              * jnp.asarray(spec.exps, dtype=dtype))
-                rad = rad @ jnp.asarray(spec.coeffs, dtype=dtype)
-                for _ in range(spec.rpow):
-                    rad = rad * r2[..., None]
-                ang = jnp.stack(
-                    real_solid_harmonics(dx, dy, dz, spec.l, jnp), axis=-1)
-                chi = rad[..., None, :] * ang[..., :, None]
-                feats.append(chi.reshape(r2.shape + (spec.nfunc,)))
-            chi_all = jnp.concatenate(feats, axis=-1)
+            chi_all = _group_chi(coords, g, centers, dtype)
             out_r = jnp.einsum("gTf,Tk->kgf", chi_all, jnp.cos(tph))
             out_i = jnp.einsum("gTf,Tk->kgf", chi_all, jnp.sin(tph))
             blocks.append(jax.lax.complex(out_r, out_i).astype(cdtype))

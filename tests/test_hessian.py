@@ -39,6 +39,18 @@ def scf_energy(d):
     return mf
 
 
+def test_isdf_hessian_matches_pw_at_full_rank():
+    """Frozen-point ISDF Hessian (displaced SCFs served by the re-fitted
+    frozen-mask approximant) equals the exact-PW Hessian at full rank."""
+    from fftisdf_tpu.isdf import FFTISDF
+
+    mf = scf_energy(1.30)
+    h_pw, _ = scf_hess.kernel(mf, step=1.5e-3)
+    df = FFTISDF(mf.cell, mf.kpts, c0=40.0, verbose=0).build()
+    h_is, _ = scf_hess.kernel(mf, step=1.5e-3, two_electron="isdf", df=df)
+    np.testing.assert_allclose(h_is, h_pw, atol=1e-6)
+
+
 def test_h2_hessian_and_frequencies():
     d0 = 1.30
     mf = scf_energy(d0)

@@ -58,6 +58,36 @@ def test_trajectory_descends_and_energy_is_scf_energy():
     np.testing.assert_allclose(e2, res.energy, atol=1e-6)
 
 
+def test_nongamma_kpts_deform_with_cell():
+    """k-points must scale with the strained lattice (fixed fractional k):
+    with the reference Cartesian kpts fed to strained SCFs, the Lagrangian
+    would disagree with the SCF energy at O(eps) — regression for the
+    k-point-consistency fix."""
+    cell = lih_cell(6.8, mesh=16)
+    mf = KRHF(cell, cell.get_kpts([1, 1, 2]), verbose=0, conv_tol=1e-10)
+    res = scf_opt.relax_cell(mf, smax=1e-9, max_steps=2, relax_atoms=False)
+    energies = [e for e, _, _ in res.trajectory]
+    assert all(b < a for a, b in zip(energies, energies[1:]))
+    np.testing.assert_allclose(res.energy, res.mf.e_tot, atol=1e-10)
+
+
+def test_clone_preserves_subclass_fields():
+    """_clone_mf must carry KUHF-only knobs (init_spin etc.) — dropping
+    them silently relaxes AFM systems on the unbiased surface."""
+    from fftisdf_tpu.scf import KUHF
+    from fftisdf_tpu.scf.optimize import _clone_mf
+
+    cell = lih_cell(6.8)
+    mf = KUHF(cell, cell.get_kpts([1, 1, 1]), verbose=0,
+              init_spin={0: 1}, spin_bias=0.3, bias_cycles=2,
+              smearing=1e-2, smearing_method="gauss")
+    c = _clone_mf(mf, cell)
+    assert c.init_spin == {0: 1}
+    assert c.spin_bias == 0.3 and c.bias_cycles == 2
+    assert c.smearing == 1e-2 and c.smearing_method == "gauss"
+    assert c.converged is False and c.e_tot is None
+
+
 def test_reanchor_preserves_trajectory():
     res_far = _run(re_anchor=0.5)    # never re-anchors in 3 steps
     res_near = _run(re_anchor=1e-9)  # re-anchors after every step
