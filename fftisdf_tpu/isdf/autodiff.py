@@ -84,13 +84,22 @@ def make_evaluator_diff(cell, kpts=None, precision=None, dtype=jnp.float64,
 
 
 def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
-                  dtype=jnp.float64):
+                  dtype=jnp.float64, remat=None):
     """Differentiable (x_k, w_q) builder for a frozen interpolation-point set.
 
     Returns ``state(positions) -> (x_k, wq)``, jit/grad-compatible.  The
     frozen ``mask`` indexes the selection (parent) grid ``m0`` of a prior
     FFTISDF build.
-    """
+
+    ``remat``: rematerialize the per-sector solve/FFT pipeline in the
+    reverse sweep (bounds memory at ~one sector instead of nk sectors —
+    required for production sizes on a 16 GB chip).  Costs reverse-mode
+    noise ~eps/rcond RELATIVE in the solve outputs (the recomputed
+    ill-conditioned solve decorrelates from the forward's rounding), so the
+    default is on only below f64 (where the f32 floor dominates anyway);
+    f64 validation gates keep the exact-residual path."""
+    if remat is None:
+        remat = dtype != jnp.float64
     m0 = cell.mesh if m0 is None else m0
     from fftisdf_tpu.lattice import kpoints as kpt_mod
 
@@ -107,6 +116,14 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
     # q-phase angles as a real host constant; complex built on device
     tqr = (coords @ np.asarray(kpts).T).T
     fn = make_evaluator_diff(cell, kpts=kpts, dtype=dtype)
+    # rematerialization: without checkpoints the reverse sweep stores (a)
+    # the evaluator's (ngrid, nimages, nfunc) chi tensors, (b) three extra
+    # y-sized stripe intermediates of _rhs_block, and (c) the per-sector
+    # (nip, ngrid) FFT pipeline stacked over ALL q by lax.map — several GB
+    # at production sizes (NiO 2x2x2 OOMs a 16 GB chip).  Recomputing them
+    # in the backward pass bounds live memory at ~y + f_k + one sector.
+    fn_ckpt = jax.checkpoint(fn)
+    rhs_ckpt = jax.checkpoint(_rhs_block)
 
     def state(positions):
         phase = jax.lax.complex(
@@ -116,9 +133,9 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
             jnp.cos(jnp.asarray(tqr, dtype=dtype)),
             jnp.sin(jnp.asarray(tqr, dtype=dtype))).astype(cdtype)
         x_k = fn(jnp.asarray(coords_sel, dtype=dtype), positions)
-        f_k = fn(jnp.asarray(coords, dtype=dtype), positions)
+        f_k = fn_ckpt(jnp.asarray(coords, dtype=dtype), positions)
         x4_k = _stripe_quartic(x_k, phase)
-        y = _rhs_block(f_k, x_k, phase)
+        y = rhs_ckpt(f_k, x_k, phase)
 
         def per_q(args):
             x4_q, y_q, cg, ph = args
@@ -127,8 +144,11 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
             zeta = ifft3(zeta, mesh) * ph[None, :] * (vol / ngrid)
             return zeta @ z_q.conj().T
 
-        wq = jax.lax.map(per_q, (
-            x4_k, y, jnp.asarray(coulG, dtype=dtype), eiqr))
+        from fftisdf_tpu.linalg.solvers import FIT_FACTOR_POLICY
+        pq = (jax.checkpoint(per_q, policy=FIT_FACTOR_POLICY) if remat
+              else per_q)
+        wq = jax.lax.map(pq, (x4_k, y, jnp.asarray(coulG, dtype=dtype),
+                              eiqr))
         return x_k, wq
 
     return state

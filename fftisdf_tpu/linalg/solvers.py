@@ -28,7 +28,24 @@ Two operator forms share one factorization layer:
 from __future__ import annotations
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
+
+# checkpoint policy for rematerializing fitting-solve pipelines: recompute
+# the O(nip*ngrid) tensors, SAVE the O(nip^2) solve factorizations (their
+# recompute-rounding is amplified by the solve's 1/rcond conditioning)
+FIT_FACTOR_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "fit_factor")
+
+
+def _save_in_remat(x, name="fit_factor"):
+    """checkpoint_name that accepts complex arrays (the underlying
+    reduce_precision tag is float-only: tag re/im separately)."""
+    if jnp.iscomplexobj(x):
+        return jax.lax.complex(
+            jax.ad_checkpoint.checkpoint_name(jnp.real(x), name),
+            jax.ad_checkpoint.checkpoint_name(jnp.imag(x), name))
+    return jax.ad_checkpoint.checkpoint_name(x, name)
 
 
 def _real_dtype(a):
@@ -55,11 +72,18 @@ def _jacobi(a):
 
 
 def _ridge_factor(a, rcond):
-    """Cholesky factor of D a D + lam*I.  Returns (d, dinv, chol, lam)."""
+    """Cholesky factor of D a D + lam*I.  Returns (d, dinv, chol, lam).
+
+    The factor is tagged with ``checkpoint_name("fit_factor")``: callers
+    that wrap the fitting solve in ``jax.checkpoint`` must use the policy
+    :data:`FIT_FACTOR_POLICY` so the factor is SAVED, not recomputed — the
+    solve has cond ~ 1/rcond, and a bitwise-different rematerialized factor
+    perturbs the vjp by eps/rcond (measured 2e-5 absolute on f64 gradients)."""
     d, dinv, a_s = _jacobi(a)
     lam = rcond * jnp.max(jnp.real(jnp.diagonal(a_s)))
     a_r = a_s + lam * jnp.eye(a.shape[-1], dtype=a.dtype)
-    return d, dinv, jnp.linalg.cholesky(a_r), lam
+    chol = _save_in_remat(jnp.linalg.cholesky(a_r))
+    return d, dinv, chol, lam
 
 
 def _eigh_factor(a, rcond, rank, precondition):
@@ -71,6 +95,9 @@ def _eigh_factor(a, rcond, rank, precondition):
         d = jnp.ones(a.shape[-1], dtype=_real_dtype(a))
         a_s = a
     w, v = jnp.linalg.eigh(a_s)
+    # saved (not rematerialized) under FIT_FACTOR_POLICY — see _ridge_factor
+    w = _save_in_remat(w)
+    v = _save_in_remat(v)
     wmax = jnp.max(jnp.abs(w))
     rc = a.shape[-1] * jnp.finfo(w.dtype).eps if rcond is None else rcond
     keep = w > rc * wmax

@@ -191,7 +191,8 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                 - 0.25 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vk))).real / nk
 
     def energy(positions, dm, wdm, w_trace):
-        f_k = fn_ao(coords_j, positions)
+        # remat the AO evaluation (chi residuals dominate reverse memory)
+        f_k = jax.checkpoint(fn_ao)(coords_j, positions)
         h, s = hcore_and_ovlp(positions, f_k)
         dm_tot = dm[0] + dm[1] if dm.ndim == 4 else dm
         wdm_tot = wdm[0] + wdm[1] if wdm.ndim == 4 else wdm

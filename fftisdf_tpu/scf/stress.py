@@ -247,7 +247,8 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                 jnp.asarray(phase_np.imag, dtype=dtype)).astype(cdt)
             x_k = fn_sel(A, positions)
             x4_k = _stripe_quartic(x_k, phase)
-            y = _rhs_block(f_k, x_k, phase)
+            # remat: see isdf.autodiff — bounds the reverse-sweep memory
+            y = jax.checkpoint(_rhs_block)(f_k, x_k, phase)
 
             def per_q(args):
                 x4_q, y_q, fq, tq = args
@@ -263,7 +264,13 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                 zeta = ifft3(zeta, mesh) * ph[None, :] * (vol / ngrid)
                 return zeta @ z_q.conj().T
 
-            wq = jax.lax.map(per_q, (x4_k, y, kscaled_j, tk.T))
+            from fftisdf_tpu.linalg.solvers import FIT_FACTOR_POLICY
+            # remat the sector pipeline only below f64 (memory vs the
+            # eps/rcond reverse noise of recomputed ill-conditioned solves
+            # — see isdf.autodiff.isdf_state_fn)
+            pq = (jax.checkpoint(per_q, policy=FIT_FACTOR_POLICY)
+                  if dtype != jnp.float64 else per_q)
+            wq = jax.lax.map(pq, (x4_k, y, kscaled_j, tk.T))
             if dm.ndim == 4:
                 dm_t = dm[0] + dm[1]
                 vj = jkm.get_j_kpts(x_k, wq[0], dm_t[None])[0]
@@ -286,7 +293,9 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         w = vol / ngrid
         positions = (frac_atoms_j + dfrac) @ A
         ga_t = ga + 2.0 * jnp.pi * gidx_j @ dfrac.T   # traced G.r angles
-        f_k = fn_ao(A, positions)                     # (nk, ng, nao)
+        # remat the AO evaluation: its chi residuals dominate reverse-mode
+        # memory at production grid sizes
+        f_k = jax.checkpoint(fn_ao)(A, positions)     # (nk, ng, nao)
 
         dm_tot = dm[0] + dm[1] if dm.ndim == 4 else dm
         wdm_tot = wdm[0] + wdm[1] if wdm.ndim == 4 else wdm
