@@ -212,7 +212,8 @@ def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
     The anchored Lagrangian is only valid for sub-cell strains (frozen
     image/Ewald lists); whenever the accumulated strain exceeds
     ``re_anchor`` (or displacements exceed 5x ``step_max``) the function is
-    RE-ANCHORED at the current cell — one retrace, BFGS memory reset —
+    RE-ANCHORED at the current cell (one retrace; the BFGS curvature is
+    kept — the parametrization shift is second-order in the anchor strain)
     so arbitrarily large total relaxations stay on the true surface.
     """
     from fftisdf_tpu.scf import stress as scf_stress
