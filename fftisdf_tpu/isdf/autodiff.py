@@ -84,7 +84,7 @@ def make_evaluator_diff(cell, kpts=None, precision=None, dtype=jnp.float64,
 
 
 def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
-                  dtype=jnp.float64, remat=None):
+                  dtype=jnp.float64, remat=None, dev_mesh=None):
     """Differentiable (x_k, w_q) builder for a frozen interpolation-point set.
 
     Returns ``state(positions) -> (x_k, wq)``, jit/grad-compatible.  The
@@ -97,7 +97,15 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
     noise ~eps/rcond RELATIVE in the solve outputs (the recomputed
     ill-conditioned solve decorrelates from the forward's rounding), so the
     default is on only below f64 (where the f32 floor dominates anyway);
-    f64 validation gates keep the exact-residual path."""
+    f64 validation gates keep the exact-residual path.
+
+    ``dev_mesh``: a jax device mesh (parallel.make_device_mesh) — the state
+    and its reverse sweep run GSPMD-sharded in the same layout as the
+    non-differentiable sharded build (parallel.build): grid-sharded RHS,
+    one all-to-all into the sector layout, sectors vmapped locally.  GSPMD
+    differentiates the collectives, so the FORCE sweep scales over the mesh
+    too — the path to the (nk, ngrid, nip) RHS exceeding one chip's HBM at
+    the reference's 4x4x4 target mesh."""
     if remat is None:
         remat = dtype != jnp.float64
     m0 = cell.mesh if m0 is None else m0
@@ -125,6 +133,15 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
     fn_ckpt = jax.checkpoint(fn)
     rhs_ckpt = jax.checkpoint(_rhs_block)
 
+    if dev_mesh is not None:
+        from fftisdf_tpu.parallel.mesh import grid_sharding, sector_sharding
+        from jax.lax import with_sharding_constraint
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        gshard = grid_sharding(dev_mesh)
+        sshard = sector_sharding(dev_mesh)
+        cshard = NamedSharding(dev_mesh, PartitionSpec("d", None))
+
     def state(positions):
         phase = jax.lax.complex(
             jnp.asarray(phase_np.real, dtype=dtype),
@@ -133,7 +150,10 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
             jnp.cos(jnp.asarray(tqr, dtype=dtype)),
             jnp.sin(jnp.asarray(tqr, dtype=dtype))).astype(cdtype)
         x_k = fn(jnp.asarray(coords_sel, dtype=dtype), positions)
-        f_k = fn_ckpt(jnp.asarray(coords, dtype=dtype), positions)
+        coords_j = jnp.asarray(coords, dtype=dtype)
+        if dev_mesh is not None:
+            coords_j = with_sharding_constraint(coords_j, cshard)
+        f_k = fn_ckpt(coords_j, positions)
         x4_k = _stripe_quartic(x_k, phase)
         y = rhs_ckpt(f_k, x_k, phase)
 
@@ -147,9 +167,17 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
         from fftisdf_tpu.linalg.solvers import FIT_FACTOR_POLICY
         pq = (jax.checkpoint(per_q, policy=FIT_FACTOR_POLICY) if remat
               else per_q)
-        wq = jax.lax.map(pq, (x4_k, y, jnp.asarray(coulG, dtype=dtype),
-                              eiqr))
-        return x_k, wq
+        cg_all = jnp.asarray(coulG, dtype=dtype)
+        if dev_mesh is None:
+            wq = jax.lax.map(pq, (x4_k, y, cg_all, eiqr))
+            return x_k, wq
+        # sharded: grid-layout y -> all-to-all -> sector layout; local
+        # sectors vmapped (same GSPMD design as parallel.build)
+        y = with_sharding_constraint(y, gshard)
+        y = with_sharding_constraint(y, sshard)
+        wq = jax.vmap(lambda x4_q, y_q, cg, ph: pq((x4_q, y_q, cg, ph)))(
+            x4_k, y, cg_all, eiqr)
+        return x_k, with_sharding_constraint(wq, sshard)
 
     return state
 

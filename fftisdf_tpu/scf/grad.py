@@ -64,7 +64,8 @@ def ewald_fn(cell, eta=None, dtype=jnp.float64):
 
 
 def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
-                   mask=None, m0=None, solver="ridge", rcond=1e-10):
+                   mask=None, m0=None, solver="ridge", rcond=1e-10,
+                   dev_mesh=None):
     """Differentiable total-energy Lagrangian.
 
     Returns ``energy(positions, dm, wdm) -> float`` with
@@ -115,7 +116,7 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
     if two_electron == "isdf":
         assert mask is not None, "isdf backend needs the frozen mask"
         state = isdf_state_fn(cell, kpts, mask, m0=m0, solver=solver,
-                              rcond=rcond, dtype=dtype)
+                              rcond=rcond, dtype=dtype, dev_mesh=dev_mesh)
         # phase kept as REAL host parts; the complex array is built inside
         # the trace (complex host constants embedded as jit closures
         # round-trip through the host and fail on the TPU tunnel)
@@ -236,7 +237,8 @@ def _default_dtype():
             and jax.config.jax_enable_x64 else jnp.float32)
 
 
-def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None):
+def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
+                 dev_mesh=None):
     """A reusable gradient evaluator: ``fn(mf) -> (grad (natm,3), E)``.
 
     The value-and-grad jit is traced ONCE for the given lattice/mesh/basis
@@ -253,7 +255,8 @@ def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None):
     kw = {}
     if two_electron == "isdf":
         assert df is not None and df.mask is not None
-        kw = dict(mask=df.mask, m0=df.m0, solver=df.solver, rcond=df.rcond)
+        kw = dict(mask=df.mask, m0=df.m0, solver=df.solver, rcond=df.rcond,
+                  dev_mesh=dev_mesh)
     e_fn = make_energy_fn(cell, kpts, dtype=dtype,
                           two_electron=two_electron, **kw)
     vag = jax.jit(jax.value_and_grad(e_fn))

@@ -73,3 +73,42 @@ def test_sharded_on_subset_mesh(he2k8):
     df1 = FFTISDF(cell, kpts, c0=8.0, m0=(5, 5, 7), verbose=0).build()
     dm = trs_dm(cell, kpts, df1.x_k.shape[2])[0]
     _jk_close(df, df1, dm, 1e-6)
+
+
+def test_sharded_force_state_gradient_matches_single(he2k8):
+    """The GSPMD-sharded differentiable ISDF state (dev_mesh in
+    isdf_state_fn) must reproduce the single-device gradient: GSPMD
+    differentiates the grid->sector all-to-all, so the force sweep scales
+    over the mesh like the build does."""
+    from fftisdf_tpu.isdf.autodiff import isdf_state_fn
+    from fftisdf_tpu.isdf.eri import assemble_eri
+    from fftisdf_tpu.lattice import kpoints as kpt_mod
+
+    cell, kpts = he2k8
+    df = FFTISDF(cell, kpts, c0=10.0, m0=(5, 5, 7), verbose=0).build()
+    k2c = kpt_mod.get_kconserv2(cell, kpts)
+    nao = df.x_k.shape[2]
+    rng = np.random.default_rng(1)
+    probe = jnp.asarray(rng.standard_normal((nao,) * 4)
+                        + 1j * rng.standard_normal((nao,) * 4))
+    pos0 = jnp.asarray([x for _, x in cell.atom])
+
+    def grad_with(dev_mesh):
+        state = isdf_state_fn(cell, kpts, df.mask, m0=df.m0,
+                              dev_mesh=dev_mesh)
+
+        def scalar(positions, probe):
+            x_k, wq = state(positions)
+            q = int(k2c[0, 1])
+            eri = assemble_eri(wq[q], x_k[0], x_k[1], x_k[1], x_k[0])
+            return jnp.real(jnp.sum(probe * eri))
+
+        return jax.jit(jax.value_and_grad(scalar))(pos0, probe)
+
+    v1, g1 = grad_with(None)
+    v2, g2 = grad_with(make_device_mesh())
+    np.testing.assert_allclose(float(v2), float(v1), atol=1e-10)
+    # eps/rcond-amplified solve noise bounds cross-layout agreement
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=2e-5 * max(1.0,
+                                               float(np.abs(g1).max())))
