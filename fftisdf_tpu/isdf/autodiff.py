@@ -84,7 +84,8 @@ def make_evaluator_diff(cell, kpts=None, precision=None, dtype=jnp.float64,
 
 
 def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
-                  dtype=jnp.float64, remat=None, dev_mesh=None):
+                  dtype=jnp.float64, remat=None, dev_mesh=None,
+                  use_trs=True):
     """Differentiable (x_k, w_q) builder for a frozen interpolation-point set.
 
     Returns ``state(positions) -> (x_k, wq)``, jit/grad-compatible.  The
@@ -105,7 +106,13 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
     one all-to-all into the sector layout, sectors vmapped locally.  GSPMD
     differentiates the collectives, so the FORCE sweep scales over the mesh
     too — the path to the (nk, ngrid, nip) RHS exceeding one chip's HBM at
-    the reference's 4x4x4 target mesh."""
+    the reference's 4x4x4 target mesh.
+
+    ``use_trs``: time-reversal halving (w_{-q} = conj(w_q), real AOs — the
+    same trick the build uses): only canonical sectors run the solve+FFT
+    stage, mirrors are conjugate-scattered; the scatter is differentiable
+    so the reverse sweep halves too.  Applied on the single-device path
+    (the sharded layout keeps all sectors for an even GSPMD partition)."""
     if remat is None:
         remat = dtype != jnp.float64
     m0 = cell.mesh if m0 is None else m0
@@ -132,6 +139,22 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
     # in the backward pass bounds live memory at ~y + f_k + one sector.
     fn_ckpt = jax.checkpoint(fn)
     rhs_ckpt = jax.checkpoint(_rhs_block)
+
+    # TRS canonical-sector selection (host constants; see docstring)
+    nk = len(np.asarray(kpts))
+    qsel = trs_order = trs_conj = None
+    if use_trs and dev_mesh is None:
+        s_kpts = cell.get_scaled_kpts(np.asarray(kpts))
+        mirror = np.array([kpt_mod.member(-s_kpts[q], s_kpts)
+                           for q in range(nk)])
+        cand = np.array([q for q in range(nk) if q <= mirror[q]])
+        if len(cand) < nk:
+            qsel = cand
+            pos_of = {int(q): i for i, q in enumerate(cand)}
+            trs_order = np.array([pos_of[q] if q in pos_of
+                                  else pos_of[int(mirror[q])]
+                                  for q in range(nk)])
+            trs_conj = np.array([q not in pos_of for q in range(nk)])
 
     if dev_mesh is not None:
         from fftisdf_tpu.parallel.mesh import grid_sharding, sector_sharding
@@ -169,7 +192,15 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
               else per_q)
         cg_all = jnp.asarray(coulG, dtype=dtype)
         if dev_mesh is None:
-            wq = jax.lax.map(pq, (x4_k, y, cg_all, eiqr))
+            if qsel is not None:
+                qs = jnp.asarray(qsel)
+                wq_sel = jax.lax.map(pq, (x4_k[qs], y[qs], cg_all[qs],
+                                          eiqr[qs]))
+                wq = wq_sel[jnp.asarray(trs_order)]
+                wq = jnp.where(jnp.asarray(trs_conj)[:, None, None],
+                               wq.conj(), wq)
+            else:
+                wq = jax.lax.map(pq, (x4_k, y, cg_all, eiqr))
             return x_k, wq
         # sharded: grid-layout y -> all-to-all -> sector layout; local
         # sectors vmapped (same GSPMD design as parallel.build)

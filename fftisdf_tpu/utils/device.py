@@ -57,6 +57,8 @@ def to_device(x, dtype=None):
                                 and x.dtype == np.complex128) else jnp.complex64
     if dtype is not None:
         cdtype = dtype
+    if cdtype == jnp.complex128 and not jax.config.jax_enable_x64:
+        cdtype = jnp.complex64   # silently truncated anyway; skip the warn
     rdtype = jnp.float64 if cdtype == jnp.complex128 else jnp.float32
     re = jnp.asarray(np.ascontiguousarray(x.real), dtype=rdtype)
     im = jnp.asarray(np.ascontiguousarray(x.imag), dtype=rdtype)
