@@ -61,14 +61,28 @@ def _default_refine(a, refine):
 
 def _jacobi(a):
     """Two-sided diagonal (Jacobi) scaling: (d, dinv, D a D) with
-    D = diag(a)^-1/2, zero-guarded.  Collapses the amplitude-driven part of
-    the condition number before factorization."""
+    D = diag(a)^-1/2, noise-guarded.  Collapses the amplitude-driven part of
+    the condition number before factorization.
+
+    Rows whose diagonal sits at the roundoff floor (< n*eps*dmax — the
+    absolute noise of a gram-like accumulation) are DROPPED (d=0): their
+    off-diagonals violate Cauchy-Schwarz by noise alone, and scaling them by
+    1/sqrt(noise) makes the scaled matrix indefinite at O(1) — Cholesky then
+    NaNs, which poisons reverse-mode sweeps even through unused sectors.
+    Kept rows are additionally clamped to the |a_ij| <= sqrt(a_ii a_jj)
+    Cauchy-Schwarz bound (|scaled| <= 1), a noise-level projection for any
+    exactly-PSD matrix."""
     dscale = jnp.real(jnp.diagonal(a))
     dmax = jnp.max(jnp.abs(dscale))
-    dok = dscale > 1e-30 * dmax
+    eps = jnp.finfo(dscale.dtype).eps
+    dok = dscale > (a.shape[-1] * eps) * dmax
     d = jnp.where(dok, 1.0 / jnp.sqrt(jnp.where(dok, dscale, 1.0)), 0.0)
     dinv = jnp.where(dok, jnp.sqrt(jnp.where(dok, dscale, 1.0)), 0.0)
-    return d, dinv, a * d[:, None] * d[None, :]
+    a_s = a * d[:, None] * d[None, :]
+    # stop_gradient: |.| is non-smooth at 0 (reverse-mode NaN) and the clamp
+    # only ever rescales noise-level entries
+    a_s = a_s / jnp.maximum(1.0, jax.lax.stop_gradient(jnp.abs(a_s)))
+    return d, dinv, a_s
 
 
 def _ridge_factor(a, rcond):
