@@ -249,6 +249,20 @@ def _chunk_pipeline(coords_p, x_k, phase_full, phase_cols, x4_c, coulG_c,
     return jax.lax.map(per_q, (x4_c, y, coulG_c, eiqr_c))
 
 
+def clear_build_caches():
+    """Evict the compiled build-stage executables.
+
+    ``_chunk_pipeline`` is keyed on the (static) AO evaluator, whose cache
+    lives on the cell: per-geometry rebuild loops (e.g. the scf.optimize
+    isdf path, which builds a fresh FFTISDF on a fresh cell every step)
+    create a new static identity per geometry, so without eviction compiled
+    executables accumulate in the global jit cache over a long relaxation
+    (round-1 advisor finding).  Call once per geometry before the rebuild;
+    the entries of the new build itself stay warm across its chunks."""
+    _chunk_pipeline.clear_cache()
+    _solve_coulomb_q.clear_cache()
+
+
 @dataclass
 class FFTISDF:
     """Interpolative separable density fitting with FFT Coulomb kernels.
@@ -474,8 +488,11 @@ class FFTISDF:
         # latency; it doubles as the queue drain for the timing log).
         ranks = np.asarray(jnp.concatenate(
             [jnp.atleast_1d(r) for r in rank_parts]))
+        # introspection for benchmarking/roofline accounting (bench.py)
+        self._nsec_solved = len(qsel)
+        self._nchunks = -(-len(qsel) // qchunk)
         log.info("build: %d/%d sectors solved in %d chunk(s), fit ranks %s "
-                 "(%.2fs)", len(qsel), nk, -(-len(qsel) // qchunk), ranks[:8],
+                 "(%.2fs)", len(qsel), nk, self._nchunks, ranks[:8],
                  time.perf_counter() - t0)
 
         self.x_k = x_k
@@ -494,9 +511,18 @@ class FFTISDF:
             # (probe-charge Madelung correction) is supported beyond it
             raise NotImplementedError(f"exxdiv={exxdiv!r} not supported")
         if kpts_band is not None:
-            raise NotImplementedError("kpts_band != kpts not supported "
-                                      "(matches ref fftisdf.py:194); use "
-                                      "scf.KRHF.get_bands for band energies")
+            # served from the product state via per-pair re-fits (the
+            # reference guards this out, fftisdf.py:194; round-2 item #7)
+            if exxdiv is not None:
+                raise NotImplementedError(
+                    "exxdiv with kpts_band: the Madelung correction needs "
+                    "the density at the band point (mesh points only) — "
+                    "apply it at the SCF layer (scf.hf does)")
+            from fftisdf_tpu.isdf.bands import get_jk_bands
+
+            vj_b, vk_b = get_jk_bands(self, dm_kpts, kpts_band,
+                                      with_j=with_j, with_k=with_k)
+            return vj_b, vk_b
         from fftisdf_tpu.isdf import jk as jk_mod
 
         assert self.x_k is not None, "call build() first"

@@ -58,13 +58,20 @@ def kpts_to_kmesh(cell: Cell, kpts: np.ndarray) -> np.ndarray:
     return kmesh
 
 
-def member(kpt_scaled: np.ndarray, kpts_scaled: np.ndarray, tol=1e-8) -> int:
-    """Index of ``kpt_scaled`` in ``kpts_scaled`` modulo reciprocal vectors."""
+def member(kpt_scaled: np.ndarray, kpts_scaled: np.ndarray, tol=1e-8,
+           strict=True) -> int:
+    """Index of ``kpt_scaled`` in ``kpts_scaled`` modulo reciprocal vectors.
+
+    ``strict=False`` returns -1 for a missing (or ambiguous) point instead
+    of raising, so callers can branch on membership (e.g. off-mesh band
+    points, shifted meshes without time-reversal partners)."""
     diff = kpts_scaled - kpt_scaled[None, :]
     diff = diff - np.rint(diff)
     hit = np.where(np.all(np.abs(diff) < tol, axis=1))[0]
     if len(hit) != 1:
-        raise ValueError("k-point not found (or degenerate) in list")
+        if strict:
+            raise ValueError("k-point not found (or degenerate) in list")
+        return -1
     return int(hit[0])
 
 

@@ -48,7 +48,7 @@ def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None):
 
 def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
                pair_chunk=256, ao_band=None, kpts_band=None,
-               g0_thresh=1e-12):
+               g0_thresh=1e-12, g0_argmin_thresh=None):
     """Exchange matrix vk[k1] from AO values; exact pairwise Poisson solves.
 
     The nk^2 (k1, k2) pairs run through a compiled ``lax.map`` body
@@ -60,15 +60,24 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
     k-points instead — pairs become (band kb, mesh k2) and the result is
     (nb, nao, nao).  The density matrix always lives on the mesh kpts.
 
-    ``g0_thresh``: the Coulomb kernel sample with |q+G|^2 below this is
+    ``g0_thresh``: Coulomb kernel samples with |q+G|^2 below this are
     excluded.  On the mesh the default 1e-12 removes exactly the singular
-    q+G = 0 term (the exxdiv=None convention).  For off-mesh band points no
-    sample is exactly zero, but one falls arbitrarily close to the BZ
-    singularity and produces O(1/|delta|^2 / nk) artifacts in the bands;
-    band callers pass (half the minimum BvK q-lattice spacing)^2 so the one
-    sample inside the singular Wigner-Seitz cell is excluded — the exact
-    generalization of the mesh convention (identical at mesh points, same
-    infinite-mesh limit)."""
+    q+G = 0 term (the exxdiv=None convention).
+
+    ``g0_argmin_thresh`` (band paths): for off-mesh band points no sample is
+    exactly zero, but one falls arbitrarily close to the BZ singularity and
+    produces O(1/|delta|^2 / nk) artifacts.  When set, *exactly the
+    argmin-|q+G|^2 sample* of each (row, mesh) pair is excluded iff its
+    |q+G|^2 is strictly below this threshold.  Callers pass
+    (minimum q-lattice plane spacing dmin)^2: at mesh points the rule then
+    reduces exactly to dropping the q+G = 0 term (off-diagonal pairs have
+    argmin = dmin^2, not strictly below), while off-mesh it excludes exactly
+    one sample for any folded q closer than dmin to the singular lattice —
+    in particular everywhere between the inscribed sphere and the
+    Wigner-Seitz boundary, where a fixed (dmin/2)^2 *radius* rule excluded
+    nothing and flipped the exclusion count 0/1 across the BZ (round-1
+    advisor finding).  Argmin selection (not a radius) is what keeps the
+    count at one near Wigner-Seitz corners, where several images tie."""
     mesh = cell.mesh if mesh is None else mesh
     fmesh = tuple(int(m) for m in mesh)
     if coords is None:
@@ -98,9 +107,14 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
         rho = (ao1.conj()[:, :, None] * ao2[:, None, :]).reshape(ng, -1)
         gk = gv + q[None, :]
         absg2 = jnp.sum(gk * gk, axis=1)
-        coulG = jnp.where(absg2 > g0_thresh,
-                          4.0 * jnp.pi / jnp.where(absg2 > g0_thresh,
-                                                   absg2, 1.0),
+        keep = absg2 > g0_thresh
+        if g0_argmin_thresh is not None:
+            imin = jnp.argmin(absg2)
+            near = (jnp.arange(absg2.shape[0]) == imin) & (
+                absg2[imin] < g0_argmin_thresh)
+            keep = keep & ~near
+        coulG = jnp.where(keep,
+                          4.0 * jnp.pi / jnp.where(keep, absg2, 1.0),
                           0.0)
         work = fft3((rho * eiqr.conj()[:, None]).T, fmesh) * coulG
         v = (ifft3(work, fmesh) * eiqr[None, :]).T.reshape(ng, nao, nao)

@@ -65,14 +65,24 @@ def ewald_fn(cell, eta=None, dtype=jnp.float64):
 
 def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                    mask=None, m0=None, solver="ridge", rcond=1e-10,
-                   dev_mesh=None):
+                   dev_mesh=None, exxdiv=None):
     """Differentiable total-energy Lagrangian.
 
     Returns ``energy(positions, dm, wdm) -> float`` with
     dm (nk, nao, nao) [RHF, trace = nelec per k] or (2, nk, nao, nao) [UHF],
     wdm the matching energy-weighted density.  ``two_electron='isdf'``
-    additionally needs ``mask``/``m0`` from a prior FFTISDF build."""
+    additionally needs ``mask``/``m0`` from a prior FFTISDF build.
+
+    ``exxdiv`` must match the Fock the density was converged with: for
+    'ewald' the Madelung exchange term -fac*mad/nk sum_k tr(D S D S) is part
+    of the functional (its S(R) dependence is a Pulay-sized force
+    contribution), and omitting it would evaluate a gradient of the WRONG
+    functional at a density that is not stationary for it."""
+    if exxdiv not in (None, "ewald"):
+        raise NotImplementedError(f"exxdiv={exxdiv!r} gradients")
     kpts = np.asarray(kpts)
+    mad = (float(integrals.madelung(cell, kpt_mod.kpts_to_kmesh(cell, kpts)))
+           if exxdiv == "ewald" else None)
     nk = len(kpts)
     coords = cell.gen_uniform_grids()
     ngrid = coords.shape[0]
@@ -200,6 +210,13 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         e1 = jnp.sum(jnp.einsum("kmn,knm->k", dm_tot, h)).real / nk
         e2 = (e2_isdf(positions, dm) if two_electron == "isdf"
               else e2_pw(positions, f_k, dm))
+        if mad is not None:
+            # exxdiv='ewald' Madelung exchange: vk += mad * S D S per spin
+            # channel => E += -fac*mad/nk sum tr(D S D S); S(R) traced
+            sds = jnp.einsum("kmp,...kpq,kqn->...kmn", s, dm, s)
+            fac = -0.5 if dm.ndim == 4 else -0.25
+            e2 = e2 + fac * mad / nk * jnp.sum(
+                jnp.einsum("...kmn,...knm->...k", dm, sds)).real
         pulay = -jnp.sum(jnp.einsum("kmn,knm->k", wdm_tot, s)).real / nk
         return e1 + e2 + pulay + w_trace + e_nn(positions)
 
@@ -238,7 +255,7 @@ def _default_dtype():
 
 
 def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
-                 dev_mesh=None):
+                 dev_mesh=None, exxdiv=None):
     """A reusable gradient evaluator: ``fn(mf) -> (grad (natm,3), E)``.
 
     The value-and-grad jit is traced ONCE for the given lattice/mesh/basis
@@ -258,12 +275,19 @@ def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
         kw = dict(mask=df.mask, m0=df.m0, solver=df.solver, rcond=df.rcond,
                   dev_mesh=dev_mesh)
     e_fn = make_energy_fn(cell, kpts, dtype=dtype,
-                          two_electron=two_electron, **kw)
+                          two_electron=two_electron, exxdiv=exxdiv, **kw)
     vag = jax.jit(jax.value_and_grad(e_fn))
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
     def fn(mf):
         assert getattr(mf, "dm", None) is not None, "run mf.kernel() first"
+        mf_ex = getattr(mf, "exxdiv", None)
+        if mf_ex != exxdiv:
+            raise ValueError(
+                f"mf was converged with exxdiv={mf_ex!r} but this gradient "
+                f"evaluator was built with exxdiv={exxdiv!r}; pass the "
+                "matching exxdiv to make_grad_fn (the density is only "
+                "stationary for the functional it was converged with)")
         wdm, w_trace = energy_weighted_dm(mf)
         positions = jnp.asarray(mf.cell.atom_coords(), dtype=dtype)
         dm = to_device(np.asarray(mf.dm).astype(np.complex128), dtype=cdtype)
@@ -282,6 +306,8 @@ def kernel(mf, two_electron="pw", df=None, dtype=None):
     ISDF approximant of ``df`` (a built FFTISDF) at its frozen interpolation
     points; 'pw' differentiates the exact plane-wave energy.  The whole
     value-and-grad sweep runs under one jit (complex math never dispatches
-    eagerly; complex inputs cross the host boundary via utils.device)."""
+    eagerly; complex inputs cross the host boundary via utils.device).
+    ``mf.exxdiv`` is honored (the 'ewald' Madelung S-term is part of the
+    traced Lagrangian)."""
     return make_grad_fn(mf.cell, mf.kpts, two_electron=two_electron, df=df,
-                        dtype=dtype)(mf)
+                        dtype=dtype, exxdiv=getattr(mf, "exxdiv", None))(mf)

@@ -30,19 +30,28 @@ class _FrozenPointDF:
     re-fitted at a displaced geometry ((x_k, wq) arrays, not a full build).
     Mirrors FFTISDF.get_jk's calling convention for the SCF drivers."""
 
-    def __init__(self, x_k, wq, phase):
+    def __init__(self, x_k, wq, phase, s1e=None, mad=None):
         import jax.numpy as jnp
         from fftisdf_tpu.utils.device import to_device
 
         self.x_k, self.wq = x_k, wq
         self.phase = to_device(phase, dtype=wq.dtype)
+        # for exxdiv='ewald' serving: the displaced geometry's overlap and
+        # the (geometry-independent) Madelung constant
+        self.s1e = None if s1e is None else to_device(s1e, dtype=wq.dtype)
+        self.mad = mad
         self._jnp = jnp
 
     def get_jk(self, dm_kpts, with_j=True, with_k=True, exxdiv=None,
                omega=None, kpts_band=None):
-        if exxdiv is not None or omega is not None or kpts_band is not None:
+        if exxdiv not in (None, "ewald") or omega is not None \
+                or kpts_band is not None:
             raise NotImplementedError(
-                "FrozenPointDF supports plain exxdiv=None J/K only")
+                "FrozenPointDF supports exxdiv in (None, 'ewald') J/K only")
+        if exxdiv == "ewald" and (self.s1e is None or self.mad is None):
+            raise NotImplementedError(
+                "construct _FrozenPointDF with (s1e, mad) for "
+                "exxdiv='ewald' serving")
         import jax
         from functools import partial
         from fftisdf_tpu.isdf import jk as jk_mod
@@ -53,19 +62,27 @@ class _FrozenPointDF:
             dm_kpts, jax.Array) else dm_kpts.ndim == 3
         dm = to_device(dm_kpts, dtype=self.wq.dtype)
 
-        @partial(jax.jit, static_argnames=("with_j", "with_k", "single"))
-        def _kernel(x_k, wq, phase, dm, with_j, with_k, single):
+        @partial(jax.jit,
+                 static_argnames=("with_j", "with_k", "single", "ewald"))
+        def _kernel(x_k, wq, phase, dm, s1e, mad, with_j, with_k, single,
+                    ewald):
             if single:
                 dm = dm[None]
             vj = jk_mod.get_j_kpts(x_k, wq[0], dm) if with_j else None
             vk = jk_mod.get_k_kpts(x_k, wq, phase, dm) if with_k else None
+            if with_k and ewald:
+                vk = jk_mod.add_ewald_exx(vk, s1e, dm, mad)
             if single:
                 vj = None if vj is None else vj[0]
                 vk = None if vk is None else vk[0]
             return vj, vk
 
-        return _kernel(self.x_k, self.wq, self.phase, dm,
-                       with_j=with_j, with_k=with_k, single=single)
+        ewald = exxdiv == "ewald"
+        s1e = self.s1e if ewald else jnp.zeros(())
+        mad = self.mad if ewald else 0.0
+        return _kernel(self.x_k, self.wq, self.phase, dm, s1e, mad,
+                       with_j=with_j, with_k=with_k, single=single,
+                       ewald=ewald)
 
 
 def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
@@ -88,8 +105,9 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
     x0 = np.asarray(cell.atom_coords(), dtype=np.float64)
     natm = len(x0)
     n = 3 * natm
+    mf_exxdiv = getattr(mf, "exxdiv", None)
     grad_fn = scf_grad.make_grad_fn(cell, mf.kpts, two_electron=two_electron,
-                                    df=df)
+                                    df=df, exxdiv=mf_exxdiv)
     if two_electron == "isdf":
         import jax
         import jax.numpy as jnp
@@ -100,6 +118,13 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
                                       solver=df.solver, rcond=df.rcond,
                                       dtype=dt))
         phase_host = df.phase
+        mad = None
+        if mf_exxdiv == "ewald":
+            from fftisdf_tpu.lattice import kpoints as kpt_mod
+            from fftisdf_tpu.scf.integrals import madelung
+
+            mad = float(madelung(cell, kpt_mod.kpts_to_kmesh(cell,
+                                                             mf.kpts)))
 
     def grad_at(positions):
         new_cell = cell.copy(
@@ -108,7 +133,10 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
         new_mf = _clone_mf(mf, new_cell)
         if two_electron == "isdf":
             x_k, wq = state(jnp.asarray(positions, dtype=dt))
-            new_mf.with_df = _FrozenPointDF(x_k, wq, phase_host)
+            # new_mf's overlap is the displaced geometry's (computed in
+            # _clone_mf's __post_init__) — what ewald exx must contract with
+            new_mf.with_df = _FrozenPointDF(x_k, wq, phase_host,
+                                            s1e=new_mf.s1e, mad=mad)
         new_mf.kernel(dm0=mf.dm)
         if not new_mf.converged:
             raise RuntimeError("SCF did not converge at a displaced "

@@ -354,10 +354,10 @@ class KRHF:
         s1e_b = to_host(integrals.get_ovlp(cell, aob))
         h1e_b = to_host(integrals.get_hcore(cell, aob, kpts_band, coords))
         dm = to_device(dm, dtype=self._ao.dtype)
-        # exclude the exchange-kernel sample inside the singular BvK
-        # Wigner-Seitz cell: radius = half the minimum q-lattice plane
-        # distance (at mesh points this reduces to dropping exactly the
-        # q+G = 0 term; see pw.jk.get_k_kpts docstring)
+        # exclude exactly the argmin-|q+G|^2 exchange-kernel sample of
+        # each (band, mesh) pair when it is strictly inside dmin of the
+        # singular lattice (at mesh points this reduces to dropping exactly
+        # the q+G = 0 term; see pw.jk.get_k_kpts docstring)
         from fftisdf_tpu.lattice import kpoints as kpt_mod
 
         kmesh = np.asarray(kpt_mod.kpts_to_kmesh(cell, self.kpts),
@@ -367,21 +367,25 @@ class KRHF:
         dmin = min(volq / np.linalg.norm(
             np.cross(qlat[(i + 1) % 3], qlat[(i + 2) % 3]))
             for i in range(3))
-        g0_thresh = (0.5 * dmin) ** 2
-        if dm.ndim == 4:   # spin channels (KUHF)
+        g0_argmin_thresh = dmin ** 2
+        if getattr(self.with_df, "wq", None) is not None:
+            # ISDF-backed SCF: serve band J/K from the product state too
+            # (per-pair re-fit, isdf.bands) instead of the exact-PW sweep
+            vj_b, vk_b = self.with_df.get_jk(dm, kpts_band=kpts_band)
+        elif dm.ndim == 4:   # spin channels (KUHF)
             vj_b = jnp.stack([pw_jk.get_j_kpts(cell, d, self._ao,
                                                ao_band=aob) for d in dm])
             vk_b = jnp.stack([
                 pw_jk.get_k_kpts(cell, d, self._ao, self.kpts, coords=coords,
                                  ao_band=aob, kpts_band=kpts_band,
-                                 g0_thresh=g0_thresh)
+                                 g0_argmin_thresh=g0_argmin_thresh)
                 for d in dm])
         else:
             vj_b = pw_jk.get_j_kpts(cell, dm, self._ao, ao_band=aob)
             vk_b = pw_jk.get_k_kpts(cell, dm, self._ao, self.kpts,
                                     coords=coords, ao_band=aob,
                                     kpts_band=kpts_band,
-                                    g0_thresh=g0_thresh)
+                                    g0_argmin_thresh=g0_argmin_thresh)
         if self.exxdiv == "ewald":
             # the probe-charge correction needs the density *at the band
             # k-point*; it exists only where the band point lies on the SCF
@@ -392,7 +396,7 @@ class KRHF:
 
             scaled = self.cell.get_scaled_kpts(kpts_band)
             smesh = self.cell.get_scaled_kpts(self.kpts)
-            idx = [kpt_mod.member(s, smesh) for s in scaled]
+            idx = [kpt_mod.member(s, smesh, strict=False) for s in scaled]
             if any(i < 0 for i in idx):
                 raise ValueError(
                     "exxdiv='ewald' band energies are defined only at the "

@@ -79,7 +79,9 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
     # image lists are exact for the sub-cell steps taken here).  The ISDF
     # backend re-selects interpolation points per geometry, so its state fn
     # is rebuilt inside scf_at.
-    pw_grad = (scf_grad.make_grad_fn(cell, mf.kpts, two_electron="pw")
+    mf_exxdiv = getattr(mf, "exxdiv", None)
+    pw_grad = (scf_grad.make_grad_fn(cell, mf.kpts, two_electron="pw",
+                                     exxdiv=mf_exxdiv)
                if two_electron == "pw" else None)
 
     def scf_at(positions, dm0):
@@ -90,6 +92,12 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
         df = None
         if two_electron == "isdf":
             from fftisdf_tpu.isdf import FFTISDF
+            from fftisdf_tpu.isdf.kpoint import clear_build_caches
+
+            # fresh cell each step => fresh (static) evaluator identity;
+            # evict the previous geometry's compiled build stages so the
+            # jit cache stays bounded over a long relaxation
+            clear_build_caches()
             df = FFTISDF(new_cell, mf.kpts, dtype=mf.dtype, verbose=0,
                          **(isdf_kwargs or {})).build()
             new_mf.with_df = df
@@ -172,7 +180,8 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
         drift = float(np.abs(x - x_anchor).max())
         if pw_grad is not None and drift > 1.0:
             pw_grad = scf_grad.make_grad_fn(cur_mf.cell, mf.kpts,
-                                            two_electron="pw")
+                                            two_electron="pw",
+                                            exxdiv=mf_exxdiv)
             x_anchor = x.copy()
             log.info("relax: re-anchored gradient fn (displacement %.2f "
                      "bohr)", drift)
@@ -230,7 +239,9 @@ def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
     # reference Cartesian kpts would converge a different Hamiltonian and
     # break the stationarity the frozen-D gradient relies on
     kscaled0 = cell0.get_scaled_kpts(np.asarray(mf.kpts))
-    grad_fn = scf_stress.make_cell_grad_fn(cell0, mf.kpts, dtype=mf.dtype)
+    mf_exxdiv = getattr(mf, "exxdiv", None)
+    grad_fn = scf_stress.make_cell_grad_fn(cell0, mf.kpts, dtype=mf.dtype,
+                                           exxdiv=mf_exxdiv)
 
     def scf_at(eps, dfrac, dm0):
         A = a0 @ (np.eye(3) + eps)
@@ -341,7 +352,7 @@ def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
             frac0 = frac0 + dfrac_now
             grad_fn = scf_stress.make_cell_grad_fn(
                 cur_cell, kscaled0 @ cur_cell.reciprocal_vectors(),
-                dtype=mf.dtype)
+                dtype=mf.dtype, exxdiv=mf_exxdiv)
             x = np.zeros(n)
             # keep the BFGS curvature: the re-anchored parametrization
             # differs from the old one only at O(eps_anchor) — refreshing

@@ -159,8 +159,39 @@ def ewald_strain_fn(cell, dtype=jnp.float64, eta=None):
     return energy
 
 
+def madelung_strain_fn(cell, kmesh, dtype=jnp.float64):
+    """Strain-differentiable Madelung constant: ``mad(A) -> float`` with A
+    the traced unit-cell lattice matrix.  Same physics as
+    scf.integrals.madelung (probe unit charge + background on the
+    kmesh-scaled Born-von-Karman lattice), built on the differentiable
+    Ewald machinery so exxdiv='ewald' stress picks up d(mad)/d(eps)."""
+    a0 = np.asarray(cell.a)
+    km = np.asarray(kmesh, dtype=np.float64)
+    a_sc0 = km[:, None] * a0
+
+    class _Probe:
+        a = a_sc0
+        vol = float(abs(np.linalg.det(a_sc0)))
+
+        @staticmethod
+        def atom_charges():
+            return np.array([1.0])
+
+        @staticmethod
+        def atom_coords():
+            return np.zeros((1, 3))
+
+    e_probe = ewald_strain_fn(_Probe, dtype=dtype)
+    km_j = jnp.asarray(km, dtype=dtype)
+
+    def mad(A):
+        return -2.0 * e_probe(km_j[:, None] * A)
+
+    return mad
+
+
 def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
-                        df=None):
+                        df=None, exxdiv=None):
     """Differentiable Lagrangian L(eps, dfrac, dm, wdm, w_trace): the
     lattice strained as A = a0 @ (1 + eps) AND atoms displaced by dfrac
     (natm, 3) in fractional coordinates.  One reverse sweep yields the
@@ -171,7 +202,12 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
     ``two_electron='pw'`` (exact plane-wave) or ``'isdf'`` (the fast path):
     the frozen-interpolation-point ISDF approximant of ``df`` (a built
     FFTISDF) re-fitted under the traced deformation — the exact derivative
-    of the approximant, mirroring scf.grad's force semantics."""
+    of the approximant, mirroring scf.grad's force semantics.
+
+    ``exxdiv`` must match the converged Fock (scf.grad.make_energy_fn
+    docstring); under strain BOTH the Madelung constant and S trace."""
+    if exxdiv not in (None, "ewald"):
+        raise NotImplementedError(f"exxdiv={exxdiv!r} stress")
     kpts = np.asarray(kpts)
     nk = len(kpts)
     mesh = tuple(int(m) for m in cell.mesh)
@@ -214,6 +250,13 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
     hmat_j = jnp.asarray(hmat, dtype=dtype) if proj_shells else None
 
     e_nn = ewald_strain_fn(cell, dtype=dtype)
+
+    mad_fn = None
+    if exxdiv == "ewald":
+        from fftisdf_tpu.lattice import kpoints as kpt_mod
+
+        mad_fn = madelung_strain_fn(
+            cell, kpt_mod.kpts_to_kmesh(cell, kpts), dtype=dtype)
 
     if two_electron == "isdf":
         assert df is not None and df.mask is not None
@@ -352,9 +395,17 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         s_k = w * jnp.einsum("kgm,kgn->kmn", f_k.conj(), f_k)
         e_pulay = -jnp.sum(jnp.einsum("kmn,knm->k", wdm_tot, s_k)).real / nk
 
+        # ---- exxdiv='ewald': Madelung exchange, mad(A) and S(A) both traced
+        e_mad = 0.0
+        if mad_fn is not None:
+            sds = jnp.einsum("kmp,...kpq,kqn->...kmn", s_k, dm, s_k)
+            fac = -0.5 if dm.ndim == 4 else -0.25
+            e_mad = fac * mad_fn(A) / nk * jnp.sum(
+                jnp.einsum("...kmn,...knm->...k", dm, sds)).real
+
         if two_electron == "isdf":
             e_2e = e2_isdf(A, B, vol, positions, f_k, dm)
-            return (e_kin + e_loc + e_nl + e_pulay + e_2e + w_trace
+            return (e_kin + e_loc + e_nl + e_pulay + e_2e + e_mad + w_trace
                     + e_nn(A, dfrac))
 
         # ---- Hartree: (vol / 2 ngrid^2) sum_G coulG |FFT(n)|^2, G=0 dropped
@@ -402,13 +453,14 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         else:
             e_k = -0.25 * ex_pairs(dm)
 
-        return (e_kin + e_loc + e_nl + e_pulay + e_j + e_k + w_trace
+        return (e_kin + e_loc + e_nl + e_pulay + e_j + e_k + e_mad + w_trace
                 + e_nn(A, dfrac))
 
     return energy
 
 
-def make_cell_grad_fn(cell, kpts, dtype=None, two_electron="pw", df=None):
+def make_cell_grad_fn(cell, kpts, dtype=None, two_electron="pw", df=None,
+                      exxdiv=None):
     """Reusable evaluator ``fn(mf, eps, dfrac) -> (val, dL/deps, dL/ddfrac)``.
 
     One value-and-grad jit, traced once at the reference lattice, serves the
@@ -420,12 +472,19 @@ def make_cell_grad_fn(cell, kpts, dtype=None, two_electron="pw", df=None):
     if dtype is None:
         dtype = _default_dtype()
     e_fn = make_cell_energy_fn(cell, kpts, dtype=dtype,
-                               two_electron=two_electron, df=df)
+                               two_electron=two_electron, df=df,
+                               exxdiv=exxdiv)
     vag = jax.jit(jax.value_and_grad(e_fn, argnums=(0, 1)))
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
     def fn(mf, eps=None, dfrac=None):
         assert getattr(mf, "dm", None) is not None, "run mf.kernel() first"
+        mf_ex = getattr(mf, "exxdiv", None)
+        if mf_ex != exxdiv:
+            raise ValueError(
+                f"mf was converged with exxdiv={mf_ex!r} but this cell-"
+                f"gradient evaluator was built with exxdiv={exxdiv!r}; pass "
+                "the matching exxdiv to make_cell_grad_fn")
         natm = cell.natm
         eps = np.zeros((3, 3)) if eps is None else np.asarray(eps)
         dfrac = (np.zeros((natm, 3)) if dfrac is None
@@ -448,7 +507,8 @@ def kernel(mf, dtype=None, two_electron="pw", df=None):
     ``two_electron='isdf'`` differentiates the frozen-point ISDF approximant
     of ``df`` instead of the exact plane-wave energy."""
     val, g, _ = make_cell_grad_fn(mf.cell, mf.kpts, dtype=dtype,
-                                  two_electron=two_electron, df=df)(mf)
+                                  two_electron=two_electron, df=df,
+                                  exxdiv=getattr(mf, "exxdiv", None))(mf)
     sigma = 0.5 * (g + g.T) / float(mf.cell.vol)
     pressure = -np.trace(sigma) / 3.0
     return sigma, float(pressure), val
