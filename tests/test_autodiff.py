@@ -118,3 +118,62 @@ def test_trs_halving_state_and_gradient():
     scale = max(1.0, float(np.abs(np.asarray(g_full)).max()))
     np.testing.assert_allclose(np.asarray(g_trs), np.asarray(g_full),
                                atol=1e-5 * scale)
+
+
+def test_sector_chunked_state_and_gradient():
+    """max_memory_gb-driven sector chunking (the differentiable analog of
+    the build's qchunk — round-2 item #5): a budget forcing multi-chunk
+    sweeps must reproduce the single-shot state AND its gradient.  Uses a
+    1x1x3 mesh so TRS (2 canonical sectors) composes with chunking
+    (qchunk=1)."""
+    cell = Cell(
+        a=np.diag([5.0, 5.0, 6.0]),
+        atom=[("He", (2.5, 2.4, 2.0)), ("He", (2.5, 2.6, 4.1))],
+        basis={"He": [Shell(l=0, exps=np.array([1.0, 0.35]),
+                            coeffs=np.eye(2))]},
+        pseudo=None,
+        mesh=np.array([9, 9, 11]),
+        unit="bohr",
+        precision=1e-12,
+    ).build()
+    kpts = cell.get_kpts([1, 1, 3])
+    df = FFTISDF(cell, kpts, c0=12.0, m0=(7, 7, 9), verbose=0).build()
+    pos0 = jnp.asarray([x for _, x in cell.atom])
+    nao = df.x_k.shape[2]
+    rng = np.random.default_rng(3)
+    probe = jnp.asarray(rng.standard_normal((nao,) * 4))
+    k2c = kpt_mod.get_kconserv2(cell, kpts)
+
+    def vag_with(**kw):
+        # rcond=1e-8: chunked and single-shot sweeps differ by eps/rcond-
+        # amplified solve noise (different contraction orders; measured to
+        # scale exactly with 1/rcond, so this is noise, not a math bug)
+        state = isdf_state_fn(cell, kpts, df.mask, m0=df.m0, rcond=1e-8,
+                              **kw)
+
+        def scalar(positions, probe):
+            x_k, wq = state(positions)
+            q = int(k2c[0, 1])
+            eri = jnp.einsum("IJ,Im,In,Jk,Jl->mnkl", wq[q],
+                             x_k[0].conj(), x_k[1], x_k[1].conj(), x_k[0])
+            return jnp.real(jnp.sum(probe * eri))
+
+        return jax.jit(jax.value_and_grad(scalar))(pos0, probe)
+
+    v_ref, g_ref = vag_with()
+    # one canonical sector per chunk: ngrid*nip*16 bytes/sector, budget
+    # ~2 sectors total -> qchunk = 1 of the 2 canonical sectors
+    nip = df.x_k.shape[1]
+    per_sector_gb = 9 * 9 * 11 * nip * 16 / 1e9
+    v_c, g_c = vag_with(max_memory_gb=2 * per_sector_gb)
+    np.testing.assert_allclose(float(v_c), float(v_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_ref),
+                               atol=2e-6 * max(1.0,
+                                               float(np.abs(g_ref).max())))
+    # large budget: one chunk; same noise bound (the chunked path always
+    # recomputes its RHS with the column-restricted contraction)
+    v_1, g_1 = vag_with(max_memory_gb=1e3)
+    np.testing.assert_allclose(float(v_1), float(v_ref), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_1), np.asarray(g_ref),
+                               atol=2e-6 * max(1.0,
+                                               float(np.abs(g_ref).max())))

@@ -112,3 +112,64 @@ def test_sharded_force_state_gradient_matches_single(he2k8):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
                                atol=2e-5 * max(1.0,
                                                float(np.abs(g1).max())))
+
+
+def test_sharded_build_trs_halving(he2k8):
+    """kmesh [1,1,3]: sectors q=1,2 are mutual TRS mirrors, so the sharded
+    build solves only 2 of 3 sectors and conjugate-scatters the third —
+    must agree with the single-chip build (which does the same) AND with a
+    use_trs=False sharded build."""
+    cell, _ = he2k8
+    kpts = cell.get_kpts([1, 1, 3])
+    mesh = make_device_mesh()
+
+    df1 = FFTISDF(cell, kpts, c0=8.0, m0=(5, 5, 7), verbose=0).build()
+    df2 = FFTISDF(cell, kpts, c0=8.0, m0=(5, 5, 7), verbose=0)
+    build_sharded(df2, mesh)
+    df3 = FFTISDF(cell, kpts, c0=8.0, m0=(5, 5, 7), verbose=0,
+                  use_trs=False)
+    build_sharded(df3, mesh)
+
+    dm = trs_dm(cell, kpts, df1.x_k.shape[2])[0]
+    _jk_close(df2, df1, dm, 1e-6)
+    _jk_close(df3, df1, dm, 1e-6)
+
+
+def test_sharded_build_sector_chunked(he2k8):
+    """A max_memory_gb budget small enough that even the per-device share
+    of y exceeds it forces multi-chunk stage-1 sweeps; results must be
+    identical to the unchunked sharded build (chunking only re-orders the
+    sweep, it never changes the math)."""
+    cell, kpts = he2k8
+    mesh = make_device_mesh()
+    df1 = FFTISDF(cell, kpts, c0=10.0, m0=(5, 5, 7), verbose=0)
+    build_sharded(df1, mesh)
+
+    # per-sector y is 640*nip*16 bytes; pick a budget forcing qchunk <= 2
+    nip = df1.x_k.shape[1]
+    per_sector_gb = 640 * nip * 16 / 1e9
+    df2 = FFTISDF(cell, kpts, c0=10.0, m0=(5, 5, 7), verbose=0,
+                  max_memory_gb=2 * 2 * per_sector_gb / 8)
+    build_sharded(df2, mesh)
+    np.testing.assert_allclose(np.asarray(df2.wq), np.asarray(df1.wq),
+                               atol=1e-10)
+
+
+def test_sharded_build_refine_threaded(he2k8):
+    """The refine knob reaches the sharded sector solve: an explicit
+    refine=2 ridge build must agree with the single-chip build at the same
+    knobs (round-1 verdict: the sharded path silently dropped refine)."""
+    cell, kpts = he2k8
+    df1 = FFTISDF(cell, kpts, c0=8.0, m0=(5, 5, 7), verbose=0,
+                  solver="ridge", rcond=1e-8, refine=2).build()
+    df2 = FFTISDF(cell, kpts, c0=8.0, m0=(5, 5, 7), verbose=0,
+                  solver="ridge", rcond=1e-8, refine=2)
+    build_sharded(df2, make_device_mesh())
+    dm = trs_dm(cell, kpts, df1.x_k.shape[2])[0]
+    _jk_close(df2, df1, dm, 1e-8)
+    # and refine is not a no-op at this rcond: refine=0 differs more
+    df0 = FFTISDF(cell, kpts, c0=8.0, m0=(5, 5, 7), verbose=0,
+                  solver="ridge", rcond=1e-8, refine=0)
+    build_sharded(df0, make_device_mesh())
+    d20 = float(np.abs(np.asarray(df0.wq) - np.asarray(df2.wq)).max())
+    assert d20 > 1e-8
