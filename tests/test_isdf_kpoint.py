@@ -95,19 +95,54 @@ def test_full_rank_jk_exact(he2, he2_isdf_full):
 
 
 def test_compressed_eri_gate(he2):
+    """ALL nk^3 momentum-conserving quadruples, exactly like the reference's
+    validation loop (fftdf-with-k.py:218-235), at its 1e-4 gate."""
     cell, kpts, coords, ao = he2
     # compressed: parent grid + modest c0; gate at the reference's 1e-4
     df = FFTISDF(cell, kpts, c0=10.0, m0=(9, 9, 13), verbose=0).build()
     k3c = df.kconserv3()
-    quads = [(0, 0, 0, 0), (0, 1, 1, 0), (1, 0, 0, 1), (1, 1, 0, 0)]
-    for k1, k2, k3 in [(q[0], q[1], q[2]) for q in quads]:
-        k4 = k3c[k1, k2, k3]
-        q = kpts[k2] - kpts[k1]
-        eri_ref = np.asarray(get_eri_from_ao(
-            cell, (ao[k1], ao[k2], ao[k3], ao[k4]), q, coords))
-        eri_sol = np.asarray(df.get_eri((k1, k2, k3, k4)))
-        err = abs(eri_sol - eri_ref).max()
-        assert err < 1e-4, f"({k1},{k2},{k3},{k4}): {err:.2e}"
+    nk = len(kpts)
+    for k1 in range(nk):
+        for k2 in range(nk):
+            for k3 in range(nk):
+                k4 = k3c[k1, k2, k3]
+                q = kpts[k2] - kpts[k1]
+                eri_ref = np.asarray(get_eri_from_ao(
+                    cell, (ao[k1], ao[k2], ao[k3], ao[k4]), q, coords))
+                eri_sol = np.asarray(df.get_eri((k1, k2, k3, k4)))
+                err = abs(eri_sol - eri_ref).max()
+                assert err < 1e-4, f"({k1},{k2},{k3},{k4}): {err:.2e}"
+
+
+@pytest.mark.slow
+def test_compressed_eri_gate_diamond_dzvp():
+    """Compressed-ERI gate on diamond gth-dzvp — a basis with d functions,
+    matching the reference's lstsq-driver fixture (fftdf-with-k-lstsq.py:
+    191-210); sweeps all nk^3 quadruples at the 1e-4 gate."""
+    from fftisdf_tpu.lattice import structure
+
+    cell = structure.to_cell(*structure.bulk_diamond(), basis="gth-dzvp",
+                             pseudo="gth-pade", ke_cutoff=40.0)
+    kpts = cell.get_kpts([1, 1, 2])
+    coords = cell.gen_uniform_grids()
+    ao = np.asarray(eval_ao_kpts(cell, coords, kpts))
+    df = FFTISDF(cell, kpts, c0=20.0, verbose=0).build()
+    k3c = df.kconserv3()
+    nk = len(kpts)
+    scale = None
+    for k1 in range(nk):
+        for k2 in range(nk):
+            for k3 in range(nk):
+                k4 = k3c[k1, k2, k3]
+                q = kpts[k2] - kpts[k1]
+                eri_ref = np.asarray(get_eri_from_ao(
+                    cell, (ao[k1], ao[k2], ao[k3], ao[k4]), q, coords))
+                if scale is None:
+                    scale = abs(eri_ref).max()
+                eri_sol = np.asarray(df.get_eri((k1, k2, k3, k4)))
+                err = abs(eri_sol - eri_ref).max()
+                assert err < 1e-4 * max(1.0, scale), \
+                    f"({k1},{k2},{k3},{k4}): {err:.2e}"
 
 
 def test_solver_variants_agree(he2):
