@@ -11,7 +11,19 @@ vs_baseline > 1 means ISDF (including its one-time build) beats the exact
 plane-wave J/K build it replaces, at the reported accuracy.  On TPU the run
 uses f32/complex64 (no c128 on TPU); on CPU f64.
 
-Flags: --quick (smaller system), --system diamond|nio, --c0, --ke.
+Flags: --quick (smaller system), --system diamond|nio, --c0, --ke,
+--production (the reference driver's exact config: NiO 4x4x4,
+gth-dzvp-molopt-sr, ke_cutoff=200, c0=40, m0=[15,15,15] —
+``/root/reference/fftisdf.py:423-432,461-462`` — which exercises the
+HBM-budgeted sector chunking), --basis.
+
+FLOP / bandwidth accounting: closed-form real-FLOP counts of the dense
+algebra (complex GEMM = 8 mn k real flops, 3D FFT = 5 n log2 n per row) for
+the J/K serve and the build pipeline (AO evaluation excluded — counts are
+a lower bound), reported as achieved TFLOP/s and MFU against the chip peak
+(v5e: 197 TFLOP/s bf16; matmul precision 'highest' runs 6 bf16 passes per
+f32 product, so the f32 effective peak is ~197/6).  HBM-traffic estimates
+for the big streamed tensors give a bandwidth utilization bound (819 GB/s).
 """
 import argparse
 import json
@@ -21,15 +33,67 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+V5E_PEAK_BF16 = 197e12       # TFLOP/s per chip
+V5E_F32_PASSES = 6           # 'highest' matmul precision: 6-pass bf16
+V5E_HBM_BW = 819e9           # bytes/s
+
+
+def _gemm(m, n, k):
+    """Real FLOPs of a complex m x k @ k x n product."""
+    return 8.0 * m * n * k
+
+
+def _fft(rows, n):
+    """Real FLOPs of `rows` complex 3D FFTs of total size n."""
+    return 5.0 * rows * n * np.log2(max(n, 2))
+
+
+def jk_flops(nk, nao, nip, nimg):
+    """Counted FLOPs of one ISDF J+K serve (isdf.jk einsums)."""
+    j = (_gemm(nk * nip, 1, nao * nao)      # rho: kIm,kIn,xkmn -> xI
+         + _gemm(nip, 1, nip)               # w0 @ rho
+         + _gemm(nk * nip, nao * nao, 1))   # back-transform
+    k = (_gemm(nimg, nip * nip, nk)         # ws: Rq,qIJ -> RIJ
+         + _gemm(nk, nip * nao, nao) + _gemm(nk, nip * nip, nao)  # rhok
+         + _gemm(nimg, nip * nip, nk)       # rhos
+         + 2.0 * nimg * nip * nip           # elementwise vs
+         + _gemm(nk, nip * nip, nimg)       # back to k
+         + _gemm(nk, nip * nao, nip) + _gemm(nk, nao * nao, nip))  # sandwich
+    return j + k
+
+
+def build_flops(nk, nao, nip, ngrid, nimg, nsec, nchunk):
+    """Counted FLOPs of the build pipeline (RHS sweep repeated per chunk +
+    per-sector half-solve/FFT/gram; AO evaluation and selection excluded)."""
+    rhs_per_sweep = (_gemm(nk * ngrid, nip, nao)          # fx_k
+                     + _gemm(nimg, ngrid * nip, nk))      # stripe in
+    rhs_cols = _gemm(nsec, ngrid * nip, nimg)             # stripe out (cols)
+    per_sector = (_gemm(nip, ngrid, nip)                  # H B half pass
+                  + _fft(nip, ngrid)                      # FFT Coulomb
+                  + 2.0 * nip * ngrid                     # kernel scale
+                  + _gemm(nip, nip, ngrid))               # G K G^H gram
+    return nchunk * rhs_per_sweep + rhs_cols + nsec * per_sector
+
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--production", action="store_true",
+                   help="reference driver config: NiO 4x4x4 dzvp-molopt-sr "
+                        "ke=200 c0=40 m0=15^3")
     p.add_argument("--system", default="nio", choices=["diamond", "nio"])
     p.add_argument("--c0", type=float, default=20.0)
     p.add_argument("--ke", type=float, default=None)
     p.add_argument("--kmesh", type=int, nargs=3, default=None)
+    p.add_argument("--basis", default=None)
+    p.add_argument("--max-memory-gb", type=float, default=12.0)
     args = p.parse_args()
+    if args.production:
+        args.system = "nio"
+        args.c0 = 40.0
+        args.ke = 200.0
+        args.kmesh = [4, 4, 4]
+        args.basis = args.basis or "gth-dzvp-molopt-sr"
 
     from fftisdf_tpu.lattice import structure
     from fftisdf_tpu.basis.eval import make_evaluator
@@ -55,11 +119,13 @@ def main():
 
     if args.system == "diamond":
         ke = args.ke or (50.0 if args.quick else 100.0)
-        cell = structure.to_cell(*structure.bulk_diamond(), basis="gth-szv",
+        cell = structure.to_cell(*structure.bulk_diamond(),
+                                 basis=args.basis or "gth-szv",
                                  pseudo="gth-pade", ke_cutoff=ke)
     else:
         ke = args.ke or (60.0 if args.quick else 100.0)
-        cell = structure.to_cell(*structure.nio_afm(), basis="gth-szv",
+        cell = structure.to_cell(*structure.nio_afm(),
+                                 basis=args.basis or "gth-szv",
                                  pseudo="gth-pade", ke_cutoff=ke,
                                  exp_to_discard=0.1)
     kmesh = args.kmesh or ([1, 1, 2] if args.quick else [4, 4, 4])
@@ -93,7 +159,8 @@ def main():
           else tuple(min(13, int(m)) for m in cell.mesh))
     # warmup build: pays XLA compilation (one-time per shape); the timed
     # build below reuses the compile cache, measuring the actual pipeline
-    df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0, dtype=dtype).build()
+    df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0, dtype=dtype,
+                 max_memory_gb=args.max_memory_gb).build()
     nip_first = df.nip
     # NB: block_until_ready does not actually block on async tunnel
     # transports — sync through a jitted device-reduced scalar fetch (also
@@ -107,7 +174,7 @@ def main():
     for _ in range(2):
         t0 = time.perf_counter()
         df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0,
-                     dtype=dtype).build()
+                     dtype=dtype, max_memory_gb=args.max_memory_gb).build()
         float(_sync(df.wq))
         t_build = min(t_build, time.perf_counter() - t0)
     if df.nip != nip_first:  # shape change would retrigger compiles
@@ -166,6 +233,22 @@ def main():
     n_scf = 20
     t_isdf_total = t_build + n_scf * t_isdf_jk
     t_exact_total = n_scf * t_exact
+
+    # ---------------- roofline accounting ----------------
+    nimg = nk  # BvK images == k-points
+    nip = int(df.nip)
+    fl_jk = jk_flops(nk, nao, nip, nimg)
+    fl_build = build_flops(nk, nao, nip, ngrid, nimg,
+                           getattr(df, "_nsec_solved", nk),
+                           getattr(df, "_nchunks", 1))
+    peak = (V5E_PEAK_BF16 / V5E_F32_PASSES if backend == "tpu"
+            else float("nan"))
+    itemsize = 16 if dtype == jnp.float64 else 8
+    # dominant streamed HBM traffic of the build: y written once, read
+    # twice (half pass + gram) per sector + the FFT working set
+    hbm_build = (3.0 * getattr(df, "_nsec_solved", nk) * ngrid * nip
+                 * itemsize)
+
     out = {
         "metric": "isdf_build_jk_scf20_wall_s",
         "value": round(t_isdf_total, 4),
@@ -183,6 +266,20 @@ def main():
         "backend": backend,
         "nk": nk, "nao": nao, "ngrid": ngrid, "nip": int(df.nip),
         "c0": args.c0, "ke_cutoff": ke,
+        "basis": args.basis or "gth-szv",
+        "nchunks": int(getattr(df, "_nchunks", 1)),
+        # roofline: counted dense-algebra FLOPs (lower bounds; AO eval and
+        # selection excluded) vs the f32-effective chip peak
+        "jk_tflops": round(fl_jk / max(t_isdf_jk, 1e-9) / 1e12, 3),
+        "jk_mfu": round(fl_jk / max(t_isdf_jk, 1e-9) / peak, 4)
+        if peak == peak else None,
+        "build_tflops": round(fl_build / max(t_build, 1e-9) / 1e12, 3),
+        "build_mfu": round(fl_build / max(t_build, 1e-9) / peak, 4)
+        if peak == peak else None,
+        "build_hbm_gb": round(hbm_build / 1e9, 2),
+        "build_hbm_bw_util": round(
+            hbm_build / max(t_build, 1e-9) / V5E_HBM_BW, 4)
+        if backend == "tpu" else None,
     }
     print(json.dumps(out))
 

@@ -30,6 +30,9 @@ def main():
     p.add_argument("--smearing", type=float, default=5e-3,
                    help="Fermi smearing sigma in Ha (0 = fixed occupations "
                         "+ level shift, the pre-smearing scheme)")
+    p.add_argument("--basis", default="gth-szv",
+                   help="e.g. gth-dzvp-molopt-sr (the reference driver's "
+                        "basis, fftisdf.py:423)")
     args = p.parse_args()
     if args.smearing == 0.0 and args.level_shift == 0.0:
         args.level_shift = 0.3
@@ -43,7 +46,7 @@ def main():
     from fftisdf_tpu.isdf import FFTISDF
     from fftisdf_tpu.scf import KUHF
 
-    cell = structure.to_cell(*structure.nio_afm(), basis="gth-szv",
+    cell = structure.to_cell(*structure.nio_afm(), basis=args.basis,
                              pseudo="gth-pade", ke_cutoff=args.ke,
                              exp_to_discard=0.1)
     kpts = cell.get_kpts(args.kmesh)
