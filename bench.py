@@ -87,6 +87,14 @@ def main():
     p.add_argument("--kmesh", type=int, nargs=3, default=None)
     p.add_argument("--basis", default=None)
     p.add_argument("--max-memory-gb", type=float, default=12.0)
+    p.add_argument("--build-reps", type=int, default=2,
+                   help="timed warm builds (best-of); 1 bounds the cost of "
+                        "production-size runs")
+    p.add_argument("--exact-reps", type=int, default=2,
+                   help="exact-baseline runs (first pays compile); 0 skips "
+                        "the baseline entirely (no vs_baseline/error "
+                        "fields), 1 reports compile-inclusive baseline time "
+                        "(conservative: favors the baseline)")
     args = p.parse_args()
     if args.production:
         args.system = "nio"
@@ -171,7 +179,7 @@ def main():
         return sum(jnp.sum(jnp.abs(jnp.real(a))) for a in arrs)
 
     t_build = float("inf")
-    for _ in range(2):
+    for _ in range(max(args.build_reps, 1)):
         t0 = time.perf_counter()
         df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0,
                      dtype=dtype, max_memory_gb=args.max_memory_gb).build()
@@ -200,36 +208,44 @@ def main():
     t_isdf_jk = time.perf_counter() - t0
 
     # ---------------- exact plane-wave baseline ----------------
-    fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
-    coords = jnp.asarray(cell.gen_uniform_grids(), dtype=dtype)
-    ao = jax.block_until_ready(fn(coords))
+    ej = ek = sj = sk = t_exact = float("nan")
+    if args.exact_reps > 0:
+        fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
+        coords = jnp.asarray(cell.gen_uniform_grids(), dtype=dtype)
+        ao = jax.block_until_ready(fn(coords))
 
-    def exact_jk(dm, ao):
-        # internally jitted; the K pair loop dispatches in bounded chunks
-        # (a single giant kernel faults the device at large nk)
-        vj = pw_jk.get_j_kpts(cell, dm, ao)
-        vk = pw_jk.get_k_kpts(cell, dm, ao, kpts, coords=coords)
-        return vj, vk
+        def exact_jk(dm, ao):
+            # internally jitted; the K pair loop dispatches in bounded
+            # chunks (a single giant kernel faults the device at large nk)
+            vj = pw_jk.get_j_kpts(cell, dm, ao)
+            vk = pw_jk.get_k_kpts(cell, dm, ao, kpts, coords=coords)
+            return vj, vk
 
-    vj_e, vk_e = exact_jk(dm_dev, ao)  # compile
-    float(_sync(vj_e, vk_e))
-    t0 = time.perf_counter()
-    vj_e, vk_e = exact_jk(dm_dev, ao)
-    float(_sync(vj_e, vk_e))
-    t_exact = time.perf_counter() - t0
+        t_exact = float("inf")
+        for _ in range(args.exact_reps):
+            t0 = time.perf_counter()
+            vj_e, vk_e = exact_jk(dm_dev, ao)
+            float(_sync(vj_e, vk_e))
+            t_exact = min(t_exact, time.perf_counter() - t0)
 
-    # errors, reduced on device (host transfers are slow on the TPU tunnel)
-    @jax.jit
-    def errs(a, b):
-        return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
+        # errors, reduced on device (host transfers are slow on the tunnel)
+        @jax.jit
+        def errs(a, b):
+            return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
 
-    ej, sj = errs(vj_i, vj_e)
-    ek, sk = errs(vk_i, vk_e)
-    ej, ek, sj, sk = float(ej), float(ek), float(sj), float(sk)
+        ej, sj = errs(vj_i, vj_e)
+        ek, sk = errs(vk_i, vk_e)
+        ej, ek, sj, sk = float(ej), float(ek), float(sj), float(sk)
 
     # the north-star comparison (BASELINE.md): build + SCF-converged J/K.
     # An SCF needs ~n_scf J/K builds; ISDF pays the build once and serves
     # each iteration from (x_k, w_q), the exact path pays t_exact every time.
+    def _r(x, nd=4):
+        """round() that maps nan/inf (skipped baseline) to JSON null."""
+        x = float(x)
+        return None if (x != x or x in (float("inf"), float("-inf"))) \
+            else round(x, nd)
+
     n_scf = 20
     t_isdf_total = t_build + n_scf * t_isdf_jk
     t_exact_total = n_scf * t_exact
@@ -253,15 +269,15 @@ def main():
         "metric": "isdf_build_jk_scf20_wall_s",
         "value": round(t_isdf_total, 4),
         "unit": "s",
-        "vs_baseline": round(t_exact_total / t_isdf_total, 4),
-        "isdf_jk_s": round(t_isdf_jk, 4),
-        "isdf_build_s": round(t_build, 4),
-        "exact_jk_s": round(t_exact, 4),
-        "jk_speedup_steady": round(t_exact / max(t_isdf_jk, 1e-9), 2),
-        "vj_maxerr": float(f"{ej:.3e}"),
-        "vj_scale": float(f"{sj:.3e}"),
-        "vk_maxerr": float(f"{ek:.3e}"),
-        "vk_scale": float(f"{sk:.3e}"),
+        "vs_baseline": _r(t_exact_total / t_isdf_total),
+        "isdf_jk_s": _r(t_isdf_jk),
+        "isdf_build_s": _r(t_build),
+        "exact_jk_s": _r(t_exact),
+        "jk_speedup_steady": _r(t_exact / max(t_isdf_jk, 1e-9), 2),
+        "vj_maxerr": _r(ej, 8),
+        "vj_scale": _r(sj, 6),
+        "vk_maxerr": _r(ek, 8),
+        "vk_scale": _r(sk, 6),
         "system": args.system,
         "backend": backend,
         "nk": nk, "nao": nao, "ngrid": ngrid, "nip": int(df.nip),

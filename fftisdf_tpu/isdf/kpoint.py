@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from fftisdf_tpu.lattice import kpoints as kpt_mod
 from fftisdf_tpu.basis.eval import make_evaluator
 from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky
-from fftisdf_tpu.linalg.solvers import fitting_half_operator
+from fftisdf_tpu.linalg.solvers import (
+    fitting_half_operator, half_factor_data, half_apply, finish_apply)
 from fftisdf_tpu.linalg.fft import fft3
 from fftisdf_tpu.linalg.coulomb import get_coulG_batched
 from fftisdf_tpu.utils.logging import Logger
@@ -197,7 +198,10 @@ def _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
     # multiplication of the real-space form (ref fftisdf.py:113-121) cancel
     # inside the hermitian gram and are never computed.
     gf = fft3(g * eiqr.conj()[None, :], mesh)
-    w_q = finish((gf * coulG_q) @ gf.conj().T * (vol / ngrid**2))
+    # PSD split of the (nonnegative) Coulomb kernel: ONE scaled operand in
+    # the gram instead of two live O(nip*ngrid) buffers
+    h = gf * jnp.sqrt(jnp.maximum(coulG_q, 0.0) * (vol / ngrid**2))
+    w_q = finish(h @ h.conj().T)
     return w_q, rank
 
 
@@ -227,26 +231,46 @@ def _chunk_pipeline(coords_p, x_k, phase_full, phase_cols, x4_c, coulG_c,
                     refine):
     """RHS sweep (ref HOT LOOP 1, fftisdf.py:72-87) fused with the per-sector
     solve/FFT (ref HOT LOOP 2, fftisdf.py:97-124) for one chunk of momentum
-    sectors.  ``fn`` is the (cached, static) AO evaluator."""
+    sectors.  ``fn`` is the (cached, static) AO evaluator.
+
+    Memory-lean streaming form (production sizes exceed HBM otherwise —
+    measured 53 GB at NiO ke=200/c0=40 with the materialize-y form): the
+    per-sector half factors are built from x4 BEFORE the sweep, and each
+    grid block's RHS contribution is pushed through the half solve as it is
+    produced — the O(nq * nip * ngrid) tensor that accumulates is g = H B
+    directly and the raw RHS y never exists.  The Coulomb metric then
+    factors through the PSD split h = FFT-kernel^(1/2) g (coulG >= 0), so
+    w0 = h h^H needs ONE big operand; live big buffers peak at ~2 per
+    sector instead of ~10."""
     nip = x_k.shape[1]
+
+    # per-sector split-operator factors (nip^2 each), batched over the chunk
+    kind, _ = half_factor_data(x4_c[0], method=solver, rcond=rcond,
+                               refine=refine)
+    data_c = jax.vmap(lambda a: half_factor_data(
+        a, method=solver, rcond=rcond, refine=refine)[1])(x4_c)
 
     def block_fn(c):
         f_k = fn(c)
         fx_k = jnp.einsum("kgm,kIm->kgI", f_k.conj(), x_k)
         fx_s = jnp.einsum("Rk,kgI->RgI", phase_full, fx_k)
         y_s = (fx_s.real ** 2).astype(fx_s.dtype)
-        return jnp.einsum("Rq,RgI->qgI", phase_cols, y_s)
+        y_c = jnp.einsum("Rq,RgI->qIg", phase_cols, y_s)
+        return jax.vmap(lambda d, b: half_apply(kind, d, b))(data_c, y_c)
 
-    y_blocks = jax.lax.map(block_fn, coords_p)
-    y = jnp.transpose(y_blocks, (1, 0, 2, 3))
-    y = y.reshape(nq, -1, nip)[:, :ngrid, :]
+    g_blocks = jax.lax.map(block_fn, coords_p)     # (nblk, nq, nip, blk)
+    g = jnp.transpose(g_blocks, (1, 2, 0, 3)).reshape(nq, nip, -1)
+    g = g[:, :, :ngrid]
 
     def per_q(args):
-        x4_q, y_q, cg, ph = args
-        return _sector_wq(x4_q, y_q, cg, ph, mesh, vol, ngrid,
-                          solver=solver, rcond=rcond, refine=refine)
+        g_q, cg, ph, data_q = args
+        gf = fft3(g_q * ph.conj()[None, :], mesh)
+        # PSD split of the Coulomb kernel: one scaled operand, gf dies
+        h = gf * jnp.sqrt(jnp.maximum(cg, 0.0) * (vol / ngrid**2))
+        w_q = finish_apply(kind, data_q, h @ h.conj().T)
+        return w_q, data_q[-1]
 
-    return jax.lax.map(per_q, (x4_c, y, coulG_c, eiqr_c))
+    return jax.lax.map(per_q, (g, coulG_c, eiqr_c, data_c))
 
 
 def clear_build_caches():
@@ -404,19 +428,26 @@ class FFTISDF:
         mesh = tuple(int(m) for m in cell.mesh)
         y_gb = nk * ngrid * nip * itemsize / 1e9
         per_sector_gb = ngrid * nip * itemsize / 1e9
-        # sector chunking: the solve stage additionally holds the G-space
-        # factor (nip, ngrid) per in-flight sector; budget ~half the limit
-        # for y.  (Caching the AO values across chunks was tried and lost:
-        # the coarser chunking it forces costs more than the re-evaluation.)
+        # sector chunking for the streaming pipeline: persistent big
+        # buffers are g (nq sectors) plus ~2 per-sector FFT operands;
+        # budget 80% of the limit.  (Caching the AO values across chunks
+        # was tried and lost: the coarser chunking it forces costs more
+        # than the re-evaluation.)
         qchunk = nk
-        if y_gb > self.max_memory_gb / 2:
-            qchunk = max(1, int((self.max_memory_gb / 2) / per_sector_gb))
+        if (nk + 2) * per_sector_gb > 0.8 * self.max_memory_gb:
+            qchunk = max(1, int(0.8 * self.max_memory_gb / per_sector_gb)
+                         - 2)
         log.info("build: nk=%d nip=%d nao=%d ngrid=%d (y: %.2f GB, "
                  "qchunk=%d)", nk, nip, nao, ngrid, y_gb, qchunk)
 
         t_set = time.perf_counter()
         fn = make_evaluator(cell, kpts=kpts, dtype=self.dtype)
-        blk = min(self.blksize, ngrid)
+        # cap the grid block so the sweep's stripe intermediates
+        # (~(2 nimg + 2 nq) * blk * nip) stay a small fraction of the budget
+        blk_cap = max(256, int(0.15 * self.max_memory_gb * 1e9
+                               / ((2 * nk + 2 * min(qchunk, nk))
+                                  * nip * itemsize)))
+        blk = min(self.blksize, blk_cap, ngrid)
         nblk = -(-ngrid // blk)
         pad = nblk * blk - ngrid
         coords_p = jnp.asarray(np.concatenate(

@@ -202,6 +202,71 @@ def ridge_solve(a, b, rcond=1e-10, refine=None):
     return apply_inv(b), rank
 
 
+def half_factor_data(a, method="lstsq", rcond=1e-10, rank=None,
+                     precondition=True, refine=None):
+    """Array-only (vmap/batch-friendly) form of the split fitting operator.
+
+    Returns ``(kind, data)``: ``kind`` is a static string ('ridge' or
+    'eigh') for :func:`half_apply` / :func:`finish_apply`, and ``data`` is
+    a pytree of arrays — the same math as :func:`fitting_half_operator`
+    but with no closures, so callers can ``jax.vmap`` the factorization
+    over momentum sectors and stream ``half_apply`` over grid blocks (the
+    memory-lean production build pipeline in isdf.kpoint).
+
+    data = (d, f1, f2, p, rank) with
+      ridge:       f1 = chol,  f2 = unused-eye,  p = refinement polynomial
+      eigh-family: f1 = v,     f2 = sqw (diag),  p = identity
+    """
+    refine = _default_refine(a, refine)
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    if method == "ridge":
+        d, dinv, chol, lam = _ridge_factor(a, rcond)
+        p = eye
+        if refine:
+            t = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+            t = jax.scipy.linalg.solve_triangular(chol.conj().T, t,
+                                                  lower=False)
+            g = lam * (d[:, None] * t * dinv[None, :])
+            term = eye
+            for _ in range(refine):
+                term = term @ g
+                p = p + term
+        return "ridge", (d, chol, eye, p,
+                         jnp.asarray(n, dtype=jnp.int32))
+    if method in ("lstsq", "pinv", "eigh", "svd"):
+        d, w, v, keep = _eigh_factor(a, rcond, rank,
+                                     precondition and method != "svd")
+        sqw = jnp.sqrt(jnp.where(keep, 1.0 / jnp.where(keep, w, 1.0), 0.0))
+        return "eigh", (d, v, sqw.astype(_real_dtype(a)), eye,
+                        jnp.sum(keep.astype(jnp.int32)))
+    raise ValueError(f"unknown solver {method!r}")
+
+
+def half_apply(kind, data, b):
+    """H b for b (nip, m) — see :func:`half_factor_data`."""
+    d, f1, f2, p, _ = data
+    if kind == "ridge":
+        return jax.scipy.linalg.solve_triangular(
+            f1, d[:, None] * b, lower=True)
+    return f2[:, None] * (f1.conj().T @ (d[:, None] * b))
+
+
+def finish_apply(kind, data, m_in):
+    """P (H^H m_in H) P^H — see :func:`half_factor_data`."""
+    d, f1, f2, p, _ = data
+    if kind == "ridge":
+        t = jax.scipy.linalg.solve_triangular(f1.conj().T, m_in,
+                                              lower=False)
+        t = jax.scipy.linalg.solve_triangular(f1.conj().T, t.conj().T,
+                                              lower=False)
+        w0 = d[:, None] * t.conj().T * d[None, :]
+    else:
+        t = f1 @ (f2[:, None] * m_in * f2[None, :]) @ f1.conj().T
+        w0 = d[:, None] * t * d[None, :]
+    return p @ w0 @ p.conj().T
+
+
 def fitting_half_operator(a, method="lstsq", rcond=1e-10, rank=None,
                           precondition=True, refine=None):
     """Split form of the fitting-solve operator: S = H^H H.
