@@ -226,23 +226,33 @@ _scatter_trs = jax.jit(lambda w, o, c: jnp.where(
 
 @partial(jax.jit, static_argnames=("fn", "nq", "ngrid", "mesh", "vol",
                                    "solver", "rcond", "refine"))
-def _chunk_pipeline(coords_p, x_k, phase_full, phase_cols, x4_c, coulG_c,
+def _chunk_pipeline(coords_p, x_k, phase_full, qs, coulG_c,
                     eiqr_c, *, fn, nq, ngrid, mesh, vol, solver, rcond,
                     refine):
     """RHS sweep (ref HOT LOOP 1, fftisdf.py:72-87) fused with the per-sector
     solve/FFT (ref HOT LOOP 2, fftisdf.py:97-124) for one chunk of momentum
-    sectors.  ``fn`` is the (cached, static) AO evaluator.
+    sectors ``qs``.  ``fn`` is the (cached, static) AO evaluator.
 
     Memory-lean streaming form (production sizes exceed HBM otherwise —
-    measured 53 GB at NiO ke=200/c0=40 with the materialize-y form): the
-    per-sector half factors are built from x4 BEFORE the sweep, and each
-    grid block's RHS contribution is pushed through the half solve as it is
-    produced — the O(nq * nip * ngrid) tensor that accumulates is g = H B
-    directly and the raw RHS y never exists.  The Coulomb metric then
-    factors through the PSD split h = FFT-kernel^(1/2) g (coulG >= 0), so
-    w0 = h h^H needs ONE big operand; live big buffers peak at ~2 per
-    sector instead of ~10."""
+    measured 53 GB at NiO ke=200/c0=40 with the materialize-y form):
+
+    - the quartic normal matrices are (re)computed in-pipeline from x_k
+      (nip^2 work; keeping the full (nk, nip, nip) tensor resident across
+      chunks costs GBs of headroom at production sizes);
+    - the per-sector half factors are built BEFORE the sweep, and each grid
+      block's RHS contribution is pushed through the half solve as it is
+      produced — the O(nq * nip * ngrid) tensor that accumulates is
+      g = H B directly and the raw RHS y never exists;
+    - the Coulomb metric factors through the PSD split
+      h = FFT-kernel^(1/2) g (coulG >= 0), so w0 = h h^H needs ONE big
+      operand;
+    - single-sector chunks (the production regime) run the FFT/scale in
+      nip-row blocks, so the peak is ~(g + h + row temps) instead of
+      (g + fft-in + fft-out)."""
     nip = x_k.shape[1]
+
+    x4_c = _stripe_quartic(x_k, phase_full)[qs]    # transient (nq, nip, nip)
+    phase_cols = phase_full[:, qs]
 
     # per-sector split-operator factors (nip^2 each), batched over the chunk
     kind, _ = half_factor_data(x4_c[0], method=solver, rcond=rcond,
@@ -259,6 +269,29 @@ def _chunk_pipeline(coords_p, x_k, phase_full, phase_cols, x4_c, coulG_c,
         return jax.vmap(lambda d, b: half_apply(kind, d, b))(data_c, y_c)
 
     g_blocks = jax.lax.map(block_fn, coords_p)     # (nblk, nq, nip, blk)
+
+    if nq == 1:
+        # production path: row-blocked FFT keeps only g + h live
+        g = jnp.transpose(g_blocks[:, 0], (1, 0, 2)).reshape(nip, -1)
+        g = g[:, :ngrid]
+        ph = eiqr_c[0]
+        sqk = jnp.sqrt(jnp.maximum(coulG_c[0], 0.0) * (vol / ngrid**2))
+        rblk = max(128, -(-nip // 16))
+        nrb = -(-nip // rblk)
+        pad = nrb * rblk - nip
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+
+        def rb_fn(r0):
+            rows = jax.lax.dynamic_slice_in_dim(g, r0 * rblk, rblk, axis=0)
+            gf = fft3(rows * ph.conj()[None, :], mesh)
+            return gf * sqk[None, :]
+
+        h = jax.lax.map(rb_fn, jnp.arange(nrb)).reshape(nrb * rblk, -1)
+        h = h[:nip]
+        data_q = jax.tree_util.tree_map(lambda a: a[0], data_c)
+        w_q = finish_apply(kind, data_q, h @ h.conj().T)
+        return w_q[None], data_q[-1][None]
+
     g = jnp.transpose(g_blocks, (1, 2, 0, 3)).reshape(nq, nip, -1)
     g = g[:, :, :ngrid]
 
@@ -411,7 +444,9 @@ class FFTISDF:
         self.mask = mask
 
         phase = to_device(self.phase, dtype=cdtype)
-        x4_k = _stripe_quartic(x_k, phase)
+        # (the quartic normal matrices are computed in-pipeline per chunk —
+        # keeping the (nk, nip, nip) tensor resident costs GBs at
+        # production sizes)
         if self.validate:
             x2_k = jnp.einsum("kIm,kJm->kIJ", x_k.conj(), x_k)
             imag_max = float(jnp.max(jnp.abs(
@@ -476,20 +511,35 @@ class FFTISDF:
         # rest are mirrored.  Halves stage-2 work on large k-meshes (no-op
         # for meshes where every q is self-conjugate, e.g. 2x2x2).
         s_kpts = cell.get_scaled_kpts(kpts)
-        mirror = np.array([kpt_mod.member(-s_kpts[q], s_kpts)
+        mirror = np.array([kpt_mod.member(-s_kpts[q], s_kpts, strict=False)
                            for q in range(nk)])
+        if (mirror < 0).any():
+            # a mesh without full time-reversal pairing (e.g. shifted):
+            # degrade to the full-sector path instead of raising (same
+            # policy as isdf.autodiff)
+            mirror = np.arange(nk)
         if self.use_trs:
             qsel = np.array([q for q in range(nk) if q <= mirror[q]])
         else:
             qsel = np.arange(nk)
         t0 = time.perf_counter()
+        # persistent-footprint hygiene for production sizes: keep only the
+        # canonical-sector slices on device while the chunks run (the full
+        # 64-sector x4/eiqr plus accumulated w_q parts otherwise eat the
+        # headroom the in-chunk FFT pipeline needs — observed OOM at NiO
+        # ke=200/c0=40 right at the post-chunk concatenate)
+        qsel_j = jnp.asarray(qsel)
+        coulG_sel = _take_rows(coulG, qsel_j)
+        eiqr_sel = _take_rows(eiqr, qsel_j)
+        del coulG, eiqr
         wq_parts, rank_parts = [], []
         for q0 in range(0, len(qsel), qchunk):
-            qs = jnp.asarray(qsel[q0:q0 + qchunk])
+            q1 = min(q0 + qchunk, len(qsel))
+            sl = jnp.arange(q0, q1)
             wq_c, ranks_c = _chunk_pipeline(
-                coords_p, x_k, phase, _take_cols(phase, qs),
-                _take_rows(x4_k, qs), _take_rows(coulG, qs),
-                _take_rows(eiqr, qs), fn=fn, nq=len(qs), ngrid=ngrid,
+                coords_p, x_k, phase, jnp.asarray(qsel[q0:q1]),
+                _take_rows(coulG_sel, sl),
+                _take_rows(eiqr_sel, sl), fn=fn, nq=q1 - q0, ngrid=ngrid,
                 mesh=mesh, vol=vol, solver=self.solver, rcond=self.rcond,
                 refine=self.refine)
             wq_parts.append(wq_c)
