@@ -271,25 +271,29 @@ def _chunk_pipeline(coords_p, x_k, phase_full, qs, coulG_c,
     g_blocks = jax.lax.map(block_fn, coords_p)     # (nblk, nq, nip, blk)
 
     if nq == 1:
-        # production path: row-blocked FFT keeps only g + h live
-        g = jnp.transpose(g_blocks[:, 0], (1, 0, 2)).reshape(nip, -1)
-        g = g[:, :ngrid]
+        # production path: row-blocked FFT with the (nblk, nip, blk) ->
+        # (nip, ngrid) transpose done PER ROW BLOCK, so no full transposed
+        # copy of the ~5 GB per-sector tensor ever exists — the live big
+        # buffers are exactly g_blocks and the scaled spectrum h.
+        gb = g_blocks[:, 0]                      # (nblk, nip, blk)
         ph = eiqr_c[0]
         sqk = jnp.sqrt(jnp.maximum(coulG_c[0], 0.0) * (vol / ngrid**2))
-        rblk = max(128, -(-nip // 16))
-        nrb = -(-nip // rblk)
+        nrb = -(-nip // 256)
+        rblk = -(-nip // nrb)
         pad = nrb * rblk - nip
-        g = jnp.pad(g, ((0, pad), (0, 0)))
+        if pad:
+            # zero rows FFT to zero rows; the gram is sliced afterwards
+            gb = jnp.pad(gb, ((0, 0), (0, pad), (0, 0)))
 
         def rb_fn(r0):
-            rows = jax.lax.dynamic_slice_in_dim(g, r0 * rblk, rblk, axis=0)
+            rows = jax.lax.dynamic_slice_in_dim(gb, r0 * rblk, rblk, axis=1)
+            rows = jnp.transpose(rows, (1, 0, 2)).reshape(rblk, -1)[:, :ngrid]
             gf = fft3(rows * ph.conj()[None, :], mesh)
             return gf * sqk[None, :]
 
         h = jax.lax.map(rb_fn, jnp.arange(nrb)).reshape(nrb * rblk, -1)
-        h = h[:nip]
         data_q = jax.tree_util.tree_map(lambda a: a[0], data_c)
-        w_q = finish_apply(kind, data_q, h @ h.conj().T)
+        w_q = finish_apply(kind, data_q, (h @ h.conj().T)[:nip, :nip])
         return w_q[None], data_q[-1][None]
 
     g = jnp.transpose(g_blocks, (1, 2, 0, 3)).reshape(nq, nip, -1)

@@ -65,7 +65,7 @@ def ewald_fn(cell, eta=None, dtype=jnp.float64):
 
 def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                    mask=None, m0=None, solver="ridge", rcond=1e-10,
-                   dev_mesh=None, exxdiv=None):
+                   dev_mesh=None, exxdiv=None, max_memory_gb=None):
     """Differentiable total-energy Lagrangian.
 
     Returns ``energy(positions, dm, wdm) -> float`` with
@@ -126,7 +126,8 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
     if two_electron == "isdf":
         assert mask is not None, "isdf backend needs the frozen mask"
         state = isdf_state_fn(cell, kpts, mask, m0=m0, solver=solver,
-                              rcond=rcond, dtype=dtype, dev_mesh=dev_mesh)
+                              rcond=rcond, dtype=dtype, dev_mesh=dev_mesh,
+                              max_memory_gb=max_memory_gb)
         # phase kept as REAL host parts; the complex array is built inside
         # the trace (complex host constants embedded as jit closures
         # round-trip through the host and fail on the TPU tunnel)
@@ -255,7 +256,7 @@ def _default_dtype():
 
 
 def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
-                 dev_mesh=None, exxdiv=None):
+                 dev_mesh=None, exxdiv=None, max_memory_gb=None):
     """A reusable gradient evaluator: ``fn(mf) -> (grad (natm,3), E)``.
 
     The value-and-grad jit is traced ONCE for the given lattice/mesh/basis
@@ -273,7 +274,7 @@ def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
     if two_electron == "isdf":
         assert df is not None and df.mask is not None
         kw = dict(mask=df.mask, m0=df.m0, solver=df.solver, rcond=df.rcond,
-                  dev_mesh=dev_mesh)
+                  dev_mesh=dev_mesh, max_memory_gb=max_memory_gb)
     e_fn = make_energy_fn(cell, kpts, dtype=dtype,
                           two_electron=two_electron, exxdiv=exxdiv, **kw)
     vag = jax.jit(jax.value_and_grad(e_fn))
@@ -299,7 +300,7 @@ def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
     return fn
 
 
-def kernel(mf, two_electron="pw", df=None, dtype=None):
+def kernel(mf, two_electron="pw", df=None, dtype=None, max_memory_gb=None):
     """Nuclear gradient dE/dR (natm, 3) of a converged KRHF/KUHF.
 
     Forces are the negative.  ``two_electron='isdf'`` differentiates the
@@ -310,4 +311,5 @@ def kernel(mf, two_electron="pw", df=None, dtype=None):
     ``mf.exxdiv`` is honored (the 'ewald' Madelung S-term is part of the
     traced Lagrangian)."""
     return make_grad_fn(mf.cell, mf.kpts, two_electron=two_electron, df=df,
-                        dtype=dtype, exxdiv=getattr(mf, "exxdiv", None))(mf)
+                        dtype=dtype, exxdiv=getattr(mf, "exxdiv", None),
+                        max_memory_gb=max_memory_gb)(mf)
