@@ -193,18 +193,42 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
         nq_all = nk if qsel is None else len(qsel)
         nip = coords_sel.shape[0]
         per_sector_gb = ngrid * nip * itemsize / 1e9
+        # budget split: y_c + its block-transpose copy + the reverse-pass
+        # cotangent of y_c all coexist, so chunk sectors against ~1/4 of
+        # the budget
         qchunk = nq_all
-        if nq_all * per_sector_gb > max_memory_gb / 2:
-            qchunk = max(1, int((max_memory_gb / 2) / per_sector_gb))
+        if nq_all * per_sector_gb > max_memory_gb / 4:
+            qchunk = max(1, int((max_memory_gb / 4) / per_sector_gb))
         qs_full = np.arange(nk) if qsel is None else np.asarray(qsel)
         cg_np = coulG
+        # grid-block streaming INSIDE each chunk (the differentiable analog
+        # of the build pipeline's block sweep): a full-grid stripe sweep
+        # materializes (2 nimg + nq) x ngrid x nip intermediates, which
+        # scales with nimg = nk — 68 GB at the 4x4x4 target mesh even with
+        # sector chunking.  lax.map over blocks with a per-block checkpoint
+        # bounds them at blk grid rows in BOTH sweep directions.
+        blk = max(256, int(0.1 * max_memory_gb * 1e9
+                           / ((2 * nk + 2 * qchunk) * nip * itemsize)))
+        blk = min(blk, ngrid)
+        nblk = -(-ngrid // blk)
+        gpad = nblk * blk - ngrid
+        coords_p_np = np.concatenate(
+            [coords, np.zeros((gpad, 3))], axis=0).reshape(nblk, blk, 3)
 
         def chunk_wq(positions, x_k, phase, pcols, x4_c, cg_c, eiqr_c):
-            f_k = fn(jnp.asarray(coords, dtype=dtype), positions)
-            fx_k = jnp.einsum("kgm,kIm->kgI", f_k.conj(), x_k)
-            fx_s = jnp.einsum("Rk,kgI->RgI", phase, fx_k)
-            y_s = (fx_s.real ** 2).astype(fx_s.dtype)
-            y_c = jnp.einsum("Rq,RgI->qgI", pcols, y_s)
+            nq_c = pcols.shape[1]
+
+            def block_rhs(c):
+                f_k = fn(c, positions)
+                fx_k = jnp.einsum("kgm,kIm->kgI", f_k.conj(), x_k)
+                fx_s = jnp.einsum("Rk,kgI->RgI", phase, fx_k)
+                y_s = (fx_s.real ** 2).astype(fx_s.dtype)
+                return jnp.einsum("Rq,RgI->qgI", pcols, y_s)
+
+            y_blocks = jax.lax.map(jax.checkpoint(block_rhs),
+                                   jnp.asarray(coords_p_np, dtype=dtype))
+            y_c = jnp.transpose(y_blocks, (1, 0, 2, 3)).reshape(
+                nq_c, -1, nip)[:, :ngrid]
 
             def per_q(args):
                 x4_q, y_q, cg, ph = args
@@ -214,7 +238,9 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
                 zeta = ifft3(zeta, mesh) * ph[None, :] * (vol / ngrid)
                 return zeta @ z_q.conj().T
 
-            return jax.lax.map(per_q, (x4_c, y_c, cg_c, eiqr_c))
+            pq = (jax.checkpoint(per_q, policy=FIT_FACTOR_POLICY)
+                  if remat else per_q)
+            return jax.lax.map(pq, (x4_c, y_c, cg_c, eiqr_c))
 
         chunk_ckpt = jax.checkpoint(chunk_wq, policy=FIT_FACTOR_POLICY)
 
