@@ -33,7 +33,14 @@ def main():
     p.add_argument("--basis", default="gth-szv",
                    help="e.g. gth-dzvp-molopt-sr (the reference driver's "
                         "basis, fftisdf.py:423)")
+    p.add_argument("--production", action="store_true",
+                   help="the reference driver's full config on the TPU "
+                        "(fftisdf.py:423-432): 4x4x4, gth-dzvp-molopt-sr, "
+                        "ke=200, c0=40, device-resident SCF")
     args = p.parse_args()
+    if args.production:
+        args.ke, args.kmesh, args.c0 = 200.0, [4, 4, 4], 40.0
+        args.basis, args.tpu = "gth-dzvp-molopt-sr", True
     if args.smearing == 0.0 and args.level_shift == 0.0:
         args.level_shift = 0.3
 
