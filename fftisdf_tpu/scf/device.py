@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from fftisdf_tpu.isdf import jk as jk_mod
 from fftisdf_tpu.utils.device import to_device, to_host
 from fftisdf_tpu.utils.logging import Logger
+from fftisdf_tpu.scf import core
 from fftisdf_tpu.scf.hf import KUHF, _eigh_gen, smeared_occupations
 
 
@@ -55,11 +56,11 @@ def orth_and_penalty(s1e, cutoff):
 
 
 def _diis_update(errs, focks, n, err_flat, fock_flat):
-    """Ring-buffer DIIS, fully on device.
+    """Ring-buffer DIIS state management, fully on device.
 
     errs/focks: (m, L) complex; n: int32 count.  Returns the extrapolated
-    fock (L,) and the new state.  With a single stored vector the (2x2)
-    system returns that fock exactly, so no warm-up branch is needed."""
+    fock (L,) and the new state.  The extrapolation math is the shared
+    ``scf.core.diis_extrapolate`` (same code the host driver runs)."""
     m = errs.shape[0]
     idx = jnp.mod(n, m)
     zero = jnp.zeros((), dtype=idx.dtype)
@@ -67,20 +68,7 @@ def _diis_update(errs, focks, n, err_flat, fock_flat):
     focks = jax.lax.dynamic_update_slice(focks, fock_flat[None], (idx, zero))
     n = n + 1
     valid = (jnp.arange(m) < n)
-    b = jnp.einsum("il,jl->ij", errs.conj(), errs)
-    vv = valid[:, None] & valid[None, :]
-    eye = jnp.eye(m, dtype=b.dtype)
-    b = jnp.where(vv, b, eye)          # invalid slots: decoupled identity
-    a = jnp.zeros((m + 1, m + 1), dtype=b.dtype)
-    a = a.at[:m, :m].set(b)
-    edge = jnp.where(valid, -1.0, 0.0).astype(b.dtype)
-    a = a.at[:m, m].set(edge)
-    a = a.at[m, :m].set(edge)
-    rhs = jnp.zeros((m + 1,), dtype=b.dtype).at[m].set(-1.0)
-    # tiny (m+1)^2 hermitian-ish system; Tikhonov for near-dependence
-    a = a + 1e-12 * jnp.eye(m + 1, dtype=b.dtype)
-    coef = jnp.linalg.solve(a, rhs)[:m] * valid.astype(b.dtype)
-    fock_out = jnp.einsum("i,il->l", coef, focks)
+    fock_out = core.diis_extrapolate(errs, focks, valid, jnp)
     return fock_out, errs, focks, n
 
 
@@ -96,46 +84,16 @@ def _smeared_occ(e, nocc, sigma, factor, method="fermi"):
     """Smeared occupations from a bisected global mu, on device.
 
     e: (nk, nmo) eigenvalues; entries above the penalty gate are dropped
-    overlap directions and get occupation 0."""
+    overlap directions and get occupation 0.  Thin traced wrapper over the
+    shared ``scf.core.smeared_occ`` (same code the host driver runs)."""
     ok = e < _PENALTY_GATE
-    big = jnp.asarray(1e30, e.dtype)
-    emin = jnp.min(jnp.where(ok, e, big))
-    emax = jnp.max(jnp.where(ok, e, -big))
-    target = factor * nocc * e.shape[0]
-
-    def nelec(mu):
-        x = jnp.clip((e - mu) / sigma, -60.0, 60.0)
-        if method == "fermi":
-            f = 1.0 / (1.0 + jnp.exp(x))
-        else:  # gauss
-            f = 0.5 * jax.scipy.special.erfc(x)
-        f = jnp.where(ok, f, 0.0)
-        return factor * jnp.sum(f), f
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mu = 0.5 * (lo + hi)
-        nmu, _ = nelec(mu)
-        return jnp.where(nmu < target, mu, lo), jnp.where(nmu < target, hi, mu)
-
-    lo, hi = jax.lax.fori_loop(
-        0, 60, body, (emin - 45.0 * sigma, emax + 45.0 * sigma))
-    mu = 0.5 * (lo + hi)
-    _, f = nelec(mu)
-    if method == "fermi":
-        fc = jnp.clip(f, 1e-30, 1.0 - 1e-7)
-        s = jnp.where(ok & (f > 1e-30) & (f < 1.0 - 1e-7),
-                      -(fc * jnp.log(fc) + (1 - fc) * jnp.log1p(-fc)), 0.0)
-    else:
-        x = (e - mu) / sigma
-        s = jnp.where(ok, jnp.exp(-x * x) / (2.0 * jnp.sqrt(jnp.pi)), 0.0)
-    return factor * f, factor * jnp.sum(s)
+    f, s, _ = core.smeared_occ(e, ok, float(nocc * e.shape[0]), sigma,
+                               method, jnp, jax.lax.fori_loop)
+    return factor * f, factor * s
 
 
 def _fixed_occ(e, nocc, factor):
-    ok = e < _PENALTY_GATE
-    rank = jnp.argsort(jnp.argsort(jnp.where(ok, e, 1e30), axis=-1), axis=-1)
-    return factor * ((rank < nocc) & ok).astype(jnp.real(e).dtype), 0.0
+    return factor * core.aufbau_occ(e, e < _PENALTY_GATE, nocc, jnp), 0.0
 
 
 @dataclass
@@ -285,11 +243,7 @@ class DeviceKUHF(KUHF):
                     es_s, nocc, sigma, self.smearing_method, factor=1.0)
                 mus.append(mu_s)
             else:
-                occ_s = []
-                for e in es_s:
-                    occ = np.zeros(len(e))
-                    occ[:nocc] = 1.0
-                    occ_s.append(occ)
+                occ_s = core.fixed_occupations(es_s, nocc, factor=1.0)
             es.append(es_s)
             cs.append(cs_s)
             occs.append(occ_s)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from fftisdf_tpu.scf import integrals
+from fftisdf_tpu.scf.core import (diis_extrapolate, fixed_occupations,
+                                  smeared_occupations)
 from fftisdf_tpu.basis.eval import make_evaluator
 from fftisdf_tpu.utils.logging import Logger
 from fftisdf_tpu.utils.device import to_host, to_device
@@ -64,7 +66,11 @@ class PWDF:
 
 
 class DIIS:
-    """Pulay DIIS over flattened (error, fock) pairs."""
+    """Pulay DIIS over flattened (error, fock) pairs.
+
+    Storage management only — the extrapolation math is the shared
+    ``scf.core.diis_extrapolate`` (same code the traced device driver
+    runs)."""
 
     def __init__(self, space=8):
         self.space = space
@@ -72,28 +78,14 @@ class DIIS:
         self.focks = []
 
     def update(self, fock_flat, err_flat):
-        self.errs.append(np.asarray(err_flat))
-        self.focks.append(np.asarray(fock_flat))
+        self.errs.append(np.asarray(err_flat, dtype=np.complex128))
+        self.focks.append(np.asarray(fock_flat, dtype=np.complex128))
         if len(self.errs) > self.space:
             self.errs.pop(0)
             self.focks.pop(0)
         n = len(self.errs)
-        if n < 2:
-            return self.focks[-1]
-        b = np.empty((n + 1, n + 1), dtype=np.complex128)
-        b[-1, :] = -1.0
-        b[:, -1] = -1.0
-        b[-1, -1] = 0.0
-        for i in range(n):
-            for j in range(n):
-                b[i, j] = np.vdot(self.errs[i], self.errs[j])
-        rhs = np.zeros(n + 1, dtype=np.complex128)
-        rhs[-1] = -1.0
-        try:
-            coef = np.linalg.lstsq(b, rhs, rcond=1e-12)[0][:n]
-        except np.linalg.LinAlgError:
-            return self.focks[-1]
-        return sum(c * f for c, f in zip(coef, self.focks))
+        return diis_extrapolate(np.asarray(self.errs), np.asarray(self.focks),
+                                np.ones(n, dtype=bool), np)
 
 
 def _eigh_gen(f, s, cutoff=1e-10):
@@ -114,65 +106,6 @@ def _eigh_gen(f, s, cutoff=1e-10):
 
 def _build_dm(mo_coeff, mo_occ):
     return np.einsum("kmi,ki,kni->kmn", mo_coeff, mo_occ, mo_coeff.conj())
-
-
-def smeared_occupations(es, nocc, sigma, method="fermi", factor=2.0):
-    """Fractional occupations from a global chemical potential.
-
-    es: list of per-k (nmo_k,) eigenvalue arrays (nmo may differ per k after
-    canonical orthogonalization).  Returns (occs, mu, entropy) with
-    ``sum_k sum_i occ[k][i] == factor * nocc * nk`` (bisected to machine
-    precision) and the dimensionless entropy ``S = sum_k s_k`` such that the
-    Mermin free energy is ``E - sigma * S / nk``.
-
-    The reference has no smearing (its SCF is PySCF's fixed-occupation KRHF);
-    this is the standard finite-temperature extension needed for small-gap
-    systems (NiO AFM) where per-k aufbau occupations dither between
-    near-degenerate states across SCF iterations.
-    """
-    flat = np.concatenate([np.asarray(e) for e in es])
-    target = factor * nocc * len(es)
-    # bracket wide enough that a fully-(un)occupied spectrum can reach
-    # f = 1 (0) exactly in f64: e^{-45*sigma/sigma} underflows past eps
-    lo = flat.min() - 45.0 * sigma
-    hi = flat.max() + 45.0 * sigma
-
-    def nelec(mu):
-        x = (flat - mu) / sigma
-        if method == "fermi":
-            f = 1.0 / (1.0 + np.exp(np.clip(x, -600, 600)))
-        else:  # gauss
-            from scipy.special import erfc
-            f = 0.5 * erfc(x)
-        return factor * f.sum(), f
-
-    for _ in range(200):
-        mu = 0.5 * (lo + hi)
-        n, f = nelec(mu)
-        if n < target:
-            lo = mu
-        else:
-            hi = mu
-        if hi - lo < 1e-15 * max(1.0, abs(mu)):
-            break
-    _, f = nelec(0.5 * (lo + hi))
-    mu = 0.5 * (lo + hi)
-
-    if method == "fermi":
-        fc = np.clip(f, 1e-300, 1.0 - 1e-16)
-        s = -(fc * np.log(fc) + (1.0 - fc) * np.log1p(-fc))
-        s[(f <= 0) | (f >= 1)] = 0.0
-    else:
-        x = (flat - mu) / sigma
-        s = np.exp(-x * x) / (2.0 * np.sqrt(np.pi))
-    entropy = factor * float(s.sum())
-
-    occs, i0 = [], 0
-    for e in es:
-        n = len(np.asarray(e))
-        occs.append(factor * f[i0:i0 + n])
-        i0 += n
-    return occs, mu, entropy
 
 
 @dataclass
@@ -239,14 +172,13 @@ class KRHF:
         """Diagonalize hcore (the reference uses PySCF's minao guess; hcore
         keeps us self-contained)."""
         nk, nao = self.h1e.shape[:2]
-        occs, cs = [], []
+        es, cs = [], []
         for k in range(nk):
             e, c = _eigh_gen(self.h1e[k], self.s1e[k],
                              cutoff=self.ovlp_cutoff)
-            occ = np.zeros(c.shape[1])
-            occ[: self.nocc] = 2.0
-            occs.append(occ)
+            es.append(e)
             cs.append(c)
+        occs = fixed_occupations(es, self.nocc, factor=2.0)
         return _build_dm(np.asarray(cs), np.asarray(occs))
 
     def get_fock(self, dm):
@@ -268,12 +200,7 @@ class KRHF:
                 factor=2.0)
             return occs
         self.entropy = 0.0
-        out = []
-        for e in es:
-            occ = np.zeros(len(e))
-            occ[: self.nocc] = 2.0
-            out.append(occ)
-        return out
+        return fixed_occupations(es, self.nocc, factor=2.0)
 
     def energy_elec(self, dm, vj, vk):
         nk = len(self.kpts)
@@ -482,9 +409,8 @@ class KUHF(KRHF):
         nk, nao = self.h1e.shape[:2]
         na, nb = self.nocc_ab
         dms = []
-        rng = np.random.default_rng(42)
         for ispin, nocc in enumerate((na, nb)):
-            occs, cs = [], []
+            es, cs = [], []
             for k in range(nk):
                 h = self.h1e[k].copy()
                 if self.init_spin:
@@ -496,10 +422,9 @@ class KUHF(KRHF):
                             sgn * self.spin_bias * bias
                             * self.s1e[k][off:off + nfa, off:off + nfa])
                 e, c = _eigh_gen(h, self.s1e[k], cutoff=self.ovlp_cutoff)
-                occ = np.zeros(c.shape[1])
-                occ[:nocc] = 1.0
-                occs.append(occ)
+                es.append(e)
                 cs.append(c)
+            occs = fixed_occupations(es, nocc, factor=1.0)
             dms.append(_build_dm(np.asarray(cs), np.asarray(occs)))
         return np.asarray(dms)
 
@@ -569,11 +494,7 @@ class KUHF(KRHF):
                     self.entropy += ent_s
                     mus.append(mu_s)
                 else:
-                    occ_s = []
-                    for e in es_s:
-                        occ = np.zeros(len(e))
-                        occ[:nocc] = 1.0
-                        occ_s.append(occ)
+                    occ_s = fixed_occupations(es_s, nocc, factor=1.0)
                 dm_new[s] = _build_dm(np.asarray(cs_s), np.asarray(occ_s))
                 es.append(es_s)
                 cs.append(cs_s)

@@ -187,6 +187,42 @@ def test_smeared_occupations_unit():
     assert ((frac > 0.05) & (frac < 1.95)).any()
 
 
+def test_diis_core_unit():
+    """scf.core.diis_extrapolate: single-slot identity, exact linear-model
+    solution, and conditioning at convergence-scale errors (B ~ 1e-16 must
+    still extrapolate, not degrade to slot averaging) — the shared core runs
+    identically under numpy (host driver) and traced jax (device driver)."""
+    import jax
+    import jax.numpy as jnp
+    from fftisdf_tpu.scf.core import diis_extrapolate
+
+    rng = np.random.default_rng(7)
+    L = 30
+    f1 = rng.standard_normal(L) + 1j * rng.standard_normal(L)
+    e1 = rng.standard_normal(L) + 1j * rng.standard_normal(L)
+    out = diis_extrapolate(e1[None], f1[None], np.ones(1, bool), np)
+    np.testing.assert_allclose(out, f1, atol=1e-12)
+
+    # linear model: err(F) affine in F -> the c minimizing |sum c_i err_i|
+    # with err2 = -err1 is c = (.5, .5); scale errors down to the SCF
+    # convergence regime where B entries are ~1e-16
+    for scale in (1.0, 1e-8):
+        errs = np.stack([scale * e1, -scale * e1])
+        focks = np.stack([f1, 3.0 * f1])
+        out = diis_extrapolate(errs, focks, np.ones(2, bool), np)
+        np.testing.assert_allclose(out, 2.0 * f1, rtol=1e-6)
+
+    # dead slots (ring buffer warm-up) are ignored, traced == eager
+    errs3 = np.stack([e1, 0 * e1, 0 * e1])
+    focks3 = np.stack([f1, 9 * f1, 9 * f1])
+    valid = np.array([True, False, False])
+    out_np = diis_extrapolate(errs3, focks3, valid, np)
+    np.testing.assert_allclose(out_np, f1, atol=1e-12)
+    out_jx = jax.jit(lambda a, b, v: diis_extrapolate(a, b, v, jnp))(
+        errs3, focks3, valid)
+    np.testing.assert_allclose(np.asarray(out_jx), out_np, atol=1e-10)
+
+
 def test_krhf_smearing_insulating_limit():
     """sigma much smaller than the gap: smeared SCF reproduces the
     fixed-occupation SCF energy; free energy == total energy - sigma*S."""
