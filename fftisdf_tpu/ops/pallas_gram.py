@@ -52,10 +52,13 @@ def _gram_kernel(xr_ref, xi_ref, yr_ref, yi_ref, out_ref, acc_r, acc_i, *,
     xi = xi_ref[:]
     yr = yr_ref[:]
     yi = yi_ref[:]
-    acc_r[:] += (jnp.dot(xr, yr.T, preferred_element_type=jnp.float32)
-                 + jnp.dot(xi, yi.T, preferred_element_type=jnp.float32))
-    acc_i[:] += (jnp.dot(xi, yr.T, preferred_element_type=jnp.float32)
-                 - jnp.dot(xr, yi.T, preferred_element_type=jnp.float32))
+    # pin the dot precision: Mosaic lowers only HIGHEST/DEFAULT, so the
+    # kernel must not inherit a global 'high' default; selection accuracy
+    # wants the full 6-pass f32 path here regardless
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    acc_r[:] += dot(xr, yr.T) + dot(xi, yi.T)
+    acc_i[:] += dot(xi, yr.T) - dot(xr, yi.T)
 
     @pl.when(kb == nkb - 1)
     def _():
