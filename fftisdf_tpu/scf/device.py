@@ -101,6 +101,26 @@ class DeviceKUHF(KUHF):
     """KUHF with the device-resident iteration loop (one fetch per cycle)."""
     diis_space: int = 8
 
+    # -- overridable traced Fock/energy assembly (scf.device_ks swaps in
+    #    the KS functional here; everything below it is shared) ----------
+    def _veff_args(self):
+        """Extra device arrays the traced veff needs (jit *arguments*, not
+        closures — complex closures round-trip through the host on
+        complex-hostile transports)."""
+        return ()
+
+    def _trace_veff(self, dm, x_k, wq, phase, h1e):
+        """(fock (2, nk, nao, nao), e_elec) under trace.  UHF functional."""
+        nk = h1e.shape[0]
+        vj = jk_mod.get_j_kpts(x_k, wq[0], dm)
+        vk = jk_mod.get_k_kpts(x_k, wq, phase, dm)
+        vj_tot = vj[0] + vj[1]
+        fock = jnp.stack([h1e + vj_tot - vk[0], h1e + vj_tot - vk[1]])
+        e1 = jnp.einsum("skmn,knm->", dm, h1e).real / nk
+        ecoul = jnp.einsum("skmn,knm->", dm, vj_tot).real / (2 * nk)
+        ex = -jnp.einsum("skmn,sknm->", dm, vk).real / (2 * nk)
+        return fock, e1 + ecoul + ex
+
     def kernel(self, dm0=None):
         log = self._log
         nk, nao = self.h1e.shape[:2]
@@ -160,15 +180,10 @@ class DeviceKUHF(KUHF):
 
         @partial(jax.jit, static_argnames=())
         def step(dm, errs, focks, n, it, x_k, wq, h1e, s1e, xo, pen, bias,
-                 phase):
-            vj = jk_mod.get_j_kpts(x_k, wq[0], dm)
-            vk = jk_mod.get_k_kpts(x_k, wq, phase, dm)
-            vj_tot = vj[0] + vj[1]
-            fock = jnp.stack([h1e + vj_tot - vk[0], h1e + vj_tot - vk[1]])
-            e1 = jnp.einsum("skmn,knm->", dm, h1e).real / nk
-            ecoul = jnp.einsum("skmn,knm->", dm, vj_tot).real / (2 * nk)
-            ex = -jnp.einsum("skmn,sknm->", dm, vk).real / (2 * nk)
-            e_tot = e1 + ecoul + ex + e_nuc
+                 phase, *veff_extra):
+            fock, e_elec = self._trace_veff(dm, x_k, wq, phase, h1e,
+                                            *veff_extra)
+            e_tot = e_elec + e_nuc
 
             err = jnp.einsum("skmn,sknl,klo->skmo", fock, dm, s1e) \
                 - jnp.einsum("kmn,sknl,sklo->skmo", s1e, dm, fock)
@@ -201,6 +216,7 @@ class DeviceKUHF(KUHF):
 
         dm = to_device(self.get_init_guess() if dm0 is None
                        else np.asarray(dm0), dtype=cdtype)
+        veff_extra = self._veff_args()
         errs, focks, n = errs0, focks0, jnp.asarray(0, jnp.int32)
         e_last, self.converged = 0.0, False
         for it in range(self.max_cycle):
@@ -208,7 +224,7 @@ class DeviceKUHF(KUHF):
             dm, errs, focks, n, stats = step(
                 dm, errs, focks, n, jnp.asarray(it, jnp.int32),
                 df.x_k, df.wq, consts["h1e"], consts["s1e"], consts["xo"],
-                consts["pen"], bias, phase)
+                consts["pen"], bias, phase, *veff_extra)
             e_tot, ddm, ent = [float(v) for v in to_host(stats)]
             de = abs(e_tot - e_last)
             log.info("dSCF it %2d  E = %.10f  dE = %.2e  |ddm| = %.2e (%.2fs)",

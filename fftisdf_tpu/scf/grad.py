@@ -300,6 +300,18 @@ def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
     return fn
 
 
+def check_hf_functional(mf):
+    """The derivative stack traces the *HF* Lagrangian; a density converged
+    with a KS functional (scf.ks) is not stationary for it, so gradients
+    would be silently wrong (same failure mode as the round-1 exxdiv
+    advisor finding).  xc='hf' KRKS reduces exactly to KRHF and passes."""
+    xc = getattr(mf, "xc", None)
+    if xc is not None and str(xc).strip().lower() != "hf":
+        raise NotImplementedError(
+            f"analytic derivatives of the xc={xc!r} KS functional are not "
+            "implemented; the traced Lagrangian is Hartree-Fock only")
+
+
 def kernel(mf, two_electron="pw", df=None, dtype=None, max_memory_gb=None):
     """Nuclear gradient dE/dR (natm, 3) of a converged KRHF/KUHF.
 
@@ -310,6 +322,7 @@ def kernel(mf, two_electron="pw", df=None, dtype=None, max_memory_gb=None):
     eagerly; complex inputs cross the host boundary via utils.device).
     ``mf.exxdiv`` is honored (the 'ewald' Madelung S-term is part of the
     traced Lagrangian)."""
+    check_hf_functional(mf)
     return make_grad_fn(mf.cell, mf.kpts, two_electron=two_electron, df=df,
                         dtype=dtype, exxdiv=getattr(mf, "exxdiv", None),
                         max_memory_gb=max_memory_gb)(mf)

@@ -100,6 +100,8 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
     Returns ``(hess, g0)`` with ``g0`` the analytic gradient at the
     reference geometry.
     """
+    from fftisdf_tpu.scf.grad import check_hf_functional
+    check_hf_functional(mf)
     assert getattr(mf, "dm", None) is not None and mf.converged
     cell = mf.cell
     x0 = np.asarray(cell.atom_coords(), dtype=np.float64)

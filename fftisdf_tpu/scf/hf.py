@@ -264,13 +264,20 @@ class KRHF:
         return self.e_tot
 
     # --------------------------------------------------------------
-    def _band_ingredients(self, kpts_band, dm):
-        """(s1e_b, h1e_b, vj_b, vk_b) at band k-points from the mesh density.
+    def _band_ingredients(self, kpts_band, dm, with_k=True,
+                          return_ao=False):
+        """(s1e_b, h1e_b, vj_b, vk_b[, ao_b]) at band k-points from the
+        mesh density.
 
         Exact plane-wave J/K at the band points: the Hartree potential is
         k-independent (one Poisson solve), exchange runs the (band, mesh)
         pair sweep.  Capability beyond the reference (its guard:
-        ``fftisdf.py:194`` kpts_band -> NotImplementedError)."""
+        ``fftisdf.py:194`` kpts_band -> NotImplementedError).
+
+        ``with_k=False`` (pure-DFT band paths, scf.ks) skips the exchange
+        sweep entirely and returns ``vk_b = 0.0``; ``return_ao=True``
+        additionally returns the band-kpoint AO values (nb, ng, nao) so KS
+        callers can take Vxc matrix elements without re-evaluating."""
         from fftisdf_tpu.pw import jk as pw_jk
 
         cell = self.cell
@@ -298,7 +305,10 @@ class KRHF:
         if getattr(self.with_df, "wq", None) is not None:
             # ISDF-backed SCF: serve band J/K from the product state too
             # (per-pair re-fit, isdf.bands) instead of the exact-PW sweep
-            vj_b, vk_b = self.with_df.get_jk(dm, kpts_band=kpts_band)
+            vj_b, vk_b = self.with_df.get_jk(dm, kpts_band=kpts_band,
+                                             with_k=with_k)
+            if vk_b is None:
+                vk_b = 0.0
         elif dm.ndim == 4:   # spin channels (KUHF)
             vj_b = jnp.stack([pw_jk.get_j_kpts(cell, d, self._ao,
                                                ao_band=aob) for d in dm])
@@ -306,14 +316,15 @@ class KRHF:
                 pw_jk.get_k_kpts(cell, d, self._ao, self.kpts, coords=coords,
                                  ao_band=aob, kpts_band=kpts_band,
                                  g0_argmin_thresh=g0_argmin_thresh)
-                for d in dm])
+                for d in dm]) if with_k else 0.0
         else:
             vj_b = pw_jk.get_j_kpts(cell, dm, self._ao, ao_band=aob)
-            vk_b = pw_jk.get_k_kpts(cell, dm, self._ao, self.kpts,
-                                    coords=coords, ao_band=aob,
-                                    kpts_band=kpts_band,
-                                    g0_argmin_thresh=g0_argmin_thresh)
-        if self.exxdiv == "ewald":
+            vk_b = (pw_jk.get_k_kpts(cell, dm, self._ao, self.kpts,
+                                     coords=coords, ao_band=aob,
+                                     kpts_band=kpts_band,
+                                     g0_argmin_thresh=g0_argmin_thresh)
+                    if with_k else 0.0)
+        if self.exxdiv == "ewald" and with_k:
             # the probe-charge correction needs the density *at the band
             # k-point*; it exists only where the band point lies on the SCF
             # mesh.  Off-mesh band paths must run with exxdiv=None.
@@ -337,7 +348,9 @@ class KRHF:
                 dm, jnp.asarray(idx))
             s1e_dev = to_device(s1e_b, dtype=self._ao.dtype)
             vk_b = add_ewald_exx(vk_b, s1e_dev, dmb, mad)
-        return s1e_b, h1e_b, to_host(vj_b), to_host(vk_b)
+        vk_h = 0.0 if isinstance(vk_b, float) else to_host(vk_b)
+        out = (s1e_b, h1e_b, to_host(vj_b), vk_h)
+        return out + (aob,) if return_ao else out
 
     def get_bands(self, kpts_band, dm=None):
         """Band energies/orbitals at arbitrary k-points from the converged

@@ -1,0 +1,254 @@
+"""k-point Kohn-Sham DFT (KRKS / KUKS) on the GPW grid.
+
+Capability beyond the reference (it drives HF only, ``/root/reference/
+fftisdf.py:437-466``): the same duck-typed J/K provider contract as
+``scf.hf`` serves the Hartree term (and, for hybrids, the ISDF-accelerated
+exact exchange — the flagship ISDF use case), while the xc term is
+evaluated on the uniform grid by ``scf.xc`` with the potential generated
+by autodiff of the discrete Exc.
+
+Energy functional (restricted; nk = number of k-points):
+
+    E = Tr(D h)/nk + 1/2 Tr(D J)/nk + Exc[rho] - hyb/4 Tr(D K)/nk + E_nuc
+
+Fock:  F = h + J + Vxc - hyb/2 K   (per spin for KUKS, with J of the
+total density and K per spin, unscaled by the 1/2).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fftisdf_tpu.scf.hf import KRHF, KUHF, _eigh_gen
+from fftisdf_tpu.scf.device import DeviceKUHF, DeviceKRHF
+from fftisdf_tpu.scf import xc as xc_mod
+from fftisdf_tpu.utils.device import to_device, to_host
+
+
+def _spin_rho(ao, dm, nk, nspin):
+    """(nspin, ng) spin densities; restricted callers (nspin=1) pass the
+    *total* dm and get rho/2 in both channels (shape (2, ng))."""
+    rho_s = jnp.einsum("kgm,skmn,kgn->sg", ao, dm, ao.conj()).real / nk
+    if nspin == 1:
+        return jnp.concatenate([rho_s, rho_s], axis=0) * 0.5
+    return rho_s
+
+
+@partial(jax.jit, static_argnames=("spec", "fmesh", "weight", "nk",
+                                   "nspin"))
+def _xc_fock_kernel(ao, dm, gv, spec, fmesh, weight, nk, nspin):
+    """One fused device pass: density -> (Exc, Vxc AO matrices, nelec)."""
+    rho = _spin_rho(ao, dm, nk, nspin)
+    exc, v = xc_mod.exc_and_vxc(rho, gv, spec, fmesh, weight)
+    if nspin == 1:
+        v = v[:1]          # both channels identical for restricted
+    vxc = weight * jnp.einsum("kgm,sg,kgn->skmn", ao.conj(), v, ao)
+    nelec = jnp.sum(rho) * weight
+    return exc, vxc, nelec
+
+
+@partial(jax.jit, static_argnames=("spec", "fmesh", "weight", "nk",
+                                   "nspin"))
+def _xc_pot_kernel(ao, dm, gv, spec, fmesh, weight, nk, nspin):
+    """(exc, v (nspin, ng)) — raw potential of the mesh density, for the
+    band path (matrix elements are then taken against band-kpoint AOs)."""
+    rho = _spin_rho(ao, dm, nk, nspin)
+    exc, v = xc_mod.exc_and_vxc(rho, gv, spec, fmesh, weight)
+    return exc, (v[:1] if nspin == 1 else v)
+
+
+@partial(jax.jit, static_argnames=("weight",))
+def _band_vxc_kernel(aob, v, weight):
+    return weight * jnp.einsum("kgm,sg,kgn->skmn", aob.conj(), v, aob)
+
+
+class _KSCommon:
+    """Shared KS plumbing mixed into the HF drivers."""
+
+    def _ks_setup(self):
+        self._spec = xc_mod.parse_xc(self.xc)
+        cell = self.cell
+        self._fmesh = tuple(int(m) for m in cell.mesh)
+        ng = int(np.prod(self._fmesh))
+        self._xc_weight = float(cell.vol) / ng
+        rdt = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
+        self._gv = jnp.asarray(cell.get_Gv(self._fmesh), dtype=rdt)
+
+    def _dm_device(self, dm):
+        return to_device(np.asarray(dm).astype(np.complex128),
+                         dtype=self._ao.dtype)
+
+    def _xc_eval(self, dm_dev, nspin):
+        exc, vxc, nelec = _xc_fock_kernel(
+            self._ao, dm_dev, self._gv, self._spec, self._fmesh,
+            self._xc_weight, len(self.kpts), nspin)
+        return float(exc), to_host(vxc), float(nelec)
+
+    def _band_vxc(self, dm_dev, aob, nspin):
+        _, v = _xc_pot_kernel(self._ao, dm_dev, self._gv, self._spec,
+                              self._fmesh, self._xc_weight,
+                              len(self.kpts), nspin)
+        return to_host(_band_vxc_kernel(aob, v, self._xc_weight))
+
+
+@dataclass
+class KRKS(_KSCommon, KRHF):
+    """Restricted KS-DFT; ``xc`` selects the functional (scf.xc registry:
+    'lda', 'pbe', 'pbe0', ...; 'hf' reduces exactly to KRHF)."""
+    xc: str = "pbe"
+
+    def __post_init__(self):
+        super().__post_init__()
+        self._ks_setup()
+
+    def get_fock(self, dm):
+        hyb = self._spec.hyb
+        dm_dev = self._dm_device(dm)
+        vj, vk = self.with_df.get_jk(dm_dev, with_k=hyb != 0.0,
+                                     exxdiv=self.exxdiv if hyb else None)
+        vj = to_host(vj)
+        vk = to_host(vk) if vk is not None else np.zeros_like(vj)
+        exc, vxc, _ = self._xc_eval(dm_dev[None], nspin=1)
+        self._exc_last = exc
+        fock = self.h1e + vj + vxc[0] - 0.5 * hyb * vk
+        return fock, vj, vk
+
+    def energy_elec(self, dm, vj, vk):
+        nk = len(self.kpts)
+        hyb = self._spec.hyb
+        e1 = np.einsum("kmn,knm->", dm, self.h1e).real / nk
+        ej = 0.5 * np.einsum("kmn,knm->", dm, vj).real / nk
+        ex = -0.25 * hyb * np.einsum("kmn,knm->", dm, vk).real / nk
+        return e1 + ej + ex + self._exc_last
+
+    def get_bands(self, kpts_band, dm=None):
+        """KS band energies: F(kb) = h(kb) + J(kb) + Vxc(kb) - hyb/2 K(kb),
+        with Vxc from the converged mesh density evaluated against the
+        band-kpoint AOs (the potential itself is k-independent)."""
+        if dm is None:
+            dm = getattr(self, "dm", None)
+            assert dm is not None, "run kernel() first or pass dm"
+        else:
+            dm = np.asarray(dm)
+        hyb = self._spec.hyb
+        s1e_b, h1e_b, vj_b, vk_b, aob = self._band_ingredients(
+            kpts_band, dm, with_k=hyb != 0.0, return_ao=True)
+        vxc_b = self._band_vxc(self._dm_device(dm)[None], aob, nspin=1)
+        fock = h1e_b + vj_b + vxc_b[0] - 0.5 * hyb * vk_b
+        es, cs = [], []
+        for kb in range(fock.shape[0]):
+            e, c = _eigh_gen(fock[kb], s1e_b[kb], cutoff=self.ovlp_cutoff)
+            es.append(e)
+            cs.append(c)
+        return es, cs
+
+
+@dataclass
+class KUKS(_KSCommon, KUHF):
+    """Unrestricted KS-DFT: dm (2, nk, nao, nao); J of the total density,
+    per-spin Vxc, per-spin exact exchange scaled by the hybrid fraction."""
+    xc: str = "pbe"
+
+    def __post_init__(self):
+        super().__post_init__()
+        self._ks_setup()
+
+    def get_fock(self, dm):
+        hyb = self._spec.hyb
+        dm_dev = self._dm_device(dm)
+        vj, vk = self.with_df.get_jk(dm_dev, with_k=hyb != 0.0,
+                                     exxdiv=self.exxdiv if hyb else None)
+        vj = to_host(vj)
+        vk = to_host(vk) if vk is not None else np.zeros_like(vj)
+        exc, vxc, _ = self._xc_eval(dm_dev, nspin=2)
+        self._exc_last = exc
+        vj_tot = vj[0] + vj[1]
+        fock = np.stack([self.h1e + vj_tot + vxc[0] - hyb * vk[0],
+                         self.h1e + vj_tot + vxc[1] - hyb * vk[1]])
+        return fock, vj, vk
+
+    def energy_elec(self, dm, vj, vk):
+        nk = len(self.kpts)
+        hyb = self._spec.hyb
+        vj_tot = vj[0] + vj[1]
+        e1 = np.einsum("skmn,knm->", dm, self.h1e).real / nk
+        ej = 0.5 * np.einsum("skmn,knm->", dm, vj_tot).real / nk
+        ex = -0.5 * hyb * np.einsum("skmn,sknm->", dm, vk).real / nk
+        return e1 + ej + ex + self._exc_last
+
+    def get_bands(self, kpts_band, dm=None):
+        if dm is None:
+            dm = getattr(self, "dm", None)
+            assert dm is not None, "run kernel() first or pass dm"
+        else:
+            dm = np.asarray(dm)
+        hyb = self._spec.hyb
+        s1e_b, h1e_b, vj_b, vk_b, aob = self._band_ingredients(
+            kpts_band, dm, with_k=hyb != 0.0, return_ao=True)
+        vxc_b = self._band_vxc(self._dm_device(dm), aob, nspin=2)
+        vj_tot = vj_b[0] + vj_b[1]
+        es, cs = [], []
+        for s in range(2):
+            fock = h1e_b + vj_tot + vxc_b[s] - hyb * vk_b[s]
+            es_s, cs_s = [], []
+            for kb in range(fock.shape[0]):
+                e, c = _eigh_gen(fock[kb], s1e_b[kb],
+                                 cutoff=self.ovlp_cutoff)
+                es_s.append(e)
+                cs_s.append(c)
+            es.append(es_s)
+            cs.append(cs_s)
+        return es, cs
+
+
+# ----------------------------------------------------------------------
+# device-resident KS (scf.device loop with the KS functional traced in)
+
+class _DeviceKSVeff:
+    """Traced KS veff for the device-resident SCF loop (scf.device):
+    ISDF Hartree + grid xc, exact exchange only at the hybrid fraction —
+    pure functionals never build K, which removes the most expensive
+    serve-side kernel from every DFT SCF iteration."""
+
+    def _veff_args(self):
+        return (self._ao, self._gv)
+
+    def _trace_veff(self, dm, x_k, wq, phase, h1e, ao, gv):
+        from fftisdf_tpu.isdf import jk as jk_mod
+
+        nk = h1e.shape[0]
+        hyb = self._spec.hyb
+        w = self._xc_weight
+        vj = jk_mod.get_j_kpts(x_k, wq[0], dm)
+        vj_tot = vj[0] + vj[1]
+        rho = jnp.einsum("kgm,skmn,kgn->sg", ao, dm, ao.conj()).real / nk
+        exc, v = xc_mod.exc_and_vxc(rho, gv, self._spec, self._fmesh, w)
+        vxc = w * jnp.einsum("kgm,sg,kgn->skmn", ao.conj(), v, ao)
+        e1 = jnp.einsum("skmn,knm->", dm, h1e).real / nk
+        ecoul = jnp.einsum("skmn,knm->", dm, vj_tot).real / (2 * nk)
+        if hyb:
+            vk = jk_mod.get_k_kpts(x_k, wq, phase, dm)
+            exx = -0.5 * hyb * jnp.einsum("skmn,sknm->", dm,
+                                          vk).real / nk
+            fock = jnp.stack([h1e + vj_tot + vxc[0] - hyb * vk[0],
+                              h1e + vj_tot + vxc[1] - hyb * vk[1]])
+        else:
+            exx = 0.0
+            fock = jnp.stack([h1e + vj_tot + vxc[0],
+                              h1e + vj_tot + vxc[1]])
+        return fock, e1 + ecoul + exc + exx
+
+
+@dataclass
+class DeviceKUKS(_DeviceKSVeff, KUKS, DeviceKUHF):
+    """KUKS with the device-resident iteration loop."""
+
+
+@dataclass
+class DeviceKRKS(_DeviceKSVeff, KUKS, DeviceKRHF):
+    """Restricted device KS: runs the spin-split device loop (channels
+    coincide for closed shells), presents restricted results."""

@@ -71,6 +71,7 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
     and the gradient's frozen-point ISDF energy, so forces stay consistent
     with the energy being minimized.  Returns an :class:`OptResult`.
     """
+    scf_grad.check_hf_functional(mf)
     log = Logger(getattr(mf, "verbose", 3))
     cell = mf.cell
     assert cell._built

@@ -506,6 +506,8 @@ def kernel(mf, dtype=None, two_electron="pw", df=None):
     KRHF/KUHF.  sigma > 0 components mean the cell wants to shrink.
     ``two_electron='isdf'`` differentiates the frozen-point ISDF approximant
     of ``df`` instead of the exact plane-wave energy."""
+    from fftisdf_tpu.scf.grad import check_hf_functional
+    check_hf_functional(mf)
     val, g, _ = make_cell_grad_fn(mf.cell, mf.kpts, dtype=dtype,
                                   two_electron=two_electron, df=df,
                                   exxdiv=getattr(mf, "exxdiv", None))(mf)

@@ -1,0 +1,249 @@
+"""KS-DFT gates (no external DFT code available as oracle):
+
+- energy/potential exactness: vxc is jax.grad of the discrete Exc, so the
+  finite-difference derivative of Exc along ANY density perturbation must
+  match sum(vxc * drho) * w to near machine precision — this validates the
+  GGA divergence-term assembly without any hand-derived potential,
+- analytic limits: Slater exchange of a uniform density has the closed-form
+  value -(3/4)(3/pi)^(1/3) rho^(4/3); PBE reduces to LDA at zero density
+  gradient; PW92's high-density log slope is the exact RPA coefficient
+  A = (1 - ln 2)/pi^2; the exchange spin-scaling identity holds,
+- reduction: KRKS(xc='hf') reproduces KRHF exactly (same functional),
+- SCF: KRKS-LDA/PBE converge on diamond; ISDF-served Hartree matches the
+  exact plane-wave Hartree through a full SCF; closed-shell KUKS == KRKS;
+  PBE0's energy decomposes into its exact-exchange and GGA parts,
+- bands: KS band energies at the SCF mesh k-points reproduce the converged
+  mo_energy.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fftisdf_tpu.lattice import structure
+from fftisdf_tpu.scf import xc as xc_mod
+from fftisdf_tpu.scf.ks import KRKS, KUKS
+from fftisdf_tpu.scf.hf import KRHF
+from fftisdf_tpu.isdf import FFTISDF
+
+
+@pytest.fixture(scope="module")
+def diamond():
+    return structure.to_cell(*structure.bulk_diamond(), basis="gth-szv",
+                             pseudo="gth-pade", ke_cutoff=50.0)
+
+
+def _toy_rho(cell, seed=0, polarized=True):
+    """Smooth strictly-positive spin densities on the cell mesh."""
+    fmesh = tuple(int(m) for m in cell.mesh)
+    ng = int(np.prod(fmesh))
+    rng = np.random.default_rng(seed)
+    # a few low-G plane waves on top of a constant: smooth and positive
+    coef = rng.standard_normal((2, 4, 4, 4)) * 0.05
+    field = np.zeros((2,) + fmesh)
+    grid = np.fft.fftn(np.zeros(fmesh))
+    for s in range(2):
+        f = np.zeros(fmesh, dtype=complex)
+        f[:4, :4, :4] = coef[s] * ng
+        field[s] = np.real(np.fft.ifftn(f))
+    rho = 0.3 + field - field.min()
+    if not polarized:
+        rho[1] = rho[0]
+    return jnp.asarray(rho.reshape(2, ng))
+
+
+def _exc_of(cell, rho, name):
+    spec = xc_mod.parse_xc(name)
+    fmesh = tuple(int(m) for m in cell.mesh)
+    w = float(cell.vol) / int(np.prod(fmesh))
+    gv = jnp.asarray(cell.get_Gv(fmesh))
+    return xc_mod.exc_and_vxc(rho, gv, spec, fmesh, w), w
+
+
+@pytest.mark.parametrize("name", ["lda", "pbe", "pbex", "pbec"])
+def test_vxc_is_exact_derivative_of_exc(diamond, name):
+    """FD of Exc along a random perturbation vs sum(vxc*drho)*w."""
+    rho = _toy_rho(diamond, seed=1)
+    (exc0, vxc), w = _exc_of(diamond, rho, name)
+    rng = np.random.default_rng(2)
+    drho = jnp.asarray(rng.standard_normal(rho.shape)) * 1e-4
+    spec = xc_mod.parse_xc(name)
+    fmesh = tuple(int(m) for m in diamond.mesh)
+    gv = jnp.asarray(diamond.get_Gv(fmesh))
+    ep, _ = xc_mod.exc_and_vxc(rho + drho, gv, spec, fmesh, w)
+    em, _ = xc_mod.exc_and_vxc(rho - drho, gv, spec, fmesh, w)
+    fd = (float(ep) - float(em)) / 2.0
+    an = float(jnp.sum(vxc * drho)) * w
+    # 1e-7 relative: central-difference truncation (h^2 * third derivative)
+    # dominates; a missing/wrong GGA divergence term would err at O(1)
+    assert abs(fd - an) < 1e-7 * max(abs(fd), 1e-6), (fd, an)
+
+
+def test_slater_uniform_closed_form(diamond):
+    """Ex/V of a uniform density: -(3/4)(3/pi)^(1/3) rho^(4/3)."""
+    fmesh = tuple(int(m) for m in diamond.mesh)
+    ng = int(np.prod(fmesh))
+    rho0 = 0.37
+    rho = jnp.full((2, ng), rho0 / 2.0)
+    (exc, vxc), w = _exc_of(diamond, rho, "slater")
+    # -(3/4)(3/pi)^(1/3) = -0.73855876638... (Dirac 1930 coefficient)
+    expect = -(3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0) \
+        * rho0 ** (4.0 / 3.0)
+    assert abs(float(exc) / float(diamond.vol) - expect) < 1e-10
+    # LDA exchange potential of a uniform gas: vx = -(3 rho / pi)^(1/3)
+    vx_expect = -((3.0 * rho0 / np.pi) ** (1.0 / 3.0))
+    assert np.allclose(np.asarray(vxc), vx_expect, atol=1e-10)
+
+
+def test_pbe_reduces_to_lda_at_zero_gradient(diamond):
+    fmesh = tuple(int(m) for m in diamond.mesh)
+    ng = int(np.prod(fmesh))
+    rho = jnp.concatenate([jnp.full((1, ng), 0.21), jnp.full((1, ng), 0.13)])
+    (e_pbe, _), w = _exc_of(diamond, rho, "pbe")
+    (e_lda, _), _ = _exc_of(diamond, rho, "lda")
+    assert abs(float(e_pbe) - float(e_lda)) < 1e-10 * abs(float(e_lda))
+
+
+def test_pw92_high_density_log_slope():
+    """d eps_c / d ln rs -> A0 = (1 - ln 2)/pi^2 as rs -> 0 (exact RPA
+    high-density logarithm; the PW92 A parameter equals it by design)."""
+    rs = jnp.asarray([1e-7, 1e-6])
+    eps = xc_mod._pw92_eps(rs, jnp.zeros(2))
+    slope = (float(eps[1]) - float(eps[0])) / np.log(10.0)
+    a0 = (1.0 - np.log(2.0)) / np.pi ** 2
+    assert abs(slope - a0) < 0.02 * a0, (slope, a0)
+
+
+def test_exchange_spin_scaling(diamond):
+    """Ex[ra, rb] = (Ex[2ra] + Ex[2rb])/2 with the RHS unpolarized."""
+    rho = _toy_rho(diamond, seed=3)
+    (e_pol, _), w = _exc_of(diamond, rho, "pbex")
+    e_half = []
+    for s in range(2):
+        r2 = jnp.stack([rho[s], rho[s]])      # unpolarized at 2 rho_s
+        (e_s, _), _ = _exc_of(diamond, r2, "pbex")
+        e_half.append(float(e_s))
+    assert abs(float(e_pol) - 0.5 * sum(e_half)) < 1e-10 * abs(float(e_pol))
+
+
+def test_krks_hf_reduces_to_krhf(diamond):
+    kpts = diamond.get_kpts([1, 1, 2])
+    mf_hf = KRHF(diamond, kpts, verbose=0, conv_tol=1e-9)
+    e_hf = mf_hf.kernel()
+    mf_ks = KRKS(diamond, kpts, xc="hf", verbose=0, conv_tol=1e-9)
+    e_ks = mf_ks.kernel()
+    assert mf_ks.converged
+    assert abs(e_hf - e_ks) < 1e-8
+
+
+@pytest.fixture(scope="module")
+def diamond_lda(diamond):
+    kpts = diamond.get_kpts([1, 1, 2])
+    mf = KRKS(diamond, kpts, xc="lda", verbose=0, conv_tol=1e-9)
+    mf.kernel()
+    assert mf.converged
+    return mf
+
+
+def test_krks_lda_scf(diamond, diamond_lda):
+    mf = diamond_lda
+    # the density must integrate to the electron count on the grid
+    dm_dev = mf._dm_device(mf.dm)
+    _, _, nelec = mf._xc_eval(dm_dev[None], nspin=1)
+    assert abs(nelec - diamond.nelectron) < 1e-4
+    # LDA total energy differs from HF (sanity that xc actually acted)
+    mf_hf = KRHF(diamond, mf.kpts, verbose=0)
+    e_hf = mf_hf.kernel()
+    assert abs(mf.e_tot - e_hf) > 1e-2
+
+
+def test_krks_pbe_scf_and_isdf_hartree(diamond):
+    """PBE SCF with ISDF-served Hartree vs exact plane-wave Hartree."""
+    kpts = diamond.get_kpts([1, 1, 2])
+    mf = KRKS(diamond, kpts, xc="pbe", verbose=0, conv_tol=1e-9)
+    e_pw = mf.kernel()
+    assert mf.converged
+    df = FFTISDF(diamond, kpts, c0=40.0, verbose=0).build()
+    mf_i = KRKS(diamond, kpts, xc="pbe", with_df=df, verbose=0,
+                conv_tol=1e-9)
+    e_isdf = mf_i.kernel()
+    assert mf_i.converged
+    assert abs(e_pw - e_isdf) / diamond.natm < 5e-7, (e_pw, e_isdf)
+
+
+def test_pbe0_energy_decomposition(diamond):
+    """At a fixed density, E_elec(pbe0) = e1 + ej + 0.25 Ex_exact
+    + 0.75 Ex_pbe + Ec_pbe."""
+    kpts = diamond.get_kpts([1, 1, 2])
+    mf = KRKS(diamond, kpts, xc="pbe0", verbose=0)
+    dm = mf.get_init_guess()
+    fock, vj, vk = mf.get_fock(dm)
+    e_pbe0 = mf.energy_elec(dm, vj, vk)
+    nk = len(kpts)
+    e1 = np.einsum("kmn,knm->", dm, mf.h1e).real / nk
+    ej = 0.5 * np.einsum("kmn,knm->", dm, vj).real / nk
+    ex_hf = -0.25 * np.einsum("kmn,knm->", dm, vk).real / nk
+    dm_dev = mf._dm_device(dm)[None]
+    from fftisdf_tpu.scf.ks import _xc_pot_kernel
+    args = (mf._ao, dm_dev, mf._gv)
+    kw = dict(fmesh=mf._fmesh, weight=mf._xc_weight, nk=nk, nspin=1)
+    ex_pbe, _ = _xc_pot_kernel(*args, spec=xc_mod.parse_xc("pbex"), **kw)
+    ec_pbe, _ = _xc_pot_kernel(*args, spec=xc_mod.parse_xc("pbec"), **kw)
+    manual = e1 + ej + 0.25 * ex_hf + 0.75 * float(ex_pbe) + float(ec_pbe)
+    assert abs(e_pbe0 - manual) < 1e-9, (e_pbe0, manual)
+
+
+def test_kuks_closed_shell_matches_krks(diamond, diamond_lda):
+    kpts = diamond.get_kpts([1, 1, 2])
+    mf_u = KUKS(diamond, kpts, xc="lda", verbose=0, conv_tol=1e-9)
+    e_u = mf_u.kernel()
+    assert mf_u.converged
+    assert abs(e_u - diamond_lda.e_tot) < 1e-7
+
+
+@pytest.fixture(scope="module")
+def diamond_isdf(diamond):
+    kpts = diamond.get_kpts([1, 1, 2])
+    df = FFTISDF(diamond, kpts, c0=40.0, m0=(9, 9, 9), verbose=0).build()
+    return kpts, df
+
+
+def test_device_krks_matches_host(diamond, diamond_isdf):
+    """Device-resident KS loop == host KS loop (CPU f64 parity gate,
+    mirroring tests/test_scf_device.py for HF)."""
+    from fftisdf_tpu.scf.ks import DeviceKRKS
+
+    kpts, df = diamond_isdf
+    e0 = KRKS(diamond, kpts, xc="pbe", with_df=df, verbose=0,
+              conv_tol=1e-10).kernel()
+    mf = DeviceKRKS(diamond, kpts, xc="pbe", with_df=df, verbose=0,
+                    conv_tol=1e-10, max_cycle=60)
+    e1 = mf.kernel()
+    assert mf.converged
+    np.testing.assert_allclose(e1, e0, atol=3e-8)
+
+
+def test_device_kuks_hybrid_matches_host(diamond, diamond_isdf):
+    """Hybrid (PBE0) exercises the exact-exchange branch of the traced
+    device veff; both sides serve K from the same ISDF state."""
+    from fftisdf_tpu.scf.ks import DeviceKUKS
+
+    kpts, df = diamond_isdf
+    mf0 = KUKS(diamond, kpts, xc="pbe0", with_df=df, verbose=0,
+               conv_tol=1e-10)
+    e0 = mf0.kernel()
+    mf1 = DeviceKUKS(diamond, kpts, xc="pbe0", with_df=df, verbose=0,
+                     conv_tol=1e-10, max_cycle=60)
+    e1 = mf1.kernel()
+    assert mf0.converged and mf1.converged
+    np.testing.assert_allclose(e1, e0, atol=3e-8)
+
+
+def test_ks_bands_reproduce_scf_eigenvalues(diamond, diamond_lda):
+    mf = diamond_lda
+    es, cs = mf.get_bands(mf.kpts)
+    es = np.asarray(es)
+    # compare occupied + low virtual eigenvalues at the SCF mesh points
+    ref = np.asarray(mf.mo_energy)
+    nocc = mf.nocc
+    assert np.max(np.abs(es[:, :nocc + 1] - ref[:, :nocc + 1])) < 5e-5
