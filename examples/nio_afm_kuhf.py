@@ -37,6 +37,11 @@ def main():
                    help="the reference driver's full config on the TPU "
                         "(fftisdf.py:423-432): 4x4x4, gth-dzvp-molopt-sr, "
                         "ke=200, c0=40, device-resident SCF")
+    p.add_argument("--xc", default=None,
+                   help="run KS-DFT (KUKS) instead of KUHF: lda|pbe|pbe0")
+    p.add_argument("--hubbard-u", type=float, default=0.0, metavar="EV",
+                   help="DFT+U on the Ni d shells, U_eff in eV (needs "
+                        "--xc; ~6.2 eV is the common NiO literature value)")
     args = p.parse_args()
     if args.production:
         args.ke, args.kmesh, args.c0 = 200.0, [4, 4, 4], 40.0
@@ -71,15 +76,32 @@ def main():
     # on TPU (transfer-limited transport) use the device-resident SCF loop:
     # one small fetch per cycle instead of moving vj/vk/fock across the
     # tunnel (scf.device; ~10x per-iteration wall-clock)
+    ks_kwargs = {}
+    if args.xc is not None:
+        # KS-DFT path: KUKS with optional DFT+U on the Ni d shells (the
+        # production method for NiO — pure functionals alone close neither
+        # the gap nor the AFM order; scf.hubbard)
+        from fftisdf_tpu.scf.ks import KUKS, DeviceKUKS
+        ks_kwargs["xc"] = args.xc
+        if args.hubbard_u > 0.0:
+            u_ha = args.hubbard_u / 27.211386
+            ks_kwargs["hubbard"] = {0: (2, u_ha), 1: (2, u_ha)}
+        host_cls, dev_cls = KUKS, DeviceKUKS
+        if ks_kwargs.get("hubbard"):
+            dev_cls = KUKS     # +U runs on the host driver
+    else:
+        from fftisdf_tpu.scf.device import DeviceKUHF
+        host_cls, dev_cls = KUHF, DeviceKUHF
     if args.tpu and args.level_shift == 0.0:
-        from fftisdf_tpu.scf.device import DeviceKUHF as _KUHF
+        _KUHF = dev_cls
         conv_tol = 1e-6   # f32 J/K noise floor
     else:
-        _KUHF = KUHF
+        _KUHF = host_cls
         conv_tol = 1e-8
     mf = _KUHF(cell, kpts, with_df=df, verbose=3, conv_tol=conv_tol,
                max_cycle=80, init_spin=init_spin,
-               level_shift=args.level_shift, smearing=args.smearing)
+               level_shift=args.level_shift, smearing=args.smearing,
+               **ks_kwargs)
     t0 = time.time()
     e = mf.kernel()
     # local spin moments (Mulliken-style, diagonal of dm.S per atom)
@@ -102,9 +124,9 @@ def main():
           " ".join(f"{sym}:{m:+.3f}" for (sym, _), m in zip(cell.atom, moments)))
 
     if args.exact:
-        mf0 = KUHF(cell, kpts, verbose=0, conv_tol=1e-8, max_cycle=80,
-                   init_spin=init_spin, level_shift=args.level_shift,
-                   smearing=args.smearing)
+        mf0 = host_cls(cell, kpts, verbose=0, conv_tol=1e-8, max_cycle=80,
+                       init_spin=init_spin, level_shift=args.level_shift,
+                       smearing=args.smearing, **ks_kwargs)
         e0 = mf0.kernel()
         print(f"-> exact-PW KUHF E = {e0:.8f} Ha (conv={mf0.converged})")
         print(f"-> dE/atom = {abs(e-e0)/cell.natm:.2e} Ha")

@@ -1,0 +1,117 @@
+"""DFT+U (Dudarev rotationally-invariant scheme) for the KS drivers.
+
+Capability beyond the reference (HF-only): the production method for the
+north-star NiO-AFM system (BASELINE.md) is DFT+U on the Ni d shell — pure
+(semi)local functionals underestimate the on-site repulsion that opens the
+charge-transfer gap and stabilizes the AFM order.
+
+Scheme (Dudarev et al., PRB 57, 1505 (1998)): per selected (atom, l) site
+and spin channel,
+
+    E_U = sum_{I,sigma} U_I/2 * [ Tr n_I^sigma - Tr (n_I^sigma)^2 ]
+
+with the on-site occupation matrix in the Loewdin-orthonormalized AO
+projector subspace:
+
+    n_I,ij^sigma = (1/nk) sum_k [ S_k^1/2 D_k^sigma S_k^1/2 ]_{I_i, I_j}
+
+Projector convention: the FIRST contracted radial of each m channel of the
+first l-shell on the atom ("first-radial AO projector", the analog of the
+atomic-orbital projectors of plane-wave codes).  Explicit AO index lists
+can be passed instead.
+
+Fock contribution (derived for the energy pairing used throughout scf.hf:
+E contributions are einsum("kmn,knm->", dm, V)/nk):
+
+    V_k^sigma = S_k^1/2 P^T [ U/2 (1 - 2 n^sigma) ] P S_k^1/2
+
+restricted drivers (total-density dm, factor-2 occupations) use
+n^sigma = n_total/2, which gives V = S^1/2 P^T [U/2 (1 - n_total)] P S^1/2.
+Both the energy and the potential are FD-cross-gated in tests/test_hubbard.py.
+
+U is in Hartree (the rest of the package is atomic units); literature
+values quoted in eV divide by 27.2114.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def projector_indices(cell, ia, l):
+    """AO indices of the first-radial projector functions of the first
+    l-shell on atom ``ia`` (one AO per m channel, 2l+1 total).
+
+    AO layout (basis.eval): shells in cell.shells() order; within a shell
+    the (2l+1, nctr) block is m-major, contracted-radial-minor."""
+    off = 0
+    for ja, sym, _xyz, sh in cell.shells():
+        if ja == ia and sh.l == l:
+            return np.asarray([off + m * sh.nctr for m in range(2 * l + 1)])
+        off += sh.nfunc
+    raise ValueError(f"atom {ia} has no l={l} shell")
+
+
+def shalf_kpts(s1e):
+    """Hermitian S_k^1/2 per k-point (host, f64)."""
+    s1e = np.asarray(s1e)
+    out = np.empty_like(s1e)
+    for k in range(s1e.shape[0]):
+        se, sv = np.linalg.eigh(s1e[k])
+        out[k] = (sv * np.sqrt(np.maximum(se, 0.0))) @ sv.conj().T
+    return out
+
+
+def build_sites(cell, hubbard):
+    """Normalize the ``hubbard`` spec to [(idx array, U), ...].
+
+    ``hubbard``: {atom_index: (l, U)} with the first-radial projector, or
+    {atom_index: (indices, U)} with an explicit AO index list."""
+    sites = []
+    for ia, (sel, u) in sorted(hubbard.items()):
+        idx = (projector_indices(cell, ia, int(sel))
+               if np.isscalar(sel) else np.asarray(sel, dtype=int))
+        sites.append((idx, float(u)))
+    return sites
+
+
+def occupation_matrices(dm, shalf, sites):
+    """Per-site on-site occupation matrices.
+
+    dm: (nspin, nk, nao, nao) SPIN-RESOLVED density matrices (restricted
+    callers pass dm_total/2 per channel); shalf: (nk, nao, nao).
+    Returns [n (nspin, p, p) hermitian, ...] aligned with ``sites``."""
+    dm = np.asarray(dm)
+    nspin, nk = dm.shape[:2]
+    sd = np.einsum("kmp,skpq,kqn->skmn", shalf, dm, shalf)
+    sd = sd.mean(axis=1)                          # (nspin, nao, nao), 1/nk
+    out = []
+    for idx, _u in sites:
+        n = sd[:, idx[:, None], idx[None, :]]
+        out.append(0.5 * (n + np.conj(np.swapaxes(n, -1, -2))))
+    return out
+
+
+def eu_and_vu(dm, shalf, sites):
+    """(E_U, V_U, g) for spin-resolved dm (nspin, nk, nao, nao).
+
+    V_U pairs with dm in the package energy convention:
+    dE_U = einsum("skmn,sknm->", d dm, V_U) / nk.  ``g`` is the potential
+    in the Loewdin frame (nspin, nao, nao): V at any k-point set — e.g.
+    band paths — is S_k^1/2 g S_k^1/2 (see ``vu_from_g``)."""
+    dm = np.asarray(dm)
+    nspin, nk, nao = dm.shape[:3]
+    occ = occupation_matrices(dm, shalf, sites)
+    e_u = 0.0
+    g = np.zeros((nspin, nao, nao), dtype=dm.dtype)
+    for (idx, u), n in zip(sites, occ):
+        for s in range(nspin):
+            ns = n[s]
+            e_u += 0.5 * u * np.real(np.trace(ns) - np.trace(ns @ ns))
+            g[s][idx[:, None], idx[None, :]] += \
+                0.5 * u * (np.eye(len(idx)) - 2.0 * ns)
+    return float(e_u), vu_from_g(shalf, g), g
+
+
+def vu_from_g(shalf, g):
+    """V_U (nspin, nk, nao, nao) from the Loewdin-frame potential g."""
+    return np.einsum("kmp,spq,kqn->skmn", shalf, g, shalf)

@@ -77,6 +77,30 @@ class _KSCommon:
         self._xc_weight = float(cell.vol) / ng
         rdt = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
         self._gv = jnp.asarray(cell.get_Gv(self._fmesh), dtype=rdt)
+        self._hub_sites = self._shalf = None
+        if getattr(self, "hubbard", None):
+            from fftisdf_tpu.scf import hubbard as hub_mod
+
+            self._hub_sites = hub_mod.build_sites(cell, self.hubbard)
+            self._shalf = hub_mod.shalf_kpts(self.s1e)
+
+    def _hubbard_eu_vu(self, dm_spin):
+        """(E_U, V_U (nspin, nk, nao, nao)) for SPIN-RESOLVED host dm;
+        (0.0, 0.0) when DFT+U is off."""
+        if self._hub_sites is None:
+            return 0.0, 0.0
+        from fftisdf_tpu.scf import hubbard as hub_mod
+
+        eu, vu, _g = hub_mod.eu_and_vu(dm_spin, self._shalf,
+                                       self._hub_sites)
+        return eu, vu
+
+    def _hubbard_vu_bands(self, dm_spin, s1e_b):
+        """V_U at band k-points from the mesh-density occupations."""
+        from fftisdf_tpu.scf import hubbard as hub_mod
+
+        _, _, g = hub_mod.eu_and_vu(dm_spin, self._shalf, self._hub_sites)
+        return hub_mod.vu_from_g(hub_mod.shalf_kpts(s1e_b), g)
 
     def _dm_device(self, dm):
         return to_device(np.asarray(dm).astype(np.complex128),
@@ -98,8 +122,10 @@ class _KSCommon:
 @dataclass
 class KRKS(_KSCommon, KRHF):
     """Restricted KS-DFT; ``xc`` selects the functional (scf.xc registry:
-    'lda', 'pbe', 'pbe0', ...; 'hf' reduces exactly to KRHF)."""
+    'lda', 'pbe', 'pbe0', ...; 'hf' reduces exactly to KRHF).  ``hubbard``
+    enables DFT+U: {atom_index: (l, U_hartree)} (scf.hubbard, Dudarev)."""
     xc: str = "pbe"
+    hubbard: dict = None
 
     def __post_init__(self):
         super().__post_init__()
@@ -114,7 +140,12 @@ class KRKS(_KSCommon, KRHF):
         vk = to_host(vk) if vk is not None else np.zeros_like(vj)
         exc, vxc, _ = self._xc_eval(dm_dev[None], nspin=1)
         self._exc_last = exc
+        dm = np.asarray(dm)
+        eu, vu = self._hubbard_eu_vu(np.stack([dm, dm]) * 0.5)
+        self._eu_last = eu
         fock = self.h1e + vj + vxc[0] - 0.5 * hyb * vk
+        if self._hub_sites is not None:
+            fock = fock + vu[0]
         return fock, vj, vk
 
     def energy_elec(self, dm, vj, vk):
@@ -123,7 +154,7 @@ class KRKS(_KSCommon, KRHF):
         e1 = np.einsum("kmn,knm->", dm, self.h1e).real / nk
         ej = 0.5 * np.einsum("kmn,knm->", dm, vj).real / nk
         ex = -0.25 * hyb * np.einsum("kmn,knm->", dm, vk).real / nk
-        return e1 + ej + ex + self._exc_last
+        return e1 + ej + ex + self._exc_last + getattr(self, "_eu_last", 0.0)
 
     def get_bands(self, kpts_band, dm=None):
         """KS band energies: F(kb) = h(kb) + J(kb) + Vxc(kb) - hyb/2 K(kb),
@@ -139,6 +170,9 @@ class KRKS(_KSCommon, KRHF):
             kpts_band, dm, with_k=hyb != 0.0, return_ao=True)
         vxc_b = self._band_vxc(self._dm_device(dm)[None], aob, nspin=1)
         fock = h1e_b + vj_b + vxc_b[0] - 0.5 * hyb * vk_b
+        if self._hub_sites is not None:
+            fock = fock + self._hubbard_vu_bands(
+                np.stack([dm, dm]) * 0.5, s1e_b)[0]
         es, cs = [], []
         for kb in range(fock.shape[0]):
             e, c = _eigh_gen(fock[kb], s1e_b[kb], cutoff=self.ovlp_cutoff)
@@ -150,8 +184,12 @@ class KRKS(_KSCommon, KRHF):
 @dataclass
 class KUKS(_KSCommon, KUHF):
     """Unrestricted KS-DFT: dm (2, nk, nao, nao); J of the total density,
-    per-spin Vxc, per-spin exact exchange scaled by the hybrid fraction."""
+    per-spin Vxc, per-spin exact exchange scaled by the hybrid fraction.
+    ``hubbard`` enables DFT+U ({atom_index: (l, U_hartree)}, scf.hubbard) —
+    with per-spin occupation matrices this is what stabilizes the AFM
+    order of the north-star NiO system."""
     xc: str = "pbe"
+    hubbard: dict = None
 
     def __post_init__(self):
         super().__post_init__()
@@ -166,9 +204,13 @@ class KUKS(_KSCommon, KUHF):
         vk = to_host(vk) if vk is not None else np.zeros_like(vj)
         exc, vxc, _ = self._xc_eval(dm_dev, nspin=2)
         self._exc_last = exc
+        eu, vu = self._hubbard_eu_vu(np.asarray(dm))
+        self._eu_last = eu
         vj_tot = vj[0] + vj[1]
         fock = np.stack([self.h1e + vj_tot + vxc[0] - hyb * vk[0],
                          self.h1e + vj_tot + vxc[1] - hyb * vk[1]])
+        if self._hub_sites is not None:
+            fock = fock + vu
         return fock, vj, vk
 
     def energy_elec(self, dm, vj, vk):
@@ -178,7 +220,7 @@ class KUKS(_KSCommon, KUHF):
         e1 = np.einsum("skmn,knm->", dm, self.h1e).real / nk
         ej = 0.5 * np.einsum("skmn,knm->", dm, vj_tot).real / nk
         ex = -0.5 * hyb * np.einsum("skmn,sknm->", dm, vk).real / nk
-        return e1 + ej + ex + self._exc_last
+        return e1 + ej + ex + self._exc_last + getattr(self, "_eu_last", 0.0)
 
     def get_bands(self, kpts_band, dm=None):
         if dm is None:
@@ -190,10 +232,14 @@ class KUKS(_KSCommon, KUHF):
         s1e_b, h1e_b, vj_b, vk_b, aob = self._band_ingredients(
             kpts_band, dm, with_k=hyb != 0.0, return_ao=True)
         vxc_b = self._band_vxc(self._dm_device(dm), aob, nspin=2)
+        vu_b = (self._hubbard_vu_bands(dm, s1e_b)
+                if self._hub_sites is not None else None)
         vj_tot = vj_b[0] + vj_b[1]
         es, cs = [], []
         for s in range(2):
             fock = h1e_b + vj_tot + vxc_b[s] - hyb * vk_b[s]
+            if vu_b is not None:
+                fock = fock + vu_b[s]
             es_s, cs_s = [], []
             for kb in range(fock.shape[0]):
                 e, c = _eigh_gen(fock[kb], s1e_b[kb],
@@ -215,6 +261,11 @@ class _DeviceKSVeff:
     serve-side kernel from every DFT SCF iteration."""
 
     def _veff_args(self):
+        if self._hub_sites is not None:
+            raise NotImplementedError(
+                "DFT+U in the device-resident loop: use the host drivers "
+                "(KRKS/KUKS) — the U correction is small dense host "
+                "algebra, not a transfer bottleneck")
         return (self._ao, self._gv)
 
     def _trace_veff(self, dm, x_k, wq, phase, h1e, ao, gv):
