@@ -64,14 +64,21 @@ def jk_flops(nk, nao, nip, nimg):
 
 def build_flops(nk, nao, nip, ngrid, nimg, nsec, nchunk):
     """Counted FLOPs of the build pipeline (RHS sweep repeated per chunk +
-    per-sector half-solve/FFT/gram; AO evaluation and selection excluded)."""
-    rhs_per_sweep = (_gemm(nk * ngrid, nip, nao)          # fx_k
-                     + _gemm(nimg, ngrid * nip, nk))      # stripe in
-    rhs_cols = _gemm(nsec, ngrid * nip, nimg)             # stripe out (cols)
+    per-sector half-solve/FFT/gram; AO evaluation and selection excluded).
+    The stripe-in and sector projections run as real gemms (half the
+    complex MACs — only Re(fx_s) survives the square), and the metric gram
+    is triangular row-blocked (upper block triangle only, with the pairwise
+    row FFTs recomputed ~nrb/2 times — isdf.kpoint._metric_gram_rowblocked)."""
+    rhs_per_sweep = (_gemm(nk * ngrid, nip, nao)          # fx_k (complex)
+                     + _gemm(nimg, ngrid * nip, nk) / 2)  # stripe in (real x2)
+    rhs_cols = _gemm(nsec, ngrid * nip, nimg) / 2         # projections (real)
+    rblk = min(256, nip)
+    nrb = -(-nip // rblk)
+    tri = (nrb + 1) / (2 * nrb)
     per_sector = (_gemm(nip, ngrid, nip)                  # H B half pass
-                  + _fft(nip, ngrid)                      # FFT Coulomb
+                  + _fft(nip, ngrid) * (nrb + 1) / 2      # pairwise row FFTs
                   + 2.0 * nip * ngrid                     # kernel scale
-                  + _gemm(nip, nip, ngrid))               # G K G^H gram
+                  + _gemm(nip, nip, ngrid) * tri)         # triangular gram
     return nchunk * rhs_per_sweep + rhs_cols + nsec * per_sector
 
 

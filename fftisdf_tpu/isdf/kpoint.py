@@ -224,6 +224,52 @@ _scatter_trs = jax.jit(lambda w, o, c: jnp.where(
     c[:, None, None], jnp.conj(w[o]), w[o]))
 
 
+def _metric_gram_rowblocked(gb, ph, sqk, mesh, ngrid, rblk=256):
+    """Coulomb-metric gram M = sum_G coulG(G) h(G) h(G)^H of the
+    half-solved rows, h = sqrt-kernel-scaled FFT[g e^{-iqr}], WITHOUT
+    materializing the (nip, ngrid) spectrum.
+
+    ``gb`` is g in grid-block layout (nblk, nip, blk).  Rows are FFT'd in
+    blocks of ``rblk`` and only the upper block triangle of the hermitian
+    gram is formed (the lower is mirrored), so the large live buffers are
+    g itself plus two spectral row blocks — this is what frees the HBM
+    headroom that lets the build solve several momentum sectors per grid
+    sweep at production sizes.  The repeated row FFTs of the pairwise
+    scheme (~nrb/2 x the minimal count) are <1% of the gram gemm flops,
+    and the triangle saves ~45% of them."""
+    nip = gb.shape[1]
+    rblk = min(rblk, nip)
+    nrb = -(-nip // rblk)
+    rows_ar = jnp.arange(rblk)
+
+    def fft_rows(r0):
+        idx = r0 * rblk + rows_ar
+        # rows beyond nip (ragged last block) are zeroed: they contribute
+        # nothing to the gram and the padded frame is sliced off below
+        rows = jnp.take(gb, jnp.minimum(idx, nip - 1), axis=1)
+        rows = jnp.transpose(rows, (1, 0, 2)).reshape(rblk, -1)[:, :ngrid]
+        rows = jnp.where((idx < nip)[:, None], rows, 0)
+        return fft3(rows * ph.conj()[None, :], mesh) * sqk[None, :]
+
+    def outer(i, m):
+        hi = fft_rows(i)
+        m = jax.lax.dynamic_update_slice(m, hi @ hi.conj().T,
+                                         (i * rblk, i * rblk))
+
+        def inner(j, m):
+            return jax.lax.dynamic_update_slice(
+                m, hi @ fft_rows(j).conj().T, (i * rblk, j * rblk))
+
+        return jax.lax.fori_loop(i + 1, nrb, inner, m)
+
+    m_u = jax.lax.fori_loop(0, nrb, outer,
+                            jnp.zeros((nrb * rblk,) * 2, gb.dtype))
+    m_u = m_u[:nip, :nip]
+    blk_of = jnp.arange(nip) // rblk
+    on_diag = blk_of[:, None] == blk_of[None, :]
+    return m_u + m_u.conj().T - jnp.where(on_diag, m_u, 0)
+
+
 @partial(jax.jit, static_argnames=("fn", "nq", "ngrid", "mesh", "vol",
                                    "solver", "rcond", "refine"))
 def _chunk_pipeline(coords_p, x_k, phase_full, qs, coulG_c,
@@ -243,12 +289,16 @@ def _chunk_pipeline(coords_p, x_k, phase_full, qs, coulG_c,
       block's RHS contribution is pushed through the half solve as it is
       produced — the O(nq * nip * ngrid) tensor that accumulates is
       g = H B directly and the raw RHS y never exists;
+    - the stripe square y_s stays REAL through the sweep (it *is* real —
+      casting it complex, as a naive einsum chain does, doubles the HBM
+      traffic of the sweep's largest intermediate on a bandwidth-bound
+      stage), and the real->complex sector projection runs as two real
+      gemms at half the MACs of the complex form;
     - the Coulomb metric factors through the PSD split
-      h = FFT-kernel^(1/2) g (coulG >= 0), so w0 = h h^H needs ONE big
-      operand;
-    - single-sector chunks (the production regime) run the FFT/scale in
-      nip-row blocks, so the peak is ~(g + h + row temps) instead of
-      (g + fft-in + fft-out)."""
+      h = FFT-kernel^(1/2) g (coulG >= 0) and the gram runs row-blocked
+      (see _metric_gram_rowblocked), so no per-sector (nip, ngrid)
+      spectrum is ever materialized — that headroom goes to solving more
+      sectors per sweep instead."""
     nip = x_k.shape[1]
 
     x4_c = _stripe_quartic(x_k, phase_full)[qs]    # transient (nq, nip, nip)
@@ -263,51 +313,27 @@ def _chunk_pipeline(coords_p, x_k, phase_full, qs, coulG_c,
     def block_fn(c):
         f_k = fn(c)
         fx_k = jnp.einsum("kgm,kIm->kgI", f_k.conj(), x_k)
-        fx_s = jnp.einsum("Rk,kgI->RgI", phase_full, fx_k)
-        y_s = (fx_s.real ** 2).astype(fx_s.dtype)
-        y_c = jnp.einsum("Rq,RgI->qIg", phase_cols, y_s)
+        # real part of the stripe transform only (the imaginary part is
+        # discarded by the square): two real gemms, half the complex MACs
+        fx_s = (jnp.einsum("Rk,kgI->RgI", phase_full.real, fx_k.real)
+                - jnp.einsum("Rk,kgI->RgI", phase_full.imag, fx_k.imag))
+        y_s = fx_s ** 2                            # REAL (nimg, blk, nip)
+        y_c = (jnp.einsum("Rq,RgI->qIg", phase_cols.real, y_s)
+               + 1j * jnp.einsum("Rq,RgI->qIg", phase_cols.imag, y_s)
+               ).astype(fx_k.dtype)
         return jax.vmap(lambda d, b: half_apply(kind, d, b))(data_c, y_c)
 
     g_blocks = jax.lax.map(block_fn, coords_p)     # (nblk, nq, nip, blk)
-
-    if nq == 1:
-        # production path: row-blocked FFT with the (nblk, nip, blk) ->
-        # (nip, ngrid) transpose done PER ROW BLOCK, so no full transposed
-        # copy of the ~5 GB per-sector tensor ever exists — the live big
-        # buffers are exactly g_blocks and the scaled spectrum h.
-        gb = g_blocks[:, 0]                      # (nblk, nip, blk)
-        ph = eiqr_c[0]
-        sqk = jnp.sqrt(jnp.maximum(coulG_c[0], 0.0) * (vol / ngrid**2))
-        nrb = -(-nip // 256)
-        rblk = -(-nip // nrb)
-        pad = nrb * rblk - nip
-        if pad:
-            # zero rows FFT to zero rows; the gram is sliced afterwards
-            gb = jnp.pad(gb, ((0, 0), (0, pad), (0, 0)))
-
-        def rb_fn(r0):
-            rows = jax.lax.dynamic_slice_in_dim(gb, r0 * rblk, rblk, axis=1)
-            rows = jnp.transpose(rows, (1, 0, 2)).reshape(rblk, -1)[:, :ngrid]
-            gf = fft3(rows * ph.conj()[None, :], mesh)
-            return gf * sqk[None, :]
-
-        h = jax.lax.map(rb_fn, jnp.arange(nrb)).reshape(nrb * rblk, -1)
-        data_q = jax.tree_util.tree_map(lambda a: a[0], data_c)
-        w_q = finish_apply(kind, data_q, (h @ h.conj().T)[:nip, :nip])
-        return w_q[None], data_q[-1][None]
-
-    g = jnp.transpose(g_blocks, (1, 2, 0, 3)).reshape(nq, nip, -1)
-    g = g[:, :, :ngrid]
+    sqk_c = jnp.sqrt(jnp.maximum(coulG_c, 0.0) * (vol / ngrid**2))
 
     def per_q(args):
-        g_q, cg, ph, data_q = args
-        gf = fft3(g_q * ph.conj()[None, :], mesh)
-        # PSD split of the Coulomb kernel: one scaled operand, gf dies
-        h = gf * jnp.sqrt(jnp.maximum(cg, 0.0) * (vol / ngrid**2))
-        w_q = finish_apply(kind, data_q, h @ h.conj().T)
-        return w_q, data_q[-1]
+        q, sqk, ph, data_q = args
+        gb = jax.lax.dynamic_index_in_dim(g_blocks, q, axis=1,
+                                          keepdims=False)
+        m_q = _metric_gram_rowblocked(gb, ph, sqk, mesh, ngrid)
+        return finish_apply(kind, data_q, m_q), data_q[-1]
 
-    return jax.lax.map(per_q, (g, coulG_c, eiqr_c, data_c))
+    return jax.lax.map(per_q, (jnp.arange(nq), sqk_c, eiqr_c, data_c))
 
 
 def clear_build_caches():
@@ -467,25 +493,32 @@ class FFTISDF:
         mesh = tuple(int(m) for m in cell.mesh)
         y_gb = nk * ngrid * nip * itemsize / 1e9
         per_sector_gb = ngrid * nip * itemsize / 1e9
-        # sector chunking for the streaming pipeline: persistent big
-        # buffers are g (nq sectors) plus ~2 per-sector FFT operands;
-        # budget 80% of the limit.  (Caching the AO values across chunks
-        # was tried and lost: the coarser chunking it forces costs more
-        # than the re-evaluation.)
-        qchunk = nk
-        if (nk + 2) * per_sector_gb > 0.8 * self.max_memory_gb:
-            qchunk = max(1, int(0.8 * self.max_memory_gb / per_sector_gb)
-                         - 2)
+        # memory model of the streaming pipeline: the persistent buffer is
+        # g (qchunk sectors x (nip, ngrid) complex); the transient peaks
+        # are the sweep intermediates (per grid point: fx_k complex plus
+        # its real/imag views, the real stripe square, the sector
+        # projection) and the row-blocked gram's two spectral row blocks
+        # (_metric_gram_rowblocked — the full spectrum is never
+        # materialized, which is what lets qchunk exceed 1 at production
+        # sizes and halve/quarter the number of grid sweeps).  15%
+        # headroom for allocator slack and small persistents.  (Caching
+        # the AO values across chunks was tried and lost: the coarser
+        # chunking it forces costs more than the re-evaluation.)
+        budget_gb = 0.85 * self.max_memory_gb
+        pt_bytes = itemsize * (nip * (3 * nk + 8) + nk * nao)
+        gram_gb = (2 * min(256, nip) * ngrid
+                   + 2 * (nip + 256) ** 2) * itemsize / 1e9
+        qchunk = int((budget_gb - max(gram_gb, 256 * pt_bytes / 1e9))
+                     / per_sector_gb)
+        qchunk = max(1, min(qchunk, nk))
         log.info("build: nk=%d nip=%d nao=%d ngrid=%d (y: %.2f GB, "
                  "qchunk=%d)", nk, nip, nao, ngrid, y_gb, qchunk)
 
         t_set = time.perf_counter()
         fn = make_evaluator(cell, kpts=kpts, dtype=self.dtype)
-        # cap the grid block so the sweep's stripe intermediates
-        # (~(2 nimg + 2 nq) * blk * nip) stay a small fraction of the budget
-        blk_cap = max(256, int(0.15 * self.max_memory_gb * 1e9
-                               / ((2 * nk + 2 * min(qchunk, nk))
-                                  * nip * itemsize)))
+        # the grid block fills what the g accumulator leaves of the budget
+        blk_cap = max(256, int((budget_gb - min(qchunk, nk)
+                                * per_sector_gb) * 1e9 / pt_bytes))
         blk = min(self.blksize, blk_cap, ngrid)
         nblk = -(-ngrid // blk)
         pad = nblk * blk - ngrid

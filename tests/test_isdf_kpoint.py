@@ -181,6 +181,25 @@ def test_nonconserving_quadruple_raises(he2, he2_isdf_full):
             df.get_eri((0, 1, 0, 0))
 
 
+def test_chunked_build_matches_monolithic(he2):
+    """A max_memory_gb budget small enough to force multi-chunk sweeps and
+    the minimum grid block reproduces the single-chunk build (the streaming
+    pipeline's accumulation order is the only difference — pure roundoff)."""
+    cell, kpts, coords, ao = he2
+    kpts3 = cell.get_kpts([1, 1, 3])
+    kw = dict(c0=8.0, m0=(9, 9, 13), verbose=0)
+    df1 = FFTISDF(cell, kpts3, **kw).build()
+    per_sector_gb = (np.prod(cell.mesh) * df1.nip * 16) / 1e9
+    df2 = FFTISDF(cell, kpts3, max_memory_gb=3 * per_sector_gb,
+                  blksize=512, **kw).build()
+    assert df2._nchunks > 1
+    dm = trs_dm(cell, kpts3, df1.x_k.shape[2])[0]
+    vj1, vk1 = df1.get_jk(dm)
+    vj2, vk2 = df2.get_jk(dm)
+    np.testing.assert_allclose(np.asarray(vj1), np.asarray(vj2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(vk1), np.asarray(vk2), atol=1e-8)
+
+
 def test_trs_sector_mirroring(he2):
     """Builds with and without the w_{-q} = conj(w_q) shortcut agree; needs a
     k-mesh with non-self-conjugate sectors (1x1x3: q=1,2 mirror)."""
