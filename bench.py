@@ -62,21 +62,22 @@ def jk_flops(nk, nao, nip, nimg):
     return j + k
 
 
-def build_flops(nk, nao, nip, ngrid, nimg, nsec, nchunk):
+def build_flops(nk, nao, nip, ngrid, nimg, nsec, nchunk, rblk=None):
     """Counted FLOPs of the build pipeline (RHS sweep repeated per chunk +
     per-sector half-solve/FFT/gram; AO evaluation and selection excluded).
     The stripe-in and sector projections run as real gemms (half the
-    complex MACs — only Re(fx_s) survives the square), and the metric gram
-    is triangular row-blocked (upper block triangle only, with the pairwise
-    row FFTs recomputed ~nrb/2 times — isdf.kpoint._metric_gram_rowblocked)."""
+    complex MACs — only Re(fx_s) survives the square), every spectral row
+    is FFT'd exactly once (isdf.kpoint._spectral_inplace overwrites the
+    donated g planes), and the metric gram is triangular row-blocked
+    (upper block triangle only — isdf.kpoint._sector_gram)."""
     rhs_per_sweep = (_gemm(nk * ngrid, nip, nao)          # fx_k (complex)
                      + _gemm(nimg, ngrid * nip, nk) / 2)  # stripe in (real x2)
     rhs_cols = _gemm(nsec, ngrid * nip, nimg) / 2         # projections (real)
-    rblk = min(256, nip)
+    rblk = min(rblk or 256, nip)
     nrb = -(-nip // rblk)
     tri = (nrb + 1) / (2 * nrb)
     per_sector = (_gemm(nip, ngrid, nip)                  # H B half pass
-                  + _fft(nip, ngrid) * (nrb + 1) / 2      # pairwise row FFTs
+                  + _fft(nip, ngrid)                      # spectral rows, once
                   + 2.0 * nip * ngrid                     # kernel scale
                   + _gemm(nip, nip, ngrid) * tri)         # triangular gram
     return nchunk * rhs_per_sweep + rhs_cols + nsec * per_sector
@@ -296,7 +297,8 @@ def run(args):
     fl_jk = jk_flops(nk, nao, nip, nimg)
     fl_build = build_flops(nk, nao, nip, ngrid, nimg,
                            getattr(df, "_nsec_solved", nk),
-                           getattr(df, "_nchunks", 1))
+                           getattr(df, "_nchunks", 1),
+                           rblk=getattr(df, "_rblk", None))
     peak = (V5E_PEAK_BF16 / V5E_F32_PASSES if backend == "tpu"
             else float("nan"))
     itemsize = 16 if dtype == jnp.float64 else 8

@@ -222,131 +222,186 @@ _take_cols = jax.jit(lambda a, i: a[:, i])
 _mask_rows = jax.jit(lambda a, m: a[:, m, :])
 _scatter_trs = jax.jit(lambda w, o, c: jnp.where(
     c[:, None, None], jnp.conj(w[o]), w[o]))
+# scale = vol/ngrid^2 computed on host (f64): ngrid^2 overflows int32
+_sqrt_kernel = jax.jit(lambda cg, scale: jnp.sqrt(
+    jnp.maximum(cg, 0.0) * scale))
+# donated in-place sector write into the preallocated w_q buffer (a
+# python-list + concatenate doubled the w_q footprint right at the end of
+# the build — observed OOM at production sizes)
+_wq_write = jax.jit(lambda buf, w, i: jax.lax.dynamic_update_slice(
+    buf, w[None].astype(buf.dtype), (i, 0, 0)), donate_argnums=(0,))
 
 
-def _metric_gram_rowblocked(gb, ph, sqk, mesh, ngrid, rblk=256):
-    """Coulomb-metric gram M = sum_G coulG(G) h(G) h(G)^H of the
-    half-solved rows, h = sqrt-kernel-scaled FFT[g e^{-iqr}], WITHOUT
-    materializing the (nip, ngrid) spectrum.
-
-    ``gb`` is g in grid-block layout (nblk, nip, blk).  Rows are FFT'd in
-    blocks of ``rblk`` and only the upper block triangle of the hermitian
-    gram is formed (the lower is mirrored), so the large live buffers are
-    g itself plus two spectral row blocks — this is what frees the HBM
-    headroom that lets the build solve several momentum sectors per grid
-    sweep at production sizes.  The repeated row FFTs of the pairwise
-    scheme (~nrb/2 x the minimal count) are <1% of the gram gemm flops,
-    and the triangle saves ~45% of them."""
-    nip = gb.shape[1]
-    rblk = min(rblk, nip)
-    nrb = -(-nip // rblk)
-    rows_ar = jnp.arange(rblk)
-
-    def fft_rows(r0):
-        idx = r0 * rblk + rows_ar
-        # rows beyond nip (ragged last block) are zeroed: they contribute
-        # nothing to the gram and the padded frame is sliced off below
-        rows = jnp.take(gb, jnp.minimum(idx, nip - 1), axis=1)
-        rows = jnp.transpose(rows, (1, 0, 2)).reshape(rblk, -1)[:, :ngrid]
-        rows = jnp.where((idx < nip)[:, None], rows, 0)
-        return fft3(rows * ph.conj()[None, :], mesh) * sqk[None, :]
-
-    def outer(i, m):
-        hi = fft_rows(i)
-        m = jax.lax.dynamic_update_slice(m, hi @ hi.conj().T,
-                                         (i * rblk, i * rblk))
-
-        def inner(j, m):
-            return jax.lax.dynamic_update_slice(
-                m, hi @ fft_rows(j).conj().T, (i * rblk, j * rblk))
-
-        return jax.lax.fori_loop(i + 1, nrb, inner, m)
-
-    m_u = jax.lax.fori_loop(0, nrb, outer,
-                            jnp.zeros((nrb * rblk,) * 2, gb.dtype))
-    m_u = m_u[:nip, :nip]
-    blk_of = jnp.arange(nip) // rblk
-    on_diag = blk_of[:, None] == blk_of[None, :]
-    return m_u + m_u.conj().T - jnp.where(on_diag, m_u, 0)
+# The build pipeline runs as FOUR separate executables per sector chunk
+# (factors -> grid sweep -> in-place spectral transform -> per-sector
+# gram) rather than one fused jit: XLA's static buffer assignment keeps
+# loop-body temporaries of every phase alive for the whole program, so
+# the fused form pays several GB of "fragmentation" at production sizes
+# (measured: a 12.4 GB live-set config compiled to a 16.8-17.2 GB
+# program and OOM'd the 15.75 GB v5e).  Split, each small program is
+# allocated independently and only the g planes cross the boundaries
+# (donated into the spectral stage, so they are transformed with zero
+# extra plane allocations); the extra host dispatches are ~40 ms per
+# chunk against multi-second stages.
 
 
-@partial(jax.jit, static_argnames=("fn", "nq", "ngrid", "mesh", "vol",
-                                   "solver", "rcond", "refine"))
-def _chunk_pipeline(coords_p, x_k, phase_full, qs, coulG_c,
-                    eiqr_c, *, fn, nq, ngrid, mesh, vol, solver, rcond,
-                    refine):
-    """RHS sweep (ref HOT LOOP 1, fftisdf.py:72-87) fused with the per-sector
-    solve/FFT (ref HOT LOOP 2, fftisdf.py:97-124) for one chunk of momentum
-    sectors ``qs``.  ``fn`` is the (cached, static) AO evaluator.
-
-    Memory-lean streaming form (production sizes exceed HBM otherwise —
-    measured 53 GB at NiO ke=200/c0=40 with the materialize-y form):
-
-    - the quartic normal matrices are (re)computed in-pipeline from x_k
-      (nip^2 work; keeping the full (nk, nip, nip) tensor resident across
-      chunks costs GBs of headroom at production sizes);
-    - the per-sector half factors are built BEFORE the sweep, and each grid
-      block's RHS contribution is pushed through the half solve as it is
-      produced — the O(nq * nip * ngrid) tensor that accumulates is
-      g = H B directly and the raw RHS y never exists;
-    - the stripe square y_s stays REAL through the sweep (it *is* real —
-      casting it complex, as a naive einsum chain does, doubles the HBM
-      traffic of the sweep's largest intermediate on a bandwidth-bound
-      stage), and the real->complex sector projection runs as two real
-      gemms at half the MACs of the complex form;
-    - the Coulomb metric factors through the PSD split
-      h = FFT-kernel^(1/2) g (coulG >= 0) and the gram runs row-blocked
-      (see _metric_gram_rowblocked), so no per-sector (nip, ngrid)
-      spectrum is ever materialized — that headroom goes to solving more
-      sectors per sweep instead."""
-    nip = x_k.shape[1]
-
+@partial(jax.jit, static_argnames=("nq", "solver", "rcond", "refine"))
+def _chunk_factors(x_k, phase_full, qs, *, nq, solver, rcond, refine):
+    """Per-sector split-operator factors for one chunk: the quartic normal
+    matrices are (re)computed in-pipeline from x_k (nip^2 work; keeping
+    the full (nk, nip, nip) tensor resident across chunks costs GBs of
+    headroom at production sizes)."""
     x4_c = _stripe_quartic(x_k, phase_full)[qs]    # transient (nq, nip, nip)
-    phase_cols = phase_full[:, qs]
-
-    # per-sector split-operator factors (nip^2 each), batched over the chunk
-    kind, _ = half_factor_data(x4_c[0], method=solver, rcond=rcond,
-                               refine=refine)
-    data_c = jax.vmap(lambda a: half_factor_data(
+    return jax.vmap(lambda a: half_factor_data(
         a, method=solver, rcond=rcond, refine=refine)[1])(x4_c)
 
-    def block_fn(c):
+
+@partial(jax.jit, static_argnames=("fn", "kind", "nip_pad"))
+def _sweep_chunk(coords_p, x_k, phase_full, phase_cols, data_c, *, fn,
+                 kind, nip_pad):
+    """RHS grid sweep for one chunk of momentum sectors (ref HOT LOOP 1,
+    fftisdf.py:72-87), streaming each grid block straight through the
+    half solve: the accumulated O(nq * nip * ngrid) tensor is g = H B
+    directly and the raw RHS y never exists.
+
+    The stripe square y_s stays REAL through the sweep (it *is* real —
+    casting it complex, as a naive einsum chain does, doubles the HBM
+    traffic of the sweep's largest intermediate on a bandwidth-bound
+    stage), and the stripe/projection contractions run as real gemms at
+    half the complex MACs (measured 1.5x wall-clock on the v5e; a
+    stacked-K single-gemm variant loses — the concat materializes).
+
+    g is accumulated IN ITS FINAL (nq, nip_pad, ngrid_pad) LAYOUT as two
+    real f32 planes (fori_loop carry, blocks written in place): (a) on
+    the axon backend a complex64 argument is X64Split-copied inside the
+    consumer program (+2 x 2.35 GB temps at production sizes), which real
+    planes avoid; (b) a stacked-block lax.map output makes the consumer's
+    row gather relayout the whole array (another +4.7 GB of copies),
+    which the final layout avoids — the sector program then reads rows
+    with plain contiguous dynamic slices.  Rows nip..nip_pad stay zero
+    (the row-block pairwise gram needs uniform blocks)."""
+    nq = phase_cols.shape[1]
+    nblk, blk = coords_p.shape[:2]
+    rdt = x_k.real.dtype
+
+    def body(i, g):
+        g_re, g_im = g
+        c = jax.lax.dynamic_index_in_dim(coords_p, i, keepdims=False)
         f_k = fn(c)
         fx_k = jnp.einsum("kgm,kIm->kgI", f_k.conj(), x_k)
         # real part of the stripe transform only (the imaginary part is
-        # discarded by the square): two real gemms, half the complex MACs
+        # discarded by the square)
         fx_s = (jnp.einsum("Rk,kgI->RgI", phase_full.real, fx_k.real)
                 - jnp.einsum("Rk,kgI->RgI", phase_full.imag, fx_k.imag))
         y_s = fx_s ** 2                            # REAL (nimg, blk, nip)
         y_c = (jnp.einsum("Rq,RgI->qIg", phase_cols.real, y_s)
                + 1j * jnp.einsum("Rq,RgI->qIg", phase_cols.imag, y_s)
                ).astype(fx_k.dtype)
-        return jax.vmap(lambda d, b: half_apply(kind, d, b))(data_c, y_c)
+        gb = jax.vmap(lambda d, b: half_apply(kind, d, b))(data_c, y_c)
+        at = (0, 0, i * blk)
+        return (jax.lax.dynamic_update_slice(g_re, gb.real, at),
+                jax.lax.dynamic_update_slice(g_im, gb.imag, at))
 
-    g_blocks = jax.lax.map(block_fn, coords_p)     # (nblk, nq, nip, blk)
-    sqk_c = jnp.sqrt(jnp.maximum(coulG_c, 0.0) * (vol / ngrid**2))
+    g0 = (jnp.zeros((nq, nip_pad, nblk * blk), rdt),
+          jnp.zeros((nq, nip_pad, nblk * blk), rdt))
+    return jax.lax.fori_loop(0, nblk, body, g0)
 
-    def per_q(args):
-        q, sqk, ph, data_q = args
-        gb = jax.lax.dynamic_index_in_dim(g_blocks, q, axis=1,
-                                          keepdims=False)
-        m_q = _metric_gram_rowblocked(gb, ph, sqk, mesh, ngrid)
-        return finish_apply(kind, data_q, m_q), data_q[-1]
 
-    return jax.lax.map(per_q, (jnp.arange(nq), sqk_c, eiqr_c, data_c))
+@partial(jax.jit, static_argnames=("mesh", "ngrid", "rblk"),
+         donate_argnums=(0, 1))
+def _spectral_inplace(g_re, g_im, eiqr_c, sqk_c, *, mesh, ngrid, rblk):
+    """Overwrite the swept g planes IN PLACE (donated) with the
+    sqrt-Coulomb-scaled spectrum h_q = sqrt(coulG_q vol/ngrid^2)
+    FFT[g_q e^{-iqr}], sector by sector in row slabs of ``rblk``.
+
+    This factors the Coulomb metric through the PSD split (coulG >= 0)
+    M_q = h_q h_q^H — so every row is FFT'd exactly ONCE per build (the
+    earlier pairwise row-block gram recomputed them (nrb+1)/2 times, and
+    the v5e row FFT is ~80x further from peak than the gram gemm: 0.4 vs
+    33 TF/s effective, bandwidth/permute-bound).  Donation means the
+    spectrum costs zero extra planes: the FFT workspace of one slab is
+    the only temp.  Row/column slices are STATIC (python-unrolled slabs:
+    dynamic slice starts on a tiled array inside lax loops made XLA
+    relayout-copy whole 2.4 GB planes); pad columns ngrid..ngrid_pad are
+    zero-filled so the downstream gram can contract the full padded
+    width, and pad rows nip..nip_pad stay zero through the FFT."""
+    nq, nip_pad, ngrid_pad = g_re.shape
+    rblk = min(rblk, nip_pad)
+    nrb = nip_pad // rblk
+    padw = ngrid_pad - ngrid
+    for q in range(nq):
+        ph_c = eiqr_c[q].conj()
+        sq = sqk_c[q]
+        for r in range(nrb):
+            r0 = r * rblk
+            rows = jax.lax.complex(g_re[q, r0:r0 + rblk, :ngrid],
+                                   g_im[q, r0:r0 + rblk, :ngrid])
+            spec = fft3(rows * ph_c[None, :], mesh) * sq[None, :]
+            at = (q, r0, 0)
+            g_re = jax.lax.dynamic_update_slice(
+                g_re, jnp.pad(spec.real, ((0, 0), (0, padw)))[None], at)
+            g_im = jax.lax.dynamic_update_slice(
+                g_im, jnp.pad(spec.imag, ((0, 0), (0, padw)))[None], at)
+    return g_re, g_im
+
+
+@partial(jax.jit, static_argnames=("q", "rblk", "kind"))
+def _sector_gram(g_re, g_im, data_q, *, q, rblk, kind):
+    """One momentum sector's w_q from the in-place spectral planes (ref
+    HOT LOOP 2, fftisdf.py:97-124): the Coulomb-metric gram
+    M_q = h_q h_q^H over the padded grid width (pad columns are zero),
+    then the finish polynomial.
+
+    Only the upper block triangle is formed (the lower is mirrored:
+    ~(nrb+1)/(2 nrb) of the full gram MACs) and each block runs as FOUR
+    REAL gemms straight off the f32 planes — no complex slab is ever
+    materialized, halving the bytes the bandwidth-bound contraction
+    streams.  ``q`` is static: the executable is reused across chunks
+    and every slab read is a static contiguous slice."""
+    nq, nip_pad, ngrid_pad = g_re.shape
+    nip = data_q[0].shape[-1]
+    rblk = min(rblk, nip_pad)
+    nrb = nip_pad // rblk
+
+    def slab(r):
+        r0 = r * rblk
+        return g_re[q, r0:r0 + rblk, :], g_im[q, r0:r0 + rblk, :]
+
+    def cgram(a, b):
+        (re_i, im_i), (re_j, im_j) = a, b
+        return jax.lax.complex(re_i @ re_j.T + im_i @ im_j.T,
+                               im_i @ re_j.T - re_i @ im_j.T)
+
+    # upper block triangle only (the lower is mirrored)
+    blocks = [[None] * nrb for _ in range(nrb)]
+    for i in range(nrb):
+        si = slab(i)
+        blocks[i][i] = cgram(si, si)
+        for j in range(i + 1, nrb):
+            blocks[i][j] = cgram(si, slab(j))
+        for j in range(i):
+            blocks[i][j] = jnp.zeros_like(blocks[i][i])
+    m_u = jnp.block(blocks)[:nip, :nip]
+    blk_of = jnp.arange(nip) // rblk
+    on_diag = blk_of[:, None] == blk_of[None, :]
+    m_q = m_u + m_u.conj().T - jnp.where(on_diag, m_u, 0)
+    return finish_apply(kind, data_q, m_q), data_q[-1]
 
 
 def clear_build_caches():
     """Evict the compiled build-stage executables.
 
-    ``_chunk_pipeline`` is keyed on the (static) AO evaluator, whose cache
+    ``_sweep_chunk`` is keyed on the (static) AO evaluator, whose cache
     lives on the cell: per-geometry rebuild loops (e.g. the scf.optimize
     isdf path, which builds a fresh FFTISDF on a fresh cell every step)
     create a new static identity per geometry, so without eviction compiled
     executables accumulate in the global jit cache over a long relaxation
     (round-1 advisor finding).  Call once per geometry before the rebuild;
     the entries of the new build itself stay warm across its chunks."""
-    _chunk_pipeline.clear_cache()
+    _chunk_factors.clear_cache()
+    _sweep_chunk.clear_cache()
+    _spectral_inplace.clear_cache()
+    _sector_gram.clear_cache()
     _solve_coulomb_q.clear_cache()
 
 
@@ -493,33 +548,85 @@ class FFTISDF:
         mesh = tuple(int(m) for m in cell.mesh)
         y_gb = nk * ngrid * nip * itemsize / 1e9
         per_sector_gb = ngrid * nip * itemsize / 1e9
-        # memory model of the streaming pipeline: the persistent buffer is
-        # g (qchunk sectors x (nip, ngrid) complex); the transient peaks
-        # are the sweep intermediates (per grid point: fx_k complex plus
-        # its real/imag views, the real stripe square, the sector
-        # projection) and the row-blocked gram's two spectral row blocks
-        # (_metric_gram_rowblocked — the full spectrum is never
-        # materialized, which is what lets qchunk exceed 1 at production
-        # sizes and halve/quarter the number of grid sweeps).  15%
-        # headroom for allocator slack and small persistents.  (Caching
-        # the AO values across chunks was tried and lost: the coarser
-        # chunking it forces costs more than the re-evaluation.)
-        budget_gb = 0.85 * self.max_memory_gb
-        pt_bytes = itemsize * (nip * (3 * nk + 8) + nk * nao)
-        gram_gb = (2 * min(256, nip) * ngrid
-                   + 2 * (nip + 256) ** 2) * itemsize / 1e9
-        qchunk = int((budget_gb - max(gram_gb, 256 * pt_bytes / 1e9))
-                     / per_sector_gb)
-        qchunk = max(1, min(qchunk, nk))
+        # (Caching the AO values across chunks was tried and lost: the
+        # coarser chunking it forces costs more than the re-evaluation.)
+        # time-reversal symmetry (needed by the memory model below —
+        # the w_q buffer holds canonical sectors only): w_{-q} = conj(w_q)
+        # (real AOs), so only canonical sectors (q <= mirror(q)) need the
+        # solve+FFT stage; the rest are mirrored.
+        s_kpts = cell.get_scaled_kpts(kpts)
+        mirror = np.array([kpt_mod.member(-s_kpts[q], s_kpts, strict=False)
+                           for q in range(nk)])
+        if (mirror < 0).any():
+            # a mesh without full time-reversal pairing (e.g. shifted):
+            # degrade to the full-sector path instead of raising (same
+            # policy as isdf.autodiff)
+            mirror = np.arange(nk)
+        if self.use_trs:
+            qsel = np.array([q for q in range(nk) if q <= mirror[q]])
+        else:
+            qsel = np.arange(nk)
+        nsec = len(qsel)
+
+        # Per-stage peak model.  The four build executables are allocated
+        # independently (see the split-pipeline note above _chunk_factors),
+        # so each stage's peak is the g planes + the persistents + its own
+        # largest temps:
+        #   persistents — preallocated w_q, x_k, chunk factors, kernels;
+        #   factors     — x4_c + solve workspace, ~nip^2 each;
+        #   sweep       — one grid block's fx_k/stripe/projection chain;
+        #   spectral    — one rblk row slab's FFT working set (Bluestein
+        #                 padding on non-power-of-two meshes costs a few x
+        #                 the slab itself — the 4x factor is measured);
+        #   gram        — two slab-pair operand copies + the m/finish
+        #                 nip^2 temps.
+        # blk beyond ~512 buys nothing on f32 (the sweep gemm rates are
+        # blk-independent — measured 33 TF/s at 622 and 1310); larger rblk
+        # trims per-slab dispatch/copy overheads only (every row is FFT'd
+        # exactly once regardless — _spectral_inplace).
+        budget_gb = self.max_memory_gb - max(0.05 * self.max_memory_gb, 0.4)
+        nimg = nk
+        persist_gb = ((nsec + 4) * nip * nip + nk * nip * nao
+                      + 2 * nsec * ngrid) * itemsize / 1e9
+
+        def peak_gb(nq, blk, rblk):
+            planes = nq * per_sector_gb
+            factors = (3 * nq + 2) * nip * nip * itemsize / 1e9
+            sweep = blk * (2 * nk * nip + nk * nao
+                           + 2 * nq * nip) * itemsize / 1e9
+            spectral = 4.0 * rblk * ngrid * itemsize / 1e9
+            gram = (2 * rblk * ngrid + 3 * nip * nip) * itemsize / 1e9
+            return (planes + persist_gb
+                    + max(factors, sweep, spectral, gram))
+
+        # sectors-per-sweep dominates (each extra sector halves/thirds the
+        # number of grid sweeps), so qchunk is fitted at the minimum block
+        # sizes first, then blk/rblk grow into what is left
+        qchunk = 1
+        for nq in range(2, nk + 1):
+            if peak_gb(nq, 256, 128) > budget_gb:
+                break
+            qchunk = nq
+        qchunk = min(qchunk, nsec)
+        blk = min(self.blksize, 512, ngrid) if self.dtype != jnp.float64 \
+            else min(self.blksize, ngrid)
+        while blk > 256 and peak_gb(qchunk, blk, 128) > budget_gb:
+            blk -= 128
+        rblk = 128
+        for cand in range(128, min(nip, 2048) + 127, 128):
+            if peak_gb(qchunk, blk, cand) > budget_gb:
+                break
+            rblk = cand
+        # snap to balanced 8-row-aligned (sublane) blocks covering nip
+        nrb = -(-nip // min(rblk, nip))
+        rblk = -(-(-(-nip // nrb)) // 8) * 8
         log.info("build: nk=%d nip=%d nao=%d ngrid=%d (y: %.2f GB, "
-                 "qchunk=%d)", nk, nip, nao, ngrid, y_gb, qchunk)
+                 "qchunk=%d blk=%d rblk=%d peak~%.1f GB)", nk, nip, nao,
+                 ngrid, y_gb, qchunk, blk, rblk,
+                 peak_gb(qchunk, blk, rblk))
 
         t_set = time.perf_counter()
         fn = make_evaluator(cell, kpts=kpts, dtype=self.dtype)
-        # the grid block fills what the g accumulator leaves of the budget
-        blk_cap = max(256, int((budget_gb - min(qchunk, nk)
-                                * per_sector_gb) * 1e9 / pt_bytes))
-        blk = min(self.blksize, blk_cap, ngrid)
         nblk = -(-ngrid // blk)
         pad = nblk * blk - ngrid
         coords_p = jnp.asarray(np.concatenate(
@@ -541,24 +648,10 @@ class FFTISDF:
 
         # ---- RHS sweep (ref HOT LOOP 1, fftisdf.py:72-87) + per-sector
         # solve/FFT (ref HOT LOOP 2, fftisdf.py:97-124), chunked over q,
-        # through the module-level jitted pipeline (stable jit cache).
-        #
-        # time-reversal symmetry: w_{-q} = conj(w_q) (real AOs), so only
-        # canonical sectors (q <= mirror(q)) need the solve+FFT stage; the
-        # rest are mirrored.  Halves stage-2 work on large k-meshes (no-op
-        # for meshes where every q is self-conjugate, e.g. 2x2x2).
-        s_kpts = cell.get_scaled_kpts(kpts)
-        mirror = np.array([kpt_mod.member(-s_kpts[q], s_kpts, strict=False)
-                           for q in range(nk)])
-        if (mirror < 0).any():
-            # a mesh without full time-reversal pairing (e.g. shifted):
-            # degrade to the full-sector path instead of raising (same
-            # policy as isdf.autodiff)
-            mirror = np.arange(nk)
-        if self.use_trs:
-            qsel = np.array([q for q in range(nk) if q <= mirror[q]])
-        else:
-            qsel = np.arange(nk)
+        # through the module-level jitted stage pipeline (stable jit
+        # cache): factors -> grid sweep (g = H B accumulated as real
+        # planes) -> donated in-place spectral transform -> per-sector
+        # triangular gram + finish.
         t0 = time.perf_counter()
         # persistent-footprint hygiene for production sizes: keep only the
         # canonical-sector slices on device while the chunks run (the full
@@ -569,20 +662,28 @@ class FFTISDF:
         coulG_sel = _take_rows(coulG, qsel_j)
         eiqr_sel = _take_rows(eiqr, qsel_j)
         del coulG, eiqr
-        wq_parts, rank_parts = [], []
-        for q0 in range(0, len(qsel), qchunk):
-            q1 = min(q0 + qchunk, len(qsel))
-            sl = jnp.arange(q0, q1)
-            wq_c, ranks_c = _chunk_pipeline(
-                coords_p, x_k, phase, jnp.asarray(qsel[q0:q1]),
-                _take_rows(coulG_sel, sl),
-                _take_rows(eiqr_sel, sl), fn=fn, nq=q1 - q0, ngrid=ngrid,
-                mesh=mesh, vol=vol, solver=self.solver, rcond=self.rcond,
-                refine=self.refine)
-            wq_parts.append(wq_c)
-            rank_parts.append(ranks_c)
-        wq_sel = (jnp.concatenate(wq_parts, axis=0)
-                  if len(wq_parts) > 1 else wq_parts[0])
+        kind = "ridge" if self.solver == "ridge" else "eigh"
+        sqk_sel = _sqrt_kernel(coulG_sel, vol / ngrid**2)
+        wq_sel = jnp.zeros((nsec, nip, nip), cdtype)
+        rank_parts = []
+        for q0 in range(0, nsec, qchunk):
+            q1 = min(q0 + qchunk, nsec)
+            data_c = _chunk_factors(
+                x_k, phase, jnp.asarray(qsel[q0:q1]), nq=q1 - q0,
+                solver=self.solver, rcond=self.rcond, refine=self.refine)
+            g_re, g_im = _sweep_chunk(
+                coords_p, x_k, phase, _take_cols(phase, qsel_j[q0:q1]),
+                data_c, fn=fn, kind=kind, nip_pad=nrb * rblk)
+            g_re, g_im = _spectral_inplace(
+                g_re, g_im, eiqr_sel[q0:q1], sqk_sel[q0:q1],
+                mesh=mesh, ngrid=ngrid, rblk=rblk)
+            for iq in range(q1 - q0):
+                data_q = jax.tree_util.tree_map(lambda a: a[iq], data_c)
+                wq_q, rank_q = _sector_gram(
+                    g_re, g_im, data_q, q=iq, rblk=rblk, kind=kind)
+                wq_sel = _wq_write(wq_sel, wq_q, q0 + iq)
+                rank_parts.append(rank_q)
+            del g_re, g_im, data_c
         if self.use_trs and len(qsel) < nk:
             # scatter canonical sectors and their conjugate mirrors
             pos_of = {int(q): i for i, q in enumerate(qsel)}
@@ -609,6 +710,7 @@ class FFTISDF:
         # introspection for benchmarking/roofline accounting (bench.py)
         self._nsec_solved = len(qsel)
         self._nchunks = -(-len(qsel) // qchunk)
+        self._rblk = rblk
         log.info("build: %d/%d sectors solved in %d chunk(s), fit ranks %s "
                  "(%.2fs)", len(qsel), nk, self._nchunks, ranks[:8],
                  time.perf_counter() - t0)

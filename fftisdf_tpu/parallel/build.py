@@ -109,7 +109,7 @@ def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",
 
     def _rhs_local(coords_loc, x_k, phase_full, phase_cols):
         """Per-device RHS sweep over the local grid blocks (shard_map body;
-        same algebra as isdf.kpoint._chunk_pipeline's block_fn)."""
+        same algebra as isdf.kpoint._sweep_chunk's block_fn)."""
         nq = phase_cols.shape[1]
 
         def block_fn(c):
