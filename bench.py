@@ -123,10 +123,15 @@ def main():
         pargs = copy.copy(args)
         pargs.production, pargs.basis = True, None
         pargs.build_reps, pargs.exact_reps = 1, 0
+        # 14.6 GB reaches qchunk=2 (two sectors per grid sweep) on the
+        # 15.75 GB v5e with the split-stage pipeline; run() falls back to
+        # 12 GB if the allocator disagrees
+        pargs.max_memory_gb = max(pargs.max_memory_gb, 14.6)
         pout = run(pargs)
         out["production"] = {k: pout.get(k) for k in (
             "isdf_build_s", "isdf_jk_s", "nk", "nao", "ngrid", "nip",
-            "c0", "ke_cutoff", "basis", "nchunks", "build_tflops",
+            "c0", "ke_cutoff", "basis", "nchunks", "max_memory_gb",
+            "build_tflops",
             "build_mfu", "build_hbm_gb", "build_hbm_bw_util", "jk_tflops",
             "jk_mfu")}
     print(json.dumps(out))
@@ -202,10 +207,30 @@ def run(args):
     # usual f32 floor in quick mode too
     m0 = (tuple(min(15, int(m)) for m in cell.mesh) if not args.quick
           else tuple(min(13, int(m)) for m in cell.mesh))
+    def make_df(budget):
+        return FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0,
+                       dtype=dtype, max_memory_gb=budget)
+
+    @jax.jit
+    def _wq_probe(w):
+        return jnp.sum(jnp.abs(jnp.real(w)))
+
     # warmup build: pays XLA compilation (one-time per shape); the timed
-    # build below reuses the compile cache, measuring the actual pipeline
-    df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0, dtype=dtype,
-                 max_memory_gb=args.max_memory_gb).build()
+    # build below reuses the compile cache, measuring the actual pipeline.
+    # An aggressive HBM budget (the production sub-run asks for 14.6 GB to
+    # reach qchunk=2) can lose to allocator slack the per-stage peak model
+    # does not see — fall back to the conservative default instead of
+    # dying (the driver's flagless run must always emit its JSON line).
+    budget = args.max_memory_gb
+    try:
+        df = make_df(budget).build()
+        float(_wq_probe(df.wq))     # surface async execution-time OOM too
+    except Exception as e:
+        if budget <= 12.0 or "memory" not in str(e).lower():
+            raise
+        budget = 12.0
+        df = make_df(budget).build()
+    args.max_memory_gb = budget
     nip_first = df.nip
     # free the warmup state before the timed build: at production sizes the
     # retained w_q (3+ GB) would steal the headroom the pipeline needs
@@ -326,6 +351,7 @@ def run(args):
         "c0": args.c0, "ke_cutoff": ke,
         "basis": args.basis or "gth-szv",
         "nchunks": int(getattr(df, "_nchunks", 1)),
+        "max_memory_gb": args.max_memory_gb,
         # roofline: counted dense-algebra FLOPs (lower bounds; AO eval and
         # selection excluded) vs the f32-effective chip peak
         "jk_tflops": round(fl_jk / max(t_isdf_jk, 1e-9) / 1e12, 3),
