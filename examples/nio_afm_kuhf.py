@@ -86,9 +86,7 @@ def main():
         if args.hubbard_u > 0.0:
             u_ha = args.hubbard_u / 27.211386
             ks_kwargs["hubbard"] = {0: (2, u_ha), 1: (2, u_ha)}
-        host_cls, dev_cls = KUKS, DeviceKUKS
-        if ks_kwargs.get("hubbard"):
-            dev_cls = KUKS     # +U runs on the host driver
+        host_cls, dev_cls = KUKS, DeviceKUKS  # +U traced in-loop too
     else:
         from fftisdf_tpu.scf.device import DeviceKUHF
         host_cls, dev_cls = KUHF, DeviceKUHF

@@ -115,3 +115,32 @@ def eu_and_vu(dm, shalf, sites):
 def vu_from_g(shalf, g):
     """V_U (nspin, nk, nao, nao) from the Loewdin-frame potential g."""
     return np.einsum("kmp,spq,kqn->skmn", shalf, g, shalf)
+
+
+def eu_and_vu_traced(dm, shalf, sites):
+    """Traced (jax.numpy) analog of :func:`eu_and_vu` for the
+    device-resident SCF loop (scf.device): same math, same energy pairing,
+    gated bit-for-bit against the host version in tests/test_hubbard.py.
+
+    ``dm`` (nspin, nk, nao, nao) and ``shalf`` (nk, nao, nao) are device
+    arrays; ``sites`` is the static [(idx, U), ...] list from
+    :func:`build_sites` (the small integer index constants embed in the
+    trace — only *complex* closure constants are transport-hostile)."""
+    import jax.numpy as jnp
+
+    nspin, nk, nao = dm.shape[:3]
+    sd = jnp.einsum("kmp,skpq,kqn->skmn", shalf, dm, shalf).mean(axis=1)
+    e_u = jnp.zeros((), dm.real.dtype)
+    g = jnp.zeros((nspin, nao, nao), dm.dtype)
+    for idx, u in sites:
+        n = sd[:, idx[:, None], idx[None, :]]
+        n = 0.5 * (n + jnp.conj(jnp.swapaxes(n, -1, -2)))
+        eye = jnp.eye(len(idx), dtype=dm.dtype)
+        for s in range(nspin):
+            ns = n[s]
+            e_u = e_u + 0.5 * u * jnp.real(
+                jnp.trace(ns) - jnp.trace(ns @ ns))
+            g = g.at[s, idx[:, None], idx[None, :]].add(
+                0.5 * u * (eye - 2.0 * ns))
+    vu = jnp.einsum("kmp,spq,kqn->skmn", shalf, g, shalf)
+    return e_u, vu

@@ -261,14 +261,15 @@ class _DeviceKSVeff:
     serve-side kernel from every DFT SCF iteration."""
 
     def _veff_args(self):
+        extra = (self._ao, self._gv)
         if self._hub_sites is not None:
-            raise NotImplementedError(
-                "DFT+U in the device-resident loop: use the host drivers "
-                "(KRKS/KUKS) — the U correction is small dense host "
-                "algebra, not a transfer bottleneck")
-        return (self._ao, self._gv)
+            # +U stays on device too: shalf rides as a jit *argument*
+            # (complex device array — closure constants round-trip through
+            # the host on complex-hostile transports)
+            extra = extra + (to_device(self._shalf, dtype=self._ao.dtype),)
+        return extra
 
-    def _trace_veff(self, dm, x_k, wq, phase, h1e, ao, gv):
+    def _trace_veff(self, dm, x_k, wq, phase, h1e, ao, gv, shalf=None):
         from fftisdf_tpu.isdf import jk as jk_mod
 
         nk = h1e.shape[0]
@@ -291,7 +292,14 @@ class _DeviceKSVeff:
             exx = 0.0
             fock = jnp.stack([h1e + vj_tot + vxc[0],
                               h1e + vj_tot + vxc[1]])
-        return fock, e1 + ecoul + exc + exx
+        e_elec = e1 + ecoul + exc + exx
+        if shalf is not None:
+            from fftisdf_tpu.scf import hubbard as hub_mod
+
+            e_u, vu = hub_mod.eu_and_vu_traced(dm, shalf, self._hub_sites)
+            fock = fock + vu
+            e_elec = e_elec + e_u
+        return fock, e_elec
 
 
 @dataclass

@@ -127,3 +127,38 @@ def test_bands_with_u_reproduce_scf_eigenvalues(diamond_lda_u):
     ref = np.asarray(mf.mo_energy)
     nocc = mf.nocc
     assert np.max(np.abs(es[:, :nocc + 1] - ref[:, :nocc + 1])) < 5e-5
+
+
+def test_eu_vu_traced_matches_host():
+    """The device-resident loop's traced +U (hubbard.eu_and_vu_traced)
+    is the same math as the host version, bit-for-bit on f64."""
+    import jax.numpy as jnp
+
+    s1e, dm = _rand_system()
+    shalf = hub.shalf_kpts(s1e)
+    sites = [(np.asarray([1, 2, 4]), 0.3), (np.asarray([0, 5]), 0.15)]
+    e0, vu0, _ = hub.eu_and_vu(dm, shalf, sites)
+    e1, vu1 = hub.eu_and_vu_traced(jnp.asarray(dm), jnp.asarray(shalf),
+                                   sites)
+    assert abs(float(e1) - e0) < 1e-12 * max(1.0, abs(e0))
+    np.testing.assert_allclose(np.asarray(vu1), vu0, atol=1e-12)
+
+
+def test_device_kuks_plus_u_matches_host(diamond):
+    """DFT+U traced inside the device-resident SCF loop == host KUKS+U
+    (CPU f64 parity; both serve J from the same ISDF state)."""
+    from fftisdf_tpu.isdf import FFTISDF
+    from fftisdf_tpu.scf.ks import DeviceKUKS
+
+    kpts = diamond.get_kpts([1, 1, 2])
+    df = FFTISDF(diamond, kpts, c0=40.0, m0=(9, 9, 9), verbose=0).build()
+    spec = {0: (1, 0.2), 1: (1, 0.2)}
+    mf0 = KUKS(diamond, kpts, xc="lda", hubbard=spec, with_df=df,
+               verbose=0, conv_tol=1e-10)
+    e0 = mf0.kernel()
+    mf1 = DeviceKUKS(diamond, kpts, xc="lda", hubbard=spec, with_df=df,
+                     verbose=0, conv_tol=1e-10, max_cycle=60)
+    e1 = mf1.kernel()
+    assert mf0.converged and mf1.converged
+    assert mf1._eu_last > 0.0
+    np.testing.assert_allclose(e1, e0, atol=3e-8)
