@@ -65,7 +65,8 @@ def ewald_fn(cell, eta=None, dtype=jnp.float64):
 
 def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                    mask=None, m0=None, solver="ridge", rcond=1e-10,
-                   dev_mesh=None, exxdiv=None, max_memory_gb=None):
+                   dev_mesh=None, exxdiv=None, max_memory_gb=None,
+                   xc=None, hubbard=None):
     """Differentiable total-energy Lagrangian.
 
     Returns ``energy(positions, dm, wdm) -> float`` with
@@ -77,9 +78,27 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
     'ewald' the Madelung exchange term -fac*mad/nk sum_k tr(D S D S) is part
     of the functional (its S(R) dependence is a Pulay-sized force
     contribution), and omitting it would evaluate a gradient of the WRONG
-    functional at a density that is not stationary for it."""
+    functional at a density that is not stationary for it.
+
+    ``xc`` switches the functional to KS-DFT (scf.ks semantics): exchange
+    is scaled by the hybrid fraction (dropped entirely for pure
+    functionals) and the grid Exc of the traced AO density is added — its
+    position dependence (the xc Pulay force) comes for free from the same
+    reverse sweep.  ``hubbard`` adds the Dudarev +U energy with the
+    on-site occupations built from the TRACED overlap's S(R)^1/2
+    (hubbard.sqrtm_traced — Denman-Beavers, degeneracy-safe autodiff)."""
     if exxdiv not in (None, "ewald"):
         raise NotImplementedError(f"exxdiv={exxdiv!r} gradients")
+    spec = None
+    if xc is not None and str(xc).strip().lower() != "hf":
+        from fftisdf_tpu.scf import xc as xc_mod
+        spec = xc_mod.parse_xc(xc)
+        _exc_and_vxc = xc_mod.exc_and_vxc
+    hyb = spec.hyb if spec is not None else 1.0
+    hub_sites = None
+    if hubbard:
+        from fftisdf_tpu.scf import hubbard as hub_mod
+        hub_sites = hub_mod.build_sites(cell, hubbard)
     kpts = np.asarray(kpts)
     mad = (float(integrals.madelung(cell, kpt_mod.kpts_to_kmesh(cell, kpts)))
            if exxdiv == "ewald" else None)
@@ -175,14 +194,19 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                 "kmn,knm->k", dm_tot, vj)).real / nk
             ek = 0.0
             for s in range(2):
+                if hyb == 0.0:
+                    break
                 vk = pw_jk.get_k_kpts(cell, dm[s], f_k, kpts)
-                ek += -0.5 * jnp.sum(jnp.einsum(
+                ek += -0.5 * hyb * jnp.sum(jnp.einsum(
                     "kmn,knm->k", dm[s], vk)).real / nk
             return ej + ek
         vj = pw_jk.get_j_kpts(cell, dm, f_k)
+        ej = 0.5 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vj)).real / nk
+        if hyb == 0.0:
+            return ej
         vk = pw_jk.get_k_kpts(cell, dm, f_k, kpts)
-        return (0.5 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vj))
-                - 0.25 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vk))).real / nk
+        return ej - 0.25 * hyb * jnp.sum(
+            jnp.einsum("kmn,knm->k", dm, vk)).real / nk
 
     def e2_isdf(positions, dm):
         x_k, wq = state(positions)
@@ -193,14 +217,19 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
             vj = jkm.get_j_kpts(x_k, wq[0], dm_tot[None])[0]
             ej = 0.5 * jnp.sum(jnp.einsum(
                 "kmn,knm->k", dm_tot, vj)).real / nk
+            if hyb == 0.0:
+                return ej
             vk = jkm.get_k_kpts(x_k, wq, phase_j, dm)
-            ek = -0.5 * jnp.sum(jnp.einsum(
+            ek = -0.5 * hyb * jnp.sum(jnp.einsum(
                 "skmn,sknm->sk", dm, vk)).real / nk
             return ej + ek
         vj = jkm.get_j_kpts(x_k, wq[0], dm[None])[0]
+        ej = 0.5 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vj)).real / nk
+        if hyb == 0.0:
+            return ej
         vk = jkm.get_k_kpts(x_k, wq, phase_j, dm[None])[0]
-        return (0.5 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vj))
-                - 0.25 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vk))).real / nk
+        return ej - 0.25 * hyb * jnp.sum(
+            jnp.einsum("kmn,knm->k", dm, vk)).real / nk
 
     def energy(positions, dm, wdm, w_trace):
         # remat the AO evaluation (chi residuals dominate reverse memory)
@@ -211,13 +240,25 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         e1 = jnp.sum(jnp.einsum("kmn,knm->k", dm_tot, h)).real / nk
         e2 = (e2_isdf(positions, dm) if two_electron == "isdf"
               else e2_pw(positions, f_k, dm))
-        if mad is not None:
+        if mad is not None and hyb != 0.0:
             # exxdiv='ewald' Madelung exchange: vk += mad * S D S per spin
-            # channel => E += -fac*mad/nk sum tr(D S D S); S(R) traced
+            # channel => E += -fac*hyb*mad/nk sum tr(D S D S); S(R) traced
             sds = jnp.einsum("kmp,...kpq,kqn->...kmn", s, dm, s)
             fac = -0.5 if dm.ndim == 4 else -0.25
-            e2 = e2 + fac * mad / nk * jnp.sum(
+            e2 = e2 + fac * hyb * mad / nk * jnp.sum(
                 jnp.einsum("...kmn,...knm->...k", dm, sds)).real
+        if spec is not None or hub_sites is not None:
+            dm_spin = dm if dm.ndim == 4 else jnp.stack([dm, dm]) * 0.5
+        if spec is not None:
+            # grid Exc of the traced AO density (xc Pulay force included)
+            rho = jnp.einsum("kgm,skmn,kgn->sg", f_k, dm_spin,
+                             f_k.conj()).real / nk
+            e2 = e2 + _exc_and_vxc(rho, gv_j, spec, mesh, w)[0]
+        if hub_sites is not None:
+            from fftisdf_tpu.scf import hubbard as hub_mod
+            shalf = hub_mod.sqrtm_traced(s)
+            e2 = e2 + hub_mod.eu_and_vu_traced(dm_spin, shalf,
+                                               hub_sites)[0]
         pulay = -jnp.sum(jnp.einsum("kmn,knm->k", wdm_tot, s)).real / nk
         return e1 + e2 + pulay + w_trace + e_nn(positions)
 
@@ -256,7 +297,8 @@ def _default_dtype():
 
 
 def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
-                 dev_mesh=None, exxdiv=None, max_memory_gb=None):
+                 dev_mesh=None, exxdiv=None, max_memory_gb=None,
+                 xc=None, hubbard=None):
     """A reusable gradient evaluator: ``fn(mf) -> (grad (natm,3), E)``.
 
     The value-and-grad jit is traced ONCE for the given lattice/mesh/basis
@@ -276,12 +318,25 @@ def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
         kw = dict(mask=df.mask, m0=df.m0, solver=df.solver, rcond=df.rcond,
                   dev_mesh=dev_mesh, max_memory_gb=max_memory_gb)
     e_fn = make_energy_fn(cell, kpts, dtype=dtype,
-                          two_electron=two_electron, exxdiv=exxdiv, **kw)
+                          two_electron=two_electron, exxdiv=exxdiv,
+                          xc=xc, hubbard=hubbard, **kw)
     vag = jax.jit(jax.value_and_grad(e_fn))
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
+    def _norm_xc(v):
+        v = None if v is None else str(v).strip().lower()
+        return None if v == "hf" else v
+
     def fn(mf):
         assert getattr(mf, "dm", None) is not None, "run mf.kernel() first"
+        if _norm_xc(getattr(mf, "xc", None)) != _norm_xc(xc) or \
+                getattr(mf, "hubbard", None) != hubbard:
+            raise ValueError(
+                f"mf was converged with xc={getattr(mf, 'xc', None)!r}/"
+                f"hubbard={getattr(mf, 'hubbard', None)!r} but this "
+                f"gradient evaluator traces xc={xc!r}/hubbard={hubbard!r}; "
+                "the density is only stationary for the functional it was "
+                "converged with")
         mf_ex = getattr(mf, "exxdiv", None)
         if mf_ex != exxdiv:
             raise ValueError(
@@ -301,19 +356,22 @@ def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
 
 
 def check_hf_functional(mf):
-    """The derivative stack traces the *HF* Lagrangian; a density converged
-    with a KS functional (scf.ks) is not stationary for it, so gradients
-    would be silently wrong (same failure mode as the round-1 exxdiv
-    advisor finding).  xc='hf' KRKS reduces exactly to KRHF and passes."""
+    """Guard for the derivative kernels that still trace the *HF*
+    Lagrangian only (scf.stress): a density converged with a KS functional
+    (scf.ks) is not stationary for it, so gradients would be silently
+    wrong (same failure mode as the round-1 exxdiv advisor finding).
+    xc='hf' KRKS reduces exactly to KRHF and passes.  Nuclear gradients,
+    relaxation, and Hessians DO trace the KS(+U) functional."""
     xc = getattr(mf, "xc", None)
     if xc is not None and str(xc).strip().lower() != "hf":
         raise NotImplementedError(
             f"analytic derivatives of the xc={xc!r} KS functional are not "
-            "implemented; the traced Lagrangian is Hartree-Fock only")
+            "implemented for this kernel; the traced Lagrangian is "
+            "Hartree-Fock only (scf.grad supports KS)")
 
 
 def kernel(mf, two_electron="pw", df=None, dtype=None, max_memory_gb=None):
-    """Nuclear gradient dE/dR (natm, 3) of a converged KRHF/KUHF.
+    """Nuclear gradient dE/dR (natm, 3) of a converged KRHF/KUHF/KRKS/KUKS.
 
     Forces are the negative.  ``two_electron='isdf'`` differentiates the
     ISDF approximant of ``df`` (a built FFTISDF) at its frozen interpolation
@@ -321,8 +379,10 @@ def kernel(mf, two_electron="pw", df=None, dtype=None, max_memory_gb=None):
     value-and-grad sweep runs under one jit (complex math never dispatches
     eagerly; complex inputs cross the host boundary via utils.device).
     ``mf.exxdiv`` is honored (the 'ewald' Madelung S-term is part of the
-    traced Lagrangian)."""
-    check_hf_functional(mf)
+    traced Lagrangian), and so are ``mf.xc`` / ``mf.hubbard`` — the traced
+    functional is the one the density is stationary for."""
     return make_grad_fn(mf.cell, mf.kpts, two_electron=two_electron, df=df,
                         dtype=dtype, exxdiv=getattr(mf, "exxdiv", None),
+                        xc=getattr(mf, "xc", None),
+                        hubbard=getattr(mf, "hubbard", None),
                         max_memory_gb=max_memory_gb)(mf)

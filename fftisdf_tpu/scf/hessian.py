@@ -100,8 +100,6 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
     Returns ``(hess, g0)`` with ``g0`` the analytic gradient at the
     reference geometry.
     """
-    from fftisdf_tpu.scf.grad import check_hf_functional
-    check_hf_functional(mf)
     assert getattr(mf, "dm", None) is not None and mf.converged
     cell = mf.cell
     x0 = np.asarray(cell.atom_coords(), dtype=np.float64)
@@ -109,7 +107,9 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
     n = 3 * natm
     mf_exxdiv = getattr(mf, "exxdiv", None)
     grad_fn = scf_grad.make_grad_fn(cell, mf.kpts, two_electron=two_electron,
-                                    df=df, exxdiv=mf_exxdiv)
+                                    df=df, exxdiv=mf_exxdiv,
+                                    xc=getattr(mf, "xc", None),
+                                    hubbard=getattr(mf, "hubbard", None))
     if two_electron == "isdf":
         import jax
         import jax.numpy as jnp

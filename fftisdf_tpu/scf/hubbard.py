@@ -117,6 +117,29 @@ def vu_from_g(shalf, g):
     return np.einsum("kmp,spq,kqn->skmn", shalf, g, shalf)
 
 
+def sqrtm_traced(s, iters=24):
+    """Differentiation-safe hermitian-PSD matrix square root (batched).
+
+    Denman-Beavers iteration (Y -> S^1/2, Z -> S^-1/2) with trace scaling:
+    smooth in S everywhere, so reverse-mode gradients are well-defined even
+    when S has DEGENERATE eigenvalues — the eigh-based Loewdin construction
+    (shalf_kpts) is fine for values but its autodiff divides by eigenvalue
+    gaps and NaNs on the symmetry-degenerate overlap spectra of periodic
+    cells.  Used by the force/stress Lagrangians (scf.grad) for the +U
+    term's S(R)^1/2 dependence."""
+    import jax.numpy as jnp
+
+    n = s.shape[-1]
+    scale = jnp.trace(s, axis1=-2, axis2=-1).real / n
+    y = s / scale[..., None, None].astype(s.dtype)
+    z = jnp.broadcast_to(jnp.eye(n, dtype=s.dtype), s.shape)
+    for _ in range(iters):
+        zi = jnp.linalg.inv(z)
+        yi = jnp.linalg.inv(y)
+        y, z = 0.5 * (y + zi), 0.5 * (z + yi)
+    return y * jnp.sqrt(scale)[..., None, None].astype(s.dtype)
+
+
 def eu_and_vu_traced(dm, shalf, sites):
     """Traced (jax.numpy) analog of :func:`eu_and_vu` for the
     device-resident SCF loop (scf.device): same math, same energy pairing,

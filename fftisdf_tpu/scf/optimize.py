@@ -71,7 +71,6 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
     and the gradient's frozen-point ISDF energy, so forces stay consistent
     with the energy being minimized.  Returns an :class:`OptResult`.
     """
-    scf_grad.check_hf_functional(mf)
     log = Logger(getattr(mf, "verbose", 3))
     cell = mf.cell
     assert cell._built
@@ -79,10 +78,13 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
     # exact-PW forces: one traced gradient fn serves every geometry (frozen
     # image lists are exact for the sub-cell steps taken here).  The ISDF
     # backend re-selects interpolation points per geometry, so its state fn
-    # is rebuilt inside scf_at.
+    # is rebuilt inside scf_at.  The traced functional follows the driver
+    # (KS xc / +U included — _clone_mf carries them to every geometry).
     mf_exxdiv = getattr(mf, "exxdiv", None)
     pw_grad = (scf_grad.make_grad_fn(cell, mf.kpts, two_electron="pw",
-                                     exxdiv=mf_exxdiv)
+                                     exxdiv=mf_exxdiv,
+                                     xc=getattr(mf, "xc", None),
+                                     hubbard=getattr(mf, "hubbard", None))
                if two_electron == "pw" else None)
 
     def scf_at(positions, dm0):

@@ -158,3 +158,85 @@ def test_forces_uhf_one_electron_vs_fd():
         assert mfs.converged
     fd = (es[0] - es[1]) / (2 * h)
     np.testing.assert_allclose(g[0, 2], fd, atol=5e-7)
+
+
+def test_ks_energy_fn_reproduces_etot():
+    """KS Lagrangian value at the reference geometry equals the converged
+    KRKS total energy — the pure (hyb=0), hybrid (hyb=0.25), and +U terms
+    of the traced functional all assemble to the SCF's own energy."""
+    from fftisdf_tpu.scf.ks import KRKS
+
+    cell = he2_cell()
+    kpts = cell.get_kpts([1, 1, 2])
+    for kw in ({"xc": "lda"}, {"xc": "pbe0"},
+               {"xc": "lda", "hubbard": {0: (0, 0.3)}}):
+        mf = KRKS(cell, kpts, verbose=0, conv_tol=1e-11, **kw)
+        e0 = mf.kernel()
+        assert mf.converged
+        _, val = scf_grad.kernel(mf, two_electron="pw")
+        np.testing.assert_allclose(val, e0, atol=1e-9,
+                                   err_msg=f"Lagrangian != E_tot for {kw}")
+
+
+def test_ks_grad_rejects_functional_mismatch():
+    from fftisdf_tpu.scf.ks import KRKS
+
+    cell = he2_cell()
+    kpts = cell.get_kpts([1, 1, 2])
+    mf = KRKS(cell, kpts, xc="lda", verbose=0, conv_tol=1e-10)
+    mf.kernel()
+    fn = scf_grad.make_grad_fn(cell, kpts, two_electron="pw", xc="pbe")
+    with pytest.raises(ValueError, match="stationary"):
+        fn(mf)
+
+
+@pytest.mark.slow
+def test_ks_forces_vs_finite_difference():
+    """Central-difference gate for the KS-DFT functional (LDA): the xc
+    Pulay force of the traced grid density must be exact."""
+    from fftisdf_tpu.scf.ks import KRKS
+
+    kmesh = [1, 1, 2]
+    mf0 = KRKS(he2_cell(), he2_cell().get_kpts(kmesh), xc="lda",
+               verbose=0, conv_tol=1e-12)
+    mf0.kernel()
+    assert mf0.converged
+    g, val = scf_grad.kernel(mf0, two_electron="pw")
+    np.testing.assert_allclose(val, mf0.e_tot, atol=1e-9)
+
+    h = 2e-3
+    es = []
+    for s in (+1, -1):
+        cell = he2_cell(dz=s * h)
+        mf = KRKS(cell, cell.get_kpts(kmesh), xc="lda", verbose=0,
+                  conv_tol=1e-12)
+        es.append(mf.kernel())
+        assert mf.converged
+    fd = (es[0] - es[1]) / (2 * h)
+    np.testing.assert_allclose(g[1, 2], fd, atol=5e-7)
+    np.testing.assert_allclose(g[0, 2], -g[1, 2], atol=5e-6)
+
+
+@pytest.mark.slow
+def test_ks_plus_u_forces_vs_finite_difference():
+    """FD gate with DFT+U active: the S(R)^1/2 dependence of the on-site
+    occupations (hubbard.sqrtm_traced) is a real Pulay-sized term."""
+    from fftisdf_tpu.scf.ks import KRKS
+
+    kmesh = [1, 1, 2]
+    spec = {0: (0, 0.3), 1: (0, 0.3)}
+
+    def run(dz):
+        cell = he2_cell(dz=dz)
+        mf = KRKS(cell, cell.get_kpts(kmesh), xc="lda", hubbard=spec,
+                  verbose=0, conv_tol=1e-12)
+        mf.kernel()
+        assert mf.converged
+        return mf
+
+    mf0 = run(0.0)
+    g, val = scf_grad.kernel(mf0, two_electron="pw")
+    np.testing.assert_allclose(val, mf0.e_tot, atol=1e-9)
+    h = 2e-3
+    fd = (run(+h).e_tot - run(-h).e_tot) / (2 * h)
+    np.testing.assert_allclose(g[1, 2], fd, atol=5e-7)

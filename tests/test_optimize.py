@@ -47,3 +47,21 @@ def test_h2_relaxation_converges():
     # bond direction preserved (pure stretch problem): atoms stay on the z axis
     np.testing.assert_allclose(res.positions[:, :2],
                                [[4.0, 4.0], [4.0, 4.0]], atol=5e-3)
+
+
+def test_h2_ks_relaxation_converges():
+    """Relaxation driven by the KS-DFT (LDA) analytic forces: the optimizer
+    must descend the KS surface (xc Pulay force FD-gated in
+    test_forces.py) and stop at a physical bond."""
+    from fftisdf_tpu.scf.ks import KRKS
+
+    cell = h2_cell(d=2.0)
+    mf = KRKS(cell, cell.get_kpts([1, 1, 1]), xc="lda", verbose=0,
+              conv_tol=1e-10)
+    res = scf_opt.kernel(mf, fmax=5e-4, max_steps=15)
+    assert res.converged
+    energies = [e for _, e, _ in res.trajectory]
+    assert res.energy < energies[0] - 0.02
+    bond = np.linalg.norm(res.positions[1] - res.positions[0])
+    assert 1.0 < bond < 1.8
+    np.testing.assert_allclose(res.mf.e_tot, res.energy, atol=1e-8)
