@@ -355,21 +355,6 @@ def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
     return fn
 
 
-def check_hf_functional(mf):
-    """Guard for the derivative kernels that still trace the *HF*
-    Lagrangian only (scf.stress): a density converged with a KS functional
-    (scf.ks) is not stationary for it, so gradients would be silently
-    wrong (same failure mode as the round-1 exxdiv advisor finding).
-    xc='hf' KRKS reduces exactly to KRHF and passes.  Nuclear gradients,
-    relaxation, and Hessians DO trace the KS(+U) functional."""
-    xc = getattr(mf, "xc", None)
-    if xc is not None and str(xc).strip().lower() != "hf":
-        raise NotImplementedError(
-            f"analytic derivatives of the xc={xc!r} KS functional are not "
-            "implemented for this kernel; the traced Lagrangian is "
-            "Hartree-Fock only (scf.grad supports KS)")
-
-
 def kernel(mf, two_electron="pw", df=None, dtype=None, max_memory_gb=None):
     """Nuclear gradient dE/dR (natm, 3) of a converged KRHF/KUHF/KRKS/KUKS.
 

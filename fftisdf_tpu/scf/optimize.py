@@ -243,8 +243,11 @@ def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
     # break the stationarity the frozen-D gradient relies on
     kscaled0 = cell0.get_scaled_kpts(np.asarray(mf.kpts))
     mf_exxdiv = getattr(mf, "exxdiv", None)
+    mf_xc = getattr(mf, "xc", None)
+    mf_hub = getattr(mf, "hubbard", None)
     grad_fn = scf_stress.make_cell_grad_fn(cell0, mf.kpts, dtype=mf.dtype,
-                                           exxdiv=mf_exxdiv)
+                                           exxdiv=mf_exxdiv, xc=mf_xc,
+                                           hubbard=mf_hub)
 
     def scf_at(eps, dfrac, dm0):
         A = a0 @ (np.eye(3) + eps)
@@ -355,7 +358,8 @@ def relax_cell(mf, fmax=5e-4, smax=2e-5, max_steps=40, step_max=0.1,
             frac0 = frac0 + dfrac_now
             grad_fn = scf_stress.make_cell_grad_fn(
                 cur_cell, kscaled0 @ cur_cell.reciprocal_vectors(),
-                dtype=mf.dtype, exxdiv=mf_exxdiv)
+                dtype=mf.dtype, exxdiv=mf_exxdiv, xc=mf_xc,
+                hubbard=mf_hub)
             x = np.zeros(n)
             # keep the BFGS curvature: the re-anchored parametrization
             # differs from the old one only at O(eps_anchor) — refreshing

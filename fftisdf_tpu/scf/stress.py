@@ -191,7 +191,7 @@ def madelung_strain_fn(cell, kmesh, dtype=jnp.float64):
 
 
 def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
-                        df=None, exxdiv=None):
+                        df=None, exxdiv=None, xc=None, hubbard=None):
     """Differentiable Lagrangian L(eps, dfrac, dm, wdm, w_trace): the
     lattice strained as A = a0 @ (1 + eps) AND atoms displaced by dfrac
     (natm, 3) in fractional coordinates.  One reverse sweep yields the
@@ -205,9 +205,27 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
     of the approximant, mirroring scf.grad's force semantics.
 
     ``exxdiv`` must match the converged Fock (scf.grad.make_energy_fn
-    docstring); under strain BOTH the Madelung constant and S trace."""
+    docstring); under strain BOTH the Madelung constant and S trace.
+
+    ``xc`` / ``hubbard`` switch the traced functional to KS-DFT(+U), same
+    semantics as scf.grad.make_energy_fn: exchange scaled by the hybrid
+    fraction (the pairwise Poisson exchange loop is skipped entirely for
+    pure functionals — the dominant cost), grid Exc with STRAINED
+    quadrature weight and G-vectors (the xc stress, incl. the GGA
+    gradient-term strain through gv = gidx @ B), and the +U energy via
+    the strained overlap's S^1/2."""
     if exxdiv not in (None, "ewald"):
         raise NotImplementedError(f"exxdiv={exxdiv!r} stress")
+    spec = None
+    if xc is not None and str(xc).strip().lower() != "hf":
+        from fftisdf_tpu.scf import xc as xc_mod
+        spec = xc_mod.parse_xc(xc)
+        _exc_and_vxc = xc_mod.exc_and_vxc
+    hyb = spec.hyb if spec is not None else 1.0
+    hub_sites = None
+    if hubbard:
+        from fftisdf_tpu.scf import hubbard as hub_mod
+        hub_sites = hub_mod.build_sites(cell, hubbard)
     kpts = np.asarray(kpts)
     nk = len(kpts)
     mesh = tuple(int(m) for m in cell.mesh)
@@ -319,15 +337,19 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                 vj = jkm.get_j_kpts(x_k, wq[0], dm_t[None])[0]
                 ej = 0.5 * jnp.sum(jnp.einsum(
                     "kmn,knm->k", dm_t, vj)).real / nk
+                if hyb == 0.0:
+                    return ej
                 vk = jkm.get_k_kpts(x_k, wq, phase, dm)
-                ek = -0.5 * jnp.sum(jnp.einsum(
+                ek = -0.5 * hyb * jnp.sum(jnp.einsum(
                     "skmn,sknm->sk", dm, vk)).real / nk
                 return ej + ek
             vj = jkm.get_j_kpts(x_k, wq[0], dm[None])[0]
+            ej = 0.5 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vj)).real / nk
+            if hyb == 0.0:
+                return ej
             vk = jkm.get_k_kpts(x_k, wq, phase, dm[None])[0]
-            return (0.5 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vj))
-                    - 0.25 * jnp.sum(jnp.einsum(
-                        "kmn,knm->k", dm, vk))).real / nk
+            return ej - 0.25 * hyb * jnp.sum(
+                jnp.einsum("kmn,knm->k", dm, vk)).real / nk
 
     def energy(eps, dfrac, dm, wdm, w_trace):
         A = a0_j @ (eye3 + eps)
@@ -397,16 +419,30 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
 
         # ---- exxdiv='ewald': Madelung exchange, mad(A) and S(A) both traced
         e_mad = 0.0
-        if mad_fn is not None:
+        if mad_fn is not None and hyb != 0.0:
             sds = jnp.einsum("kmp,...kpq,kqn->...kmn", s_k, dm, s_k)
             fac = -0.5 if dm.ndim == 4 else -0.25
-            e_mad = fac * mad_fn(A) / nk * jnp.sum(
+            e_mad = fac * hyb * mad_fn(A) / nk * jnp.sum(
                 jnp.einsum("...kmn,...knm->...k", dm, sds)).real
+
+        # ---- KS terms: grid Exc with strained weight/G-vectors, +U via
+        # the strained overlap's S^1/2 (both Pulay-type stress terms)
+        e_xtra = 0.0
+        if spec is not None or hub_sites is not None:
+            dm_spin = dm if dm.ndim == 4 else jnp.stack([dm, dm]) * 0.5
+        if spec is not None:
+            rho_s = jnp.einsum("kgm,skmn,kgn->sg", f_k, dm_spin,
+                               f_k.conj()).real / nk
+            e_xtra = e_xtra + _exc_and_vxc(rho_s, gv, spec, mesh, w)[0]
+        if hub_sites is not None:
+            from fftisdf_tpu.scf import hubbard as hub_mod
+            e_xtra = e_xtra + hub_mod.eu_and_vu_traced(
+                dm_spin, hub_mod.sqrtm_traced(s_k), hub_sites)[0]
 
         if two_electron == "isdf":
             e_2e = e2_isdf(A, B, vol, positions, f_k, dm)
-            return (e_kin + e_loc + e_nl + e_pulay + e_2e + e_mad + w_trace
-                    + e_nn(A, dfrac))
+            return (e_kin + e_loc + e_nl + e_pulay + e_2e + e_mad + e_xtra
+                    + w_trace + e_nn(A, dfrac))
 
         # ---- Hartree: (vol / 2 ngrid^2) sum_G coulG |FFT(n)|^2, G=0 dropped
         nG = fft3(n_r.astype(cdtype), mesh)
@@ -448,19 +484,21 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
             return jnp.sum(jax.lax.map(
                 pair_body, jnp.arange(nk * nk))) * (w / nk ** 2)
 
-        if dm.ndim == 4:
-            e_k = -0.5 * (ex_pairs(dm[0]) + ex_pairs(dm[1]))
+        if hyb == 0.0:
+            e_k = 0.0         # pure functional: no pairwise Poisson loop
+        elif dm.ndim == 4:
+            e_k = -0.5 * hyb * (ex_pairs(dm[0]) + ex_pairs(dm[1]))
         else:
-            e_k = -0.25 * ex_pairs(dm)
+            e_k = -0.25 * hyb * ex_pairs(dm)
 
-        return (e_kin + e_loc + e_nl + e_pulay + e_j + e_k + e_mad + w_trace
-                + e_nn(A, dfrac))
+        return (e_kin + e_loc + e_nl + e_pulay + e_j + e_k + e_mad + e_xtra
+                + w_trace + e_nn(A, dfrac))
 
     return energy
 
 
 def make_cell_grad_fn(cell, kpts, dtype=None, two_electron="pw", df=None,
-                      exxdiv=None):
+                      exxdiv=None, xc=None, hubbard=None):
     """Reusable evaluator ``fn(mf, eps, dfrac) -> (val, dL/deps, dL/ddfrac)``.
 
     One value-and-grad jit, traced once at the reference lattice, serves the
@@ -473,12 +511,22 @@ def make_cell_grad_fn(cell, kpts, dtype=None, two_electron="pw", df=None,
         dtype = _default_dtype()
     e_fn = make_cell_energy_fn(cell, kpts, dtype=dtype,
                                two_electron=two_electron, df=df,
-                               exxdiv=exxdiv)
+                               exxdiv=exxdiv, xc=xc, hubbard=hubbard)
     vag = jax.jit(jax.value_and_grad(e_fn, argnums=(0, 1)))
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
+    def _norm_xc(v):
+        v = None if v is None else str(v).strip().lower()
+        return None if v == "hf" else v
+
     def fn(mf, eps=None, dfrac=None):
         assert getattr(mf, "dm", None) is not None, "run mf.kernel() first"
+        if _norm_xc(getattr(mf, "xc", None)) != _norm_xc(xc) or \
+                getattr(mf, "hubbard", None) != hubbard:
+            raise ValueError(
+                f"mf was converged with xc={getattr(mf, 'xc', None)!r}/"
+                f"hubbard={getattr(mf, 'hubbard', None)!r} but this cell-"
+                f"gradient evaluator traces xc={xc!r}/hubbard={hubbard!r}")
         mf_ex = getattr(mf, "exxdiv", None)
         if mf_ex != exxdiv:
             raise ValueError(
@@ -505,12 +553,14 @@ def kernel(mf, dtype=None, two_electron="pw", df=None):
     Lagrangian value (== e_tot at eps=0, the sanity gate) of a converged
     KRHF/KUHF.  sigma > 0 components mean the cell wants to shrink.
     ``two_electron='isdf'`` differentiates the frozen-point ISDF approximant
-    of ``df`` instead of the exact plane-wave energy."""
-    from fftisdf_tpu.scf.grad import check_hf_functional
-    check_hf_functional(mf)
+    of ``df`` instead of the exact plane-wave energy.  ``mf.xc`` /
+    ``mf.hubbard`` are honored (the traced functional is the one the
+    density is stationary for)."""
     val, g, _ = make_cell_grad_fn(mf.cell, mf.kpts, dtype=dtype,
                                   two_electron=two_electron, df=df,
-                                  exxdiv=getattr(mf, "exxdiv", None))(mf)
+                                  exxdiv=getattr(mf, "exxdiv", None),
+                                  xc=getattr(mf, "xc", None),
+                                  hubbard=getattr(mf, "hubbard", None))(mf)
     sigma = 0.5 * (g + g.T) / float(mf.cell.vol)
     pressure = -np.trace(sigma) / 3.0
     return sigma, float(pressure), val

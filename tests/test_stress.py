@@ -141,3 +141,48 @@ def test_stress_uhf_matches_rhf_closed_shell():
     s_u, p_u, _ = scf_stress.kernel(mf_u)
     np.testing.assert_allclose(s_u, s_r, atol=1e-8)
     np.testing.assert_allclose(p_u, p_r, atol=1e-8)
+
+
+def test_ks_stress_vs_fd():
+    """KS-DFT (PBE) stress: the grid Exc with strained quadrature weight
+    and G-vectors (the GGA gradient term's strain) must match central
+    finite differences of re-converged KRKS energies; the pairwise
+    Poisson exchange loop is skipped entirely (pure functional)."""
+    from fftisdf_tpu.scf.ks import KRKS
+
+    def scf_ks(a_mat=None):
+        cell = he2_cell(a_mat)
+        mf = KRKS(cell, cell.get_kpts([1, 1, 2]), xc="pbe", verbose=0,
+                  conv_tol=1e-11)
+        mf.kernel()
+        assert mf.converged
+        return mf
+
+    mf = scf_ks()
+    a0 = np.asarray(mf.cell.a)
+    vol = float(mf.cell.vol)
+    sigma, pressure, val = scf_stress.kernel(mf)
+    np.testing.assert_allclose(val, mf.e_tot, atol=1e-9)
+
+    exx = np.zeros((3, 3)); exx[0, 0] = 1.0
+    fd_xx = _fd_strain(scf_ks, a0, exx)
+    np.testing.assert_allclose(vol * sigma[0, 0], fd_xx,
+                               rtol=2e-5, atol=5e-7)
+    fd_iso = _fd_strain(scf_ks, a0, np.eye(3))
+    np.testing.assert_allclose(-3.0 * vol * pressure, fd_iso,
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_ks_plus_u_stress_lagrangian_matches_e_tot():
+    """+U stress path smoke: the strained-overlap S^1/2 term assembles to
+    the SCF energy at eps=0 (its strain derivative shares the FD-gated
+    sqrtm machinery with the force test)."""
+    from fftisdf_tpu.scf.ks import KRKS
+
+    cell = he2_cell()
+    mf = KRKS(cell, cell.get_kpts([1, 1, 2]), xc="lda",
+              hubbard={0: (0, 0.3)}, verbose=0, conv_tol=1e-11)
+    mf.kernel()
+    assert mf.converged
+    _sigma, _p, val = scf_stress.kernel(mf)
+    np.testing.assert_allclose(val, mf.e_tot, atol=1e-9)
