@@ -102,20 +102,9 @@ def main():
                **ks_kwargs)
     t0 = time.time()
     e = mf.kernel()
-    # local spin moments (Mulliken-style, diagonal of dm.S per atom)
-    dm = mf.dm
-    s1e = mf.s1e
-    nk = len(kpts)
-    pop = np.zeros((2, cell.nao_nr()))
-    for s in range(2):
-        for k in range(nk):
-            pop[s] += np.real(np.diag(dm[s, k] @ s1e[k])) / nk
-    off = 0
-    moments = []
-    for sym, _ in cell.atom:
-        nfa = sum(sh.nfunc for sh in cell._basis[sym])
-        moments.append(pop[0, off:off+nfa].sum() - pop[1, off:off+nfa].sum())
-        off += nfa
+    # local spin moments (Mulliken, diagonal of dm.S per atom)
+    from fftisdf_tpu.scf.analysis import atom_charges_and_moments
+    _charges, moments = atom_charges_and_moments(cell, mf.dm, mf.s1e)
     print(f"-> ISDF KUHF E = {e:.8f} Ha  ({time.time()-t0:.1f}s, "
           f"conv={mf.converged})")
     print("-> atomic spin moments:",
