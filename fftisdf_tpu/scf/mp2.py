@@ -82,3 +82,82 @@ def kmp2(df, mf):
     # the k-mesh vs doubled-supercell consistency test)
     e2 = e2 / nk ** 3
     return float(np.real(e2)), {"imag": float(np.imag(e2)), "nocc": nocc}
+
+
+def kump2(df, mf):
+    """Unrestricted k-point MP2 from a converged KUHF/KUKS ``mf`` — the
+    correlated method for the spin-polarized north-star system (NiO-AFM).
+
+    Spin-resolved spatial-orbital decomposition (insulating occupations):
+
+        E2 = E_ss(alpha) + E_ss(beta) + E_os
+        E_ss^s = (1/2) sum t (v_iajb - v_ibja)^*,  t = v_iajb / D
+        E_os   =       sum t v_iajb^*   (i,a alpha; j,b beta — each
+                                         opposite-spin pair counted once)
+
+    with the same ISDF ERI assembly and 1/nk^3 per-cell normalization as
+    :func:`kmp2`; reduces exactly to it for closed shells (gated in
+    tests/test_mp2.py)."""
+    nk = df.nkpt
+    mo_c = np.asarray(mf.mo_coeff)      # (2, nk, nao, nmo)
+    mo_e = np.asarray(mf.mo_energy)
+    mo_o = np.asarray(mf.mo_occ)
+    assert mo_c.ndim == 4, "kump2 needs a spin-resolved (KUHF/KUKS) mf"
+    noccs = [int(round(mo_o[s][0].sum())) for s in range(2)]
+
+    xo = [[], []]
+    xv = [[], []]
+    eo = [[], []]
+    ev = [[], []]
+    for s in range(2):
+        no = noccs[s]
+        for k in range(nk):
+            x = jit_take(df.x_k, k)
+            c = to_device(mo_c[s, k], dtype=df.x_k.dtype)
+            xo[s].append(jax.jit(lambda x, c: x @ c)(x, c[:, :no]))
+            xv[s].append(jax.jit(lambda x, c: x @ c)(x, c[:, no:]))
+            eo[s].append(mo_e[s, k][:no])
+            ev[s].append(mo_e[s, k][no:])
+
+    rdt = (jnp.float64 if df.x_k.dtype == jnp.complex128 else jnp.float32)
+    k3c = df.kconserv3()
+    k2c = df.kconserv2()
+
+    @jax.jit
+    def pair_ss(v_iajb, v_ibja, d):
+        t = v_iajb / d
+        return 0.5 * jnp.sum(t * (v_iajb.conj() - v_ibja.conj()))
+
+    @jax.jit
+    def pair_os(v_iajb, d):
+        return jnp.sum((v_iajb / d) * v_iajb.conj())
+
+    e2 = 0.0
+    for s1, s2 in ((0, 0), (1, 1), (0, 1)):
+        same = s1 == s2
+        for ki in range(nk):
+            for ka in range(nk):
+                q = k2c[ki, ka]
+                for kj in range(nk):
+                    kb = int(k3c[ki, ka, kj])
+                    v_iajb = assemble_eri(jit_take(df.wq, int(q)),
+                                          xo[s1][ki], xv[s1][ka],
+                                          xo[s2][kj], xv[s2][kb])
+                    d = (eo[s1][ki][:, None, None, None]
+                         - ev[s1][ka][None, :, None, None]
+                         + eo[s2][kj][None, None, :, None]
+                         - ev[s2][kb][None, None, None, :])
+                    d = to_device(d, dtype=rdt)
+                    if same:
+                        qb = k2c[ki, kb]
+                        v_ibja = assemble_eri(jit_take(df.wq, int(qb)),
+                                              xo[s1][ki], xv[s1][kb],
+                                              xo[s1][kj], xv[s1][ka])
+                        contrib = pair_ss(
+                            v_iajb, jnp.transpose(v_ibja, (0, 3, 2, 1)), d)
+                    else:
+                        contrib = pair_os(v_iajb, d)
+                    e2 += complex(to_host(contrib))
+    e2 = e2 / nk ** 3
+    return float(np.real(e2)), {"imag": float(np.imag(e2)),
+                                "nocc": tuple(noccs)}

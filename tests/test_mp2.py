@@ -97,3 +97,45 @@ def test_kmp2_supercell_consistency():
                   select_tol=1e-18, rcond=1e-12).build()
     e2_s, _ = kmp2(df2, mf2)
     np.testing.assert_allclose(e2_k, e2_s / 2, atol=2e-5)
+
+
+def test_kump2_closed_shell_matches_kmp2():
+    """Spin-resolved UMP2 reduces exactly to restricted KMP2 for a
+    closed-shell KUHF (identical alpha/beta orbitals)."""
+    from fftisdf_tpu.scf import KUHF
+    from fftisdf_tpu.scf.mp2 import kump2
+
+    cell = h2_cell()
+    kpts = cell.get_kpts([1, 1, 2])
+    mf = KRHF(cell, kpts, verbose=0, conv_tol=1e-10)
+    mf.kernel()
+    assert mf.converged
+    df = FFTISDF(cell, kpts, c0=60.0, m0=(11, 11, 13), verbose=0,
+                 select_tol=1e-18, rcond=1e-12).build()
+    e2_r, _ = kmp2(df, mf)
+
+    umf = KUHF(cell, kpts, verbose=0, conv_tol=1e-10)
+    umf.kernel()
+    assert umf.converged
+    e2_u, info = kump2(df, umf)
+    assert abs(info["imag"]) < 1e-10
+    np.testing.assert_allclose(e2_u, e2_r, atol=1e-9)
+
+
+def test_kump2_spin_polarized_negative():
+    """Open-shell (triplet H2 stretch) UMP2: runs through distinct
+    alpha/beta occupation counts and lowers the energy."""
+    from fftisdf_tpu.scf import KUHF
+    from fftisdf_tpu.scf.mp2 import kump2
+
+    cell = h2_cell().copy(spin=2).build()
+    kpts = cell.get_kpts([1, 1, 2])
+    mf = KUHF(cell, kpts, verbose=0, conv_tol=1e-9, max_cycle=80)
+    mf.kernel()
+    assert mf.converged
+    df = FFTISDF(cell, kpts, c0=60.0, m0=(11, 11, 13), verbose=0,
+                 select_tol=1e-18, rcond=1e-12).build()
+    e2, info = kump2(df, mf)
+    assert info["nocc"] == (2, 0)
+    assert abs(info["imag"]) < 1e-10
+    assert e2 < 0.0
