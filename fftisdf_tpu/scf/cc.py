@@ -1,0 +1,474 @@
+"""k-point CCSD on the ISDF ERI factorization.
+
+Spin-orbital coupled-cluster singles and doubles with full momentum
+conservation ("k-blocked" amplitudes), consuming ERIs straight from the
+ISDF state (x_k, w_q) — the deepest downstream consumer of the
+factorization after KMP2 (scf.mp2) and RPA (scf.rpa).  The reference
+repository has no correlated method at all; its furthest gesture in this
+direction is the never-finished embedding transform
+(``/root/reference/fftisdf.py:230-294``), which scf.isdf.ao2mo completes
+and this module builds on.
+
+Design:
+
+- **Spin orbitals** [occ_a, occ_b, vir_a, vir_b] per k-point, so one code
+  path serves restricted (KRHF/KRKS) and unrestricted (KUHF/KUKS)
+  references — the spin structure enters only through delta masks on the
+  integral blocks (and through the per-spin orbitals themselves for UHF).
+- **k-blocked amplitudes**: t1[k][i,a] (singles conserve crystal
+  momentum), t2[ki,kj,ka][i,j,a,b] with kb = ki + kj - ka fixed by
+  conservation; integral blocks U[k1,k2,k3] = <p k1, q k2 || r k3, s k4>
+  are assembled per momentum-conserving triple from three MXU matmuls
+  each (isdf.eri.assemble_eri via isdf.ao2mo.mo_eri).
+- **Complex-safe equations.**  The classic Stanton-Gauss-Watts-Bartlett
+  equations (JCP 94, 4334 (1991)) are written for real orbitals, where
+  <pq||rs> = <rs||pq> hides conjugation choices.  Bloch orbitals are
+  complex; each integral factor here is written in its *vertex-natural*
+  index order — internal hole lines in the bra, internal particle lines
+  in the ket, external particles in the bra, external holes in the ket —
+  where the real-orbital equations and the complex ones coincide.  The
+  single term this changes relative to the textbook form is the T2
+  driving term, <ab||ij> = conj(<ij||ab>).  Every term (and this claim)
+  is gated against a determinant-space oracle that evaluates
+  <Phi_ex| e^-T H e^T |Phi_0> literally (Jordan-Wigner operator matrices,
+  nilpotent e^T as a finite series) at random complex amplitudes and
+  random Hermitian integrals: tests/test_cc.py.
+- The whole iteration is one jitted function (trace-time Python loops
+  over momentum blocks -> a flat XLA graph of small einsums; the MXU
+  sees the O(nk^4) block contractions back-to-back).  Amplitude DIIS
+  reuses the SCF drivers' Pulay machinery (scf.hf.DIIS).
+
+Normalization: assemble_eri returns cell-normalized ERIs; supercell spin
+orbitals are Bloch/sqrt(nk), so the supercell integrals are U/nk and the
+returned correlation energy is divided by nk once more to be per cell
+(verified by the k-mesh vs doubled-supercell consistency gate, the same
+duality test scf.mp2 uses).
+
+Scaling note: integral blocks are materialized per k-triple (full
+nso^4); at production sizes a slice-resolved assembly (only the o/v
+blocks each term needs, vvvv on the fly from the ISDF factors) is the
+natural refinement — the factorized form makes that a local change.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fftisdf_tpu.isdf.ao2mo import mo_eri
+from fftisdf_tpu.utils.device import to_device, to_host
+
+
+# ----------------------------------------------------------------------
+# spin-orbital setup
+# ----------------------------------------------------------------------
+
+def _spinorb_mo(mf):
+    """Per-k spin-orbital coefficients (nao, nso), energies (nso,), spin
+    labels, and the spin-orbital occupation count.
+
+    Orbital order per k: [occ_alpha, occ_beta, vir_alpha, vir_beta].
+    Insulating (integer, k-independent) occupations required.
+    """
+    mo_c = np.asarray(mf.mo_coeff)
+    mo_e = np.asarray(mf.mo_energy)
+    mo_o = np.asarray(mf.mo_occ)
+    if mo_c.ndim == 3:                      # restricted: same spatial orbs
+        mo_c = np.stack([mo_c, mo_c])
+        mo_e = np.stack([mo_e, mo_e])
+        mo_o = np.stack([mo_o / 2.0, mo_o / 2.0])
+    nk = mo_c.shape[1]
+    noccs = []
+    for s in range(2):
+        ns = [int(round(mo_o[s, k].sum())) for k in range(nk)]
+        if any(abs(mo_o[s, k].sum() - ns[k]) > 1e-8 for k in range(nk)) \
+                or len(set(ns)) != 1:
+            raise NotImplementedError(
+                "kccsd requires insulating (integer, k-independent) "
+                "occupations; got per-k electron counts %s" % (ns,))
+        noccs.append(ns[0])
+    cs, es, spins = [], [], []
+    for k in range(nk):
+        cols, ene, sp = [], [], []
+        for s in range(2):
+            cols.append(mo_c[s, k][:, :noccs[s]])
+            ene.append(mo_e[s, k][:noccs[s]])
+            sp += [s] * noccs[s]
+        for s in range(2):
+            cols.append(mo_c[s, k][:, noccs[s]:])
+            ene.append(mo_e[s, k][noccs[s]:])
+            sp += [s] * (mo_c.shape[3] - noccs[s])
+        cs.append(np.concatenate(cols, axis=1))
+        es.append(np.concatenate(ene))
+        spins.append(np.array(sp))
+    return (np.array(cs), np.array(es), np.array(spins),
+            noccs[0] + noccs[1])
+
+
+def make_eris(df, mf):
+    """Antisymmetrized spin-orbital integral blocks.
+
+    Returns (U, eo, ev, nocc) with U[k1,k2,k3][p,q,r,s] =
+    <p k1, q k2 || r k3, s k4>, k4 = k1 + k2 - k3 (physicists' notation,
+    cell normalization), eo/ev the occupied/virtual spin-orbital energies
+    per k.
+    """
+    cs, es, spins, nocc = _spinorb_mo(mf)
+    nk = df.nkpt
+    k3c = df.kconserv3()
+
+    def kp(a, b, c):                        # index of k_a + k_b - k_c
+        return int(k3c[a, c, b])
+
+    nso = cs.shape[2]
+    U = np.zeros((nk, nk, nk, nso, nso, nso, nso), dtype=np.complex128)
+    for k1 in range(nk):
+        for k2 in range(nk):
+            for k3 in range(nk):
+                k4 = kp(k1, k2, k3)
+                # direct <pq|rs> = chem (p k1, r k3 | q k2, s k4)
+                d = np.asarray(to_host(mo_eri(
+                    df, (cs[k1], cs[k3], cs[k2], cs[k4]),
+                    (k1, k3, k2, k4))))
+                d = d.transpose(0, 2, 1, 3)            # (p,r,q,s)->(p,q,r,s)
+                d = d * ((spins[k1][:, None, None, None]
+                          == spins[k3][None, None, :, None])
+                         & (spins[k2][None, :, None, None]
+                            == spins[k4][None, None, None, :]))
+                # exchange <pq|sr> = chem (p k1, s k4 | q k2, r k3)
+                x = np.asarray(to_host(mo_eri(
+                    df, (cs[k1], cs[k4], cs[k2], cs[k3]),
+                    (k1, k4, k2, k3))))
+                x = x.transpose(0, 2, 3, 1)            # (p,s,q,r)->(p,q,r,s)
+                x = x * ((spins[k1][:, None, None, None]
+                          == spins[k4][None, None, None, :])
+                         & (spins[k2][None, :, None, None]
+                            == spins[k3][None, None, :, None]))
+                U[k1, k2, k3] = d - x
+    return U, es[:, :nocc], es[:, nocc:], nocc
+
+
+# ----------------------------------------------------------------------
+# the CCSD iteration (spin-orbital, k-blocked, complex-safe)
+# ----------------------------------------------------------------------
+
+def make_step(nk, nocc, nvir, kp3, eo, ev):
+    """Build the jitted CCSD update ``step(t1, t2, U) -> (t1, t2, e)``.
+
+    kp3[a,b,c] = index of k_a + k_b - k_c.  ``e`` is the supercell
+    correlation energy at the *input* amplitudes (so the first call from
+    the MP2 guess reports E_MP2).  U must already carry the supercell
+    normalization (cell ERIs / nk).
+    """
+    o, v = slice(0, nocc), slice(nocc, nocc + nvir)
+    kp3 = np.asarray(kp3)
+
+    def kp(a, b, c):
+        return int(kp3[a, b, c])
+
+    d1 = [eo[k][:, None] - ev[k][None, :] for k in range(nk)]
+    d2 = {}
+    for ki in range(nk):
+        for kj in range(nk):
+            for ka in range(nk):
+                kb = kp(ki, kj, ka)
+                d2[ki, kj, ka] = (
+                    eo[ki][:, None, None, None]
+                    + eo[kj][None, :, None, None]
+                    - ev[ka][None, None, :, None]
+                    - ev[kb][None, None, None, :])
+
+    def step(t1, t2, U):
+        cplx = U.dtype
+        t1 = [t1[k] for k in range(nk)]
+        ein = jnp.einsum
+
+        def u(k1, k2, k3, s1, s2, s3, s4):
+            return U[k1, k2, k3][s1, s2, s3, s4]
+
+        # tau, tau-tilde (t1 contributions are momentum-diagonal)
+        tau, tau_t = {}, {}
+        for ki in range(nk):
+            for kj in range(nk):
+                for ka in range(nk):
+                    tt = t2[ki, kj, ka]
+                    t1t1 = 0.0
+                    if ka == ki:
+                        t1t1 = t1t1 + ein("ia,jb->ijab", t1[ki], t1[kj])
+                    if ka == kj:
+                        t1t1 = t1t1 - ein("ib,ja->ijab", t1[ki], t1[kj])
+                    tau[ki, kj, ka] = tt + t1t1
+                    tau_t[ki, kj, ka] = tt + 0.5 * t1t1
+
+        # ---- F intermediates (momentum-diagonal; canonical fock, so no
+        #      bare f terms beyond the denominators) ----
+        f_ae, f_mi, f_me = [], [], []
+        for k in range(nk):
+            ae = jnp.zeros((nvir, nvir), cplx)
+            mi = jnp.zeros((nocc, nocc), cplx)
+            me = jnp.zeros((nocc, nvir), cplx)
+            for km in range(nk):
+                ae = ae + ein("mf,mafe->ae", t1[km],
+                              u(km, k, km, o, v, v, v))
+                mi = mi + ein("ne,mnie->mi", t1[km],
+                              u(k, km, k, o, o, o, v))
+                me = me + ein("nf,mnef->me", t1[km],
+                              u(k, km, k, o, o, v, v))
+                for kn in range(nk):
+                    ae = ae - 0.5 * ein("mnaf,mnef->ae", tau_t[km, kn, k],
+                                        u(km, kn, k, o, o, v, v))
+                    mi = mi + 0.5 * ein("inef,mnef->mi", tau_t[k, km, kn],
+                                        u(k, km, kn, o, o, v, v))
+            f_ae.append(ae)
+            f_mi.append(mi)
+            f_me.append(me)
+
+        # ---- T1 residual / update ----
+        t1_new = []
+        for k in range(nk):
+            r = (ein("ie,ae->ia", t1[k], f_ae[k])
+                 - ein("ma,mi->ia", t1[k], f_mi[k]))
+            for km in range(nk):
+                r = r + ein("imae,me->ia", t2[k, km, k], f_me[km])
+                r = r - ein("nf,naif->ia", t1[km],
+                            u(km, k, k, o, v, o, v))
+                for ke in range(nk):
+                    r = r - 0.5 * ein("imef,maef->ia", t2[k, km, ke],
+                                      u(km, k, ke, o, v, v, v))
+                for kn in range(nk):
+                    ke = kp(km, kn, k)
+                    r = r - 0.5 * ein("mnae,nmei->ia", t2[km, kn, k],
+                                      u(kn, km, ke, o, o, v, o))
+            t1_new.append(r / d1[k])
+
+        # ---- W intermediates ----
+        # W_mnij, blocks [km,kn,ki] (kj fixed); raw then P_(ij)
+        w_oooo_raw = {}
+        for km in range(nk):
+            for kn in range(nk):
+                for ki in range(nk):
+                    kj = kp(km, kn, ki)
+                    x = ein("je,mnie->mnij", t1[kj],
+                            u(km, kn, ki, o, o, o, v))
+                    w_oooo_raw[km, kn, ki] = x
+        w_oooo = {}
+        for km in range(nk):
+            for kn in range(nk):
+                for ki in range(nk):
+                    kj = kp(km, kn, ki)
+                    x = (u(km, kn, ki, o, o, o, o)
+                         + w_oooo_raw[km, kn, ki]
+                         - w_oooo_raw[km, kn, kj].transpose(0, 1, 3, 2))
+                    for ke in range(nk):
+                        x = x + 0.25 * ein(
+                            "ijef,mnef->mnij", tau[ki, kj, ke],
+                            u(km, kn, ke, o, o, v, v))
+                    w_oooo[km, kn, ki] = x
+
+        # W_abef, blocks [ka,kb,ke] (kf fixed); raw then P_(ab)
+        w_vvvv_raw = {}
+        for ka in range(nk):
+            for kb in range(nk):
+                for ke in range(nk):
+                    w_vvvv_raw[ka, kb, ke] = ein(
+                        "mb,amef->abef", t1[kb],
+                        u(ka, kb, ke, v, o, v, v))
+        w_vvvv = {}
+        for ka in range(nk):
+            for kb in range(nk):
+                for ke in range(nk):
+                    x = (u(ka, kb, ke, v, v, v, v)
+                         - w_vvvv_raw[ka, kb, ke]
+                         + w_vvvv_raw[kb, ka, ke].transpose(1, 0, 2, 3))
+                    for km in range(nk):
+                        x = x + 0.25 * ein(
+                            "mnab,mnef->abef", tau[km, kp(ka, kb, km), ka],
+                            u(km, kp(ka, kb, km), ke, o, o, v, v))
+                    w_vvvv[ka, kb, ke] = x
+
+        # W_mbej, blocks [km,kb,ke] (kj fixed)
+        w_ovvo = {}
+        for km in range(nk):
+            for kb in range(nk):
+                for ke in range(nk):
+                    kj = kp(km, kb, ke)
+                    x = (u(km, kb, ke, o, v, v, o)
+                         + ein("jf,mbef->mbej", t1[kj],
+                               u(km, kb, ke, o, v, v, v))
+                         - ein("nb,mnej->mbej", t1[kb],
+                               u(km, kb, ke, o, o, v, o))
+                         - ein("jf,nb,mnef->mbej", t1[kj], t1[kb],
+                               u(km, kb, ke, o, o, v, v)))
+                    for kn in range(nk):
+                        kf = kp(kj, kn, kb)
+                        x = x - 0.5 * ein(
+                            "jnfb,mnef->mbej", t2[kj, kn, kf],
+                            u(km, kn, ke, o, o, v, v))
+                    w_ovvo[km, kb, ke] = x
+
+        # ---- T2 residual: raw pieces by permutational symmetry class ----
+        f_be_t = [f_ae[k] - 0.5 * ein("mb,me->be", t1[k], f_me[k])
+                  for k in range(nk)]
+        f_mj_t = [f_mi[k] + 0.5 * ein("je,me->mj", t1[k], f_me[k])
+                  for k in range(nk)]
+
+        raw_ab, raw_ij, raw_ijab = {}, {}, {}
+        for ki in range(nk):
+            for kj in range(nk):
+                for ka in range(nk):
+                    kb = kp(ki, kj, ka)
+                    # P_(ab) class: + t2_ijae Ftilde_be  + t1_ie <ab||ej>'s
+                    # partner is handled in the P_(ij) class; here strictly
+                    # the terms antisymmetrized in (ab):
+                    x = ein("ijae,be->ijab", t2[ki, kj, ka], f_be_t[kb])
+                    x = x - ein("ma,mbij->ijab", t1[ka],
+                                u(ka, kb, ki, o, v, o, o))
+                    raw_ab[ki, kj, ka] = x
+                    # P_(ij) class
+                    y = -ein("imab,mj->ijab", t2[ki, kj, ka], f_mj_t[kj])
+                    y = y + ein("ie,abej->ijab", t1[ki],
+                                u(ka, kb, ki, v, v, v, o))
+                    raw_ij[ki, kj, ka] = y
+                    # P_(ij)P_(ab) class
+                    z = -ein("ie,ma,mbej->ijab", t1[ki], t1[ka],
+                             u(ka, kb, ki, o, v, v, o))
+                    for km in range(nk):
+                        ke = kp(ki, km, ka)
+                        z = z + ein("imae,mbej->ijab", t2[ki, km, ka],
+                                    w_ovvo[km, kb, ke])
+                    raw_ijab[ki, kj, ka] = z
+
+        t2_new = {}
+        for ki in range(nk):
+            for kj in range(nk):
+                for ka in range(nk):
+                    kb = kp(ki, kj, ka)
+                    # driving term <ab||ij> = conj(<ij||ab>) — the one
+                    # complex correction to the textbook equations
+                    r = u(ki, kj, ka, o, o, v, v).conj()
+                    r = r + (raw_ab[ki, kj, ka]
+                             - raw_ab[ki, kj, kb].transpose(0, 1, 3, 2))
+                    r = r + (raw_ij[ki, kj, ka]
+                             - raw_ij[kj, ki, ka].transpose(1, 0, 2, 3))
+                    z = raw_ijab[ki, kj, ka]
+                    r = r + (z
+                             - raw_ijab[kj, ki, ka].transpose(1, 0, 2, 3)
+                             - raw_ijab[ki, kj, kb].transpose(0, 1, 3, 2)
+                             + raw_ijab[kj, ki, kb].transpose(1, 0, 3, 2))
+                    for km in range(nk):
+                        r = r + 0.5 * ein(
+                            "mnab,mnij->ijab",
+                            tau[km, kp(ki, kj, km), ka],
+                            w_oooo[km, kp(ki, kj, km), ki])
+                    for ke in range(nk):
+                        r = r + 0.5 * ein(
+                            "ijef,abef->ijab", tau[ki, kj, ke],
+                            w_vvvv[ka, kb, ke])
+                    t2_new[ki, kj, ka] = r / d2[ki, kj, ka]
+
+        # ---- energy at the INPUT amplitudes ----
+        e = jnp.zeros((), cplx)
+        for ki in range(nk):
+            for kj in range(nk):
+                e = e + 0.5 * ein("ijab,ia,jb->",
+                                  u(ki, kj, ki, o, o, v, v),
+                                  t1[ki], t1[kj])
+                for ka in range(nk):
+                    e = e + 0.25 * ein("ijab,ijab->",
+                                       u(ki, kj, ka, o, o, v, v),
+                                       t2[ki, kj, ka])
+        return jnp.stack(t1_new), t2_new, e
+
+    return jax.jit(step)
+
+
+def _pack(t1, t2, nk):
+    # complex-safe host pulls (to_host): complex transfers fail on some
+    # TPU transports when done eagerly
+    parts = [to_host(t1).ravel()]
+    parts += [to_host(t2[ki, kj, ka]).ravel()
+              for ki in range(nk) for kj in range(nk) for ka in range(nk)]
+    return np.concatenate(parts)
+
+
+def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0):
+    """CCSD correlation energy per cell from a converged KRHF/KUHF ``mf``
+    on the ISDF factorization ``df``.  Returns (e_corr, info).
+
+    Spin-orbital formulation: restricted and unrestricted references run
+    through the same code (KUHF support = different alpha/beta orbitals
+    in the spin-orbital integral blocks).
+    """
+    from fftisdf_tpu.scf.hf import DIIS
+
+    nk = df.nkpt
+    U, eo, ev, nocc = make_eris(df, mf)
+    nvir = ev.shape[1]
+    if nocc == 0 or nvir == 0:
+        return 0.0, {"converged": True, "niter": 0, "imag": 0.0,
+                     "nocc": nocc}
+    k3c = df.kconserv3()
+    kp3 = np.empty((nk, nk, nk), dtype=np.int64)
+    for a in range(nk):
+        for b in range(nk):
+            for c in range(nk):
+                kp3[a, b, c] = k3c[a, c, b]
+
+    U = U / nk                               # supercell normalization
+    step = make_step(nk, nocc, nvir, kp3, eo, ev)
+
+    cdt = (jnp.complex128 if df.x_k.dtype == jnp.complex128
+           else jnp.complex64)
+    U_dev = to_device(U, dtype=cdt)
+    t1 = jnp.zeros((nk, nocc, nvir), cdt)
+    t2 = {}
+    for ki in range(nk):
+        for kj in range(nk):
+            for ka in range(nk):
+                kb = int(kp3[ki, kj, ka])
+                d = (eo[ki][:, None, None, None]
+                     + eo[kj][None, :, None, None]
+                     - ev[ka][None, None, :, None]
+                     - ev[kb][None, None, None, :])
+                t2[ki, kj, ka] = to_device(
+                    np.conj(U[ki, kj, ka, :nocc, :nocc, nocc:, nocc:]) / d,
+                    dtype=cdt)
+
+    diis = DIIS(space=diis_space)
+    e_old = 0.0
+    conv = False
+    e = 0.0
+    niter = 0
+    for it in range(max_cycle):
+        t1n, t2n, e_dev = step(t1, t2, U_dev)
+        e = complex(to_host(e_dev)) / nk     # per cell
+        vec_new = _pack(t1n, t2n, nk)
+        err = vec_new - _pack(t1, t2, nk)
+        dt = float(np.max(np.abs(err)))
+        mixed = diis.update(vec_new, err)
+        # unpack the DIIS-mixed amplitudes
+        n1 = nk * nocc * nvir
+        t1 = to_device(mixed[:n1].reshape(nk, nocc, nvir), dtype=cdt)
+        t2 = {}
+        off = n1
+        blk = nocc * nocc * nvir * nvir
+        for ki in range(nk):
+            for kj in range(nk):
+                for ka in range(nk):
+                    t2[ki, kj, ka] = to_device(
+                        mixed[off:off + blk].reshape(nocc, nocc,
+                                                     nvir, nvir),
+                        dtype=cdt)
+                    off += blk
+        niter = it + 1
+        if verbose:
+            print(f"cycle {niter}: e_corr={e.real:.10f} |dt|={dt:.2e}")
+        if dt < conv_tol and abs(e.real - e_old) < conv_tol:
+            conv = True
+            break
+        e_old = e.real
+    # energy at the final mixed amplitudes
+    _, _, e_dev = step(t1, t2, U_dev)
+    e = complex(to_host(e_dev)) / nk
+    return float(e.real), {"converged": conv, "niter": niter,
+                           "imag": float(e.imag), "nocc": nocc}

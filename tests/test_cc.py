@@ -1,0 +1,308 @@
+"""KCCSD gates (scf.cc).
+
+The load-bearing gate is *term-exact*: a determinant-space oracle
+evaluates the CCSD residuals <Phi_ex| e^-T H e^T |Phi_0> literally —
+Jordan-Wigner operator matrices on the 2^n Fock space, e^T as a finite
+series (T is nilpotent) — at RANDOM complex amplitudes and RANDOM
+Hermitian antisymmetrized integrals.  Any wrong term, index order,
+k-label, or conjugation in scf.cc.make_step fails it; nothing about it
+assumes the equations being tested.
+
+Physical gates:
+- CCSD == FCI for a 2-electron system (the CC truncation is exact), with
+  FCI diagonalized from the SAME integrals (h consistent with the
+  diagonal fock, ERIs from the same ISDF state);
+- first iterate from the MP2 guess == scf.mp2.kmp2;
+- k-mesh vs doubled-supercell consistency (the framework's k<->supercell
+  duality applied to CCSD);
+- closed-shell KUHF reduces to the KRHF result (spin-orbital path).
+"""
+import numpy as np
+import pytest
+
+from fftisdf_tpu.lattice.cell import Cell, Shell
+from fftisdf_tpu.scf import KRHF
+from fftisdf_tpu.scf import cc as cc_mod
+from fftisdf_tpu.isdf import FFTISDF
+
+
+# ----------------------------------------------------------------------
+# determinant-space oracle
+# ----------------------------------------------------------------------
+
+def _jw_annihilators(n):
+    """Jordan-Wigner annihilator matrices c_p on the 2^n Fock space."""
+    Z = np.diag([1.0, -1.0])
+    a = np.array([[0.0, 1.0], [0.0, 0.0]])   # |0><1|
+    eye = np.eye(2)
+    ops = []
+    for p in range(n):
+        m = np.array([[1.0]])
+        for q in range(n):
+            m = np.kron(m, Z if q < p else (a if q == p else eye))
+        ops.append(m)
+    return ops
+
+
+class Oracle:
+    """H, |0>, excitation operators, and literal CC residuals from
+    (antisymmetrized integrals u, orbital energies e, nocc)."""
+
+    def __init__(self, u, e, nocc):
+        n = len(e)
+        self.n, self.no, self.nv = n, nocc, n - nocc
+        c = _jw_annihilators(n)
+        cd = [m.T for m in c]
+        self.c, self.cd = c, cd
+        dim = 2 ** n
+        # fock = diag(e)  =>  h1 = diag(e) - sum_i u[p,i,q,i]
+        h1 = np.diag(e).astype(complex)
+        h1 -= np.einsum("piqi->pq", u[:, :nocc, :, :nocc])
+        H = np.zeros((dim, dim), dtype=complex)
+        for p in range(n):
+            for q in range(n):
+                if abs(h1[p, q]) > 0:
+                    H += h1[p, q] * (cd[p] @ c[q])
+        barr = np.array([[c[s] @ c[r] for r in range(n)] for s in range(n)])
+        for p in range(n):
+            for q in range(n):
+                cpq = np.einsum("rs,srxy->xy", u[p, q], barr)
+                H += 0.25 * (cd[p] @ cd[q]) @ cpq
+        self.H = H
+        vac = np.zeros(dim)
+        vac[0] = 1.0
+        psi0 = vac
+        for i in range(nocc):
+            psi0 = cd[i] @ psi0
+        self.psi0 = psi0
+        self.e_ref = np.vdot(psi0, H @ psi0)
+
+    def t_matrix(self, t1, t2):
+        n, no = self.n, self.no
+        c, cd = self.c, self.cd
+        T = np.zeros_like(self.H)
+        for i in range(no):
+            for a in range(self.nv):
+                T += t1[i, a] * (cd[no + a] @ c[i])
+        for i in range(no):
+            for j in range(no):
+                for a in range(self.nv):
+                    for b in range(self.nv):
+                        T += 0.25 * t2[i, j, a, b] * (
+                            cd[no + a] @ cd[no + b] @ c[j] @ c[i])
+        return T
+
+    def _exp_apply(self, T, vec):
+        out = vec.copy()
+        term = vec
+        for k in range(1, self.no + 3):
+            term = T @ term / k
+            out = out + term
+            if np.max(np.abs(term)) == 0.0:
+                break
+        assert np.max(np.abs(T @ term)) < 1e-30   # nilpotency exhausted
+        return out
+
+    def residuals(self, t1, t2):
+        """R1[i,a], R2[i,j,a,b], E_corr at the given amplitudes."""
+        T = self.t_matrix(t1, t2)
+        y = self._exp_apply(T, self.psi0)
+        w = self._exp_apply(-T, self.H @ y)
+        e_corr = np.vdot(self.psi0, self.H @ y) - self.e_ref
+        no, nv = self.no, self.nv
+        c, cd = self.c, self.cd
+        r1 = np.zeros((no, nv), dtype=complex)
+        r2 = np.zeros((no, no, nv, nv), dtype=complex)
+        for i in range(no):
+            for a in range(nv):
+                bra = cd[no + a] @ c[i] @ self.psi0
+                r1[i, a] = np.vdot(bra, w)
+        for i in range(no):
+            for j in range(no):
+                for a in range(nv):
+                    for b in range(nv):
+                        bra = (cd[no + a] @ cd[no + b]
+                               @ c[j] @ c[i] @ self.psi0)
+                        r2[i, j, a, b] = np.vdot(bra, w)
+        return r1, r2, e_corr
+
+
+def _random_u(n, rng):
+    """Random antisymmetrized integrals with physical symmetries:
+    v[pqrs]=v[qpsr] (exchange), v[pqrs]=conj(v[rspq]) (hermitian);
+    u = v - v.transpose(0,1,3,2)."""
+    a = rng.standard_normal((n,) * 4) + 1j * rng.standard_normal((n,) * 4)
+    a = a + a.transpose(1, 0, 3, 2)
+    v = a + a.transpose(2, 3, 0, 1).conj()
+    return v - v.transpose(0, 1, 3, 2)
+
+
+def _random_amps(no, nv, rng):
+    t1 = 0.1 * (rng.standard_normal((no, nv))
+                + 1j * rng.standard_normal((no, nv)))
+    r = 0.1 * (rng.standard_normal((no, no, nv, nv))
+               + 1j * rng.standard_normal((no, no, nv, nv)))
+    t2 = (r - r.transpose(1, 0, 2, 3)
+          - r.transpose(0, 1, 3, 2) + r.transpose(1, 0, 3, 2))
+    return t1, t2
+
+
+def test_step_matches_determinant_oracle():
+    """Every tensor term (including conjugation placement) vs the literal
+    <Phi_ex| e^-T H e^T |0> residual at random amplitudes/integrals."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    no, nv = 2, 3
+    n = no + nv
+    u = 0.2 * _random_u(n, rng)
+    e = np.concatenate([-1.0 - rng.random(no), 1.0 + rng.random(nv)])
+    t1, t2 = _random_amps(no, nv, rng)
+
+    oracle = Oracle(u, e, no)
+    r1_o, r2_o, e_o = oracle.residuals(t1, t2)
+
+    kp3 = np.zeros((1, 1, 1), dtype=np.int64)
+    step = cc_mod.make_step(1, no, nv, kp3, e[None, :no], e[None, no:])
+    t2d = {(0, 0, 0): jnp.asarray(t2)}
+    t1n, t2n, e_t = step(jnp.asarray(t1)[None], t2d, jnp.asarray(u)[None, None, None])
+
+    d1 = e[:no, None] - e[None, no:]
+    d2 = (e[:no, None, None, None] + e[None, :no, None, None]
+          - e[None, None, no:, None] - e[None, None, None, no:])
+    r1_t = d1 * (np.asarray(t1n[0]) - t1)
+    r2_t = d2 * (np.asarray(t2n[0, 0, 0]) - t2)
+
+    np.testing.assert_allclose(complex(e_t), e_o, atol=1e-10)
+    np.testing.assert_allclose(r1_t, r1_o, atol=1e-10)
+    np.testing.assert_allclose(r2_t, r2_o, atol=1e-10)
+
+
+# ----------------------------------------------------------------------
+# physical gates
+# ----------------------------------------------------------------------
+
+def h2_cell(nz=1, lz=7.0):
+    atoms = []
+    for i in range(nz):
+        atoms += [("H", (3.0, 3.0, 1.8 + lz * i)),
+                  ("H", (3.0, 3.0, 3.2 + lz * i))]
+    return Cell(
+        a=np.diag([6.0, 6.0, lz * nz]),
+        atom=atoms,
+        basis={"H": [Shell(l=0, exps=np.array([1.2, 0.4]),
+                           coeffs=np.eye(2))]},
+        pseudo="gth-pade",
+        mesh=np.array([14, 14, int(14 * nz * lz / 6) // 2 * 2 + 1]),
+        unit="bohr",
+        precision=1e-12,
+    ).build()
+
+
+def _df_mf(cell, kpts, m0=(11, 11, 13)):
+    mf = KRHF(cell, kpts, verbose=0, conv_tol=1e-10)
+    mf.kernel()
+    assert mf.converged
+    df = FFTISDF(cell, kpts, c0=60.0, m0=m0, verbose=0,
+                 select_tol=1e-18, rcond=1e-12).build()
+    return df, mf
+
+
+def test_kccsd_two_electron_fci():
+    """CCSD is exact for 2 electrons: total correlation == FCI of the
+    SAME Hamiltonian (h consistent with the diagonal fock, u from the
+    same ISDF integral blocks)."""
+    cell = h2_cell()
+    kpts = np.zeros((1, 3))
+    df, mf = _df_mf(cell, kpts)
+    e_cc, info = cc_mod.kccsd(df, mf, conv_tol=1e-10, max_cycle=80)
+    assert info["converged"]
+    assert abs(info["imag"]) < 1e-9
+
+    U, eo, ev, nocc = cc_mod.make_eris(df, mf)
+    u = U[0, 0, 0]
+    e = np.concatenate([eo[0], ev[0]])
+    oracle = Oracle(u, e, nocc)
+    # restrict H to the 2-electron sector and diagonalize
+    dim = 2 ** len(e)
+    occnum = np.array([bin(s).count("1") for s in range(dim)])
+    sec = np.where(occnum == nocc)[0]
+    h_sec = oracle.H[np.ix_(sec, sec)]
+    e_fci = np.linalg.eigvalsh(h_sec)[0]
+    e_corr_fci = e_fci - oracle.e_ref.real
+    assert e_cc < 0
+    np.testing.assert_allclose(e_cc, e_corr_fci, atol=1e-8)
+
+
+def test_kccsd_first_iterate_is_mp2():
+    """The energy at the MP2 amplitude guess equals scf.mp2.kmp2 (same
+    ISDF integrals, so equality to float tolerance)."""
+    from fftisdf_tpu.scf.mp2 import kmp2
+    import jax.numpy as jnp
+    from fftisdf_tpu.utils.device import to_device, to_host
+
+    cell = h2_cell()
+    kpts = cell.get_kpts([1, 1, 2])
+    df, mf = _df_mf(cell, kpts)
+    e_mp2, _ = kmp2(df, mf)
+
+    nk = df.nkpt
+    U, eo, ev, nocc = cc_mod.make_eris(df, mf)
+    nvir = ev.shape[1]
+    k3c = df.kconserv3()
+    kp3 = np.empty((nk, nk, nk), dtype=np.int64)
+    for a in range(nk):
+        for b in range(nk):
+            for c in range(nk):
+                kp3[a, b, c] = k3c[a, c, b]
+    U = U / nk
+    step = cc_mod.make_step(nk, nocc, nvir, kp3, eo, ev)
+    t1 = jnp.zeros((nk, nocc, nvir), jnp.complex128)
+    t2 = {}
+    for ki in range(nk):
+        for kj in range(nk):
+            for ka in range(nk):
+                kb = int(kp3[ki, kj, ka])
+                d = (eo[ki][:, None, None, None]
+                     + eo[kj][None, :, None, None]
+                     - ev[ka][None, None, :, None]
+                     - ev[kb][None, None, None, :])
+                t2[ki, kj, ka] = to_device(
+                    np.conj(U[ki, kj, ka, :nocc, :nocc, nocc:, nocc:]) / d)
+    _, _, e_dev = step(t1, t2, to_device(U))
+    e_first = complex(to_host(e_dev)) / nk
+    assert abs(e_first.imag) < 1e-10
+    np.testing.assert_allclose(e_first.real, e_mp2, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_kccsd_supercell_consistency():
+    """1x1x2 k-mesh CCSD/cell == doubled-supercell gamma CCSD / 2."""
+    cell1 = h2_cell(nz=1)
+    df1, mf1 = _df_mf(cell1, cell1.get_kpts([1, 1, 2]))
+    e_k, info_k = cc_mod.kccsd(df1, mf1, conv_tol=1e-9, max_cycle=80)
+    assert info_k["converged"]
+
+    cell2 = h2_cell(nz=2)
+    df2, mf2 = _df_mf(cell2, np.zeros((1, 3)), m0=(11, 11, 25))
+    e_s, info_s = cc_mod.kccsd(df2, mf2, conv_tol=1e-9, max_cycle=80)
+    assert info_s["converged"]
+    np.testing.assert_allclose(e_k, e_s / 2, atol=2e-5)
+
+
+def test_kccsd_uhf_closed_shell_reduction():
+    """Closed-shell KUHF reference gives the KRHF CCSD energy through the
+    same spin-orbital path."""
+    from fftisdf_tpu.scf import KUHF
+
+    cell = h2_cell()
+    kpts = np.zeros((1, 3))
+    df, mf = _df_mf(cell, kpts)
+    e_r, _ = cc_mod.kccsd(df, mf, conv_tol=1e-9, max_cycle=80)
+
+    umf = KUHF(cell, kpts, verbose=0, conv_tol=1e-10)
+    umf.kernel()
+    assert umf.converged
+    e_u, info = cc_mod.kccsd(df, umf, conv_tol=1e-9, max_cycle=80)
+    assert info["converged"]
+    np.testing.assert_allclose(e_u, e_r, atol=1e-8)
