@@ -391,7 +391,8 @@ def _pack(t1, t2, nk):
     return np.concatenate(parts)
 
 
-def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0):
+def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0,
+          return_amps=False):
     """CCSD correlation energy per cell from a converged KRHF/KUHF ``mf``
     on the ISDF factorization ``df``.  Returns (e_corr, info).
 
@@ -470,5 +471,121 @@ def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0):
     # energy at the final mixed amplitudes
     _, _, e_dev = step(t1, t2, U_dev)
     e = complex(to_host(e_dev)) / nk
-    return float(e.real), {"converged": conv, "niter": niter,
-                           "imag": float(e.imag), "nocc": nocc}
+    info = {"converged": conv, "niter": niter,
+            "imag": float(e.imag), "nocc": nocc}
+    if return_amps:
+        info["t1"], info["t2"], info["U"] = t1, t2, U_dev
+        info["eo"], info["ev"], info["kp3"] = eo, ev, kp3
+    return float(e.real), info
+
+
+# ----------------------------------------------------------------------
+# perturbative triples: CCSD(T)
+# ----------------------------------------------------------------------
+
+def make_t3_energy(nk, nocc, nvir, kp3, eo, ev):
+    """Build the jitted (T) energy ``energy_t(t1, t2, U) -> e`` (supercell
+    normalization, like make_step).
+
+      W[ijk,abc] = P(i/jk) P(a/bc) [ sum_e t2_jk^ae <bc||ei>
+                                     - sum_m t2_im^bc <ma||jk> ]
+      t3c = W / D3,   D3 t3d = P(i/jk) P(a/bc) t1_ia conj(<jk||bc>)
+      E(T) = 1/36 sum conj(t3c + t3d) W
+
+    Complex-safe index orders by the same vertex rule as make_step: the
+    real-orbital literature's <ei||bc> becomes <bc||ei> (external
+    particles in the bra) and the disconnected driving pairs t1 with
+    conj(<jk||bc>) — both, like every term here, gated against the
+    determinant-space oracle (tests/test_cc.py) which evaluates
+    <Phi3|H T2|0> and <0|T1,2^dag H T3|0> literally.
+
+    Momentum structure: triple blocks [ki,kj,kk,ka,kb] with kc fixed by
+    conservation; both W terms have their internal k-label pinned (no
+    internal k sums), so the cost is nk^5 blocks of dense o^3 v^3 work.
+    """
+    o, v = slice(0, nocc), slice(nocc, nocc + nvir)
+    kp3 = np.asarray(kp3)
+
+    def kp(a, b, c):
+        return int(kp3[a, b, c])
+
+    # occupied / virtual triple permutations P(i/jk), P(a/bc)
+    perms = [((0, 1, 2), 1.0), ((1, 0, 2), -1.0), ((2, 1, 0), -1.0)]
+
+    def energy_t(t1, t2, U):
+        ein = jnp.einsum
+        t1 = [t1[k] for k in range(nk)]
+
+        def u(k1, k2, k3, s1, s2, s3, s4):
+            return U[k1, k2, k3][s1, s2, s3, s4]
+
+        def raw6(ki, kj, kk, ka, kb, kc):
+            ke = kp(kj, kk, ka)
+            x = ein("jkae,bcei->ijkabc", t2[kj, kk, ka],
+                    u(kb, kc, ke, v, v, v, o))
+            km = kp(kb, kc, ki)
+            x = x - ein("imbc,majk->ijkabc", t2[ki, km, kb],
+                        u(km, ka, kj, o, v, o, o))
+            return x
+
+        def disc6(ki, kj, kk, ka, kb, kc):
+            if ka != ki:
+                return None
+            return ein("ia,jkbc->ijkabc", t1[ki],
+                       u(kj, kk, kb, o, o, v, v).conj())
+
+        e = jnp.zeros((), U.dtype)
+        for ki in range(nk):
+            for kj in range(nk):
+                for kk in range(nk):
+                    for ka in range(nk):
+                        for kb in range(nk):
+                            kc = kp(kp(ki, kj, ka), kk, kb)
+                            lo = (ki, kj, kk)
+                            lv = (ka, kb, kc)
+                            w = 0.0
+                            d = 0.0
+                            for po, so in perms:
+                                for pv, sv in perms:
+                                    kl = ([lo[p] for p in po]
+                                          + [lv[p] for p in pv])
+                                    ax = tuple(po) + tuple(3 + p
+                                                           for p in pv)
+                                    w = w + so * sv * jnp.transpose(
+                                        raw6(*kl), ax)
+                                    dd = disc6(*kl)
+                                    if dd is not None:
+                                        d = d + so * sv * jnp.transpose(
+                                            dd, ax)
+                            d3 = (eo[ki][:, None, None, None, None, None]
+                                  + eo[kj][None, :, None, None, None, None]
+                                  + eo[kk][None, None, :, None, None, None]
+                                  - ev[ka][None, None, None, :, None, None]
+                                  - ev[kb][None, None, None, None, :, None]
+                                  - ev[kc][None, None, None, None, None, :])
+                            t3 = w / d3
+                            t3d = d / d3 if not isinstance(d, float) else 0.0
+                            e = e + jnp.sum((t3 + t3d).conj() * w) / 36.0
+        return e
+
+    return jax.jit(energy_t)
+
+
+def kccsd_t(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0):
+    """CCSD(T) from a converged KRHF/KUHF ``mf``: runs kccsd, then the
+    perturbative-triples correction.  Returns (e_ccsd, e_t, info) —
+    correlation energies per cell."""
+    e_cc, info = kccsd(df, mf, conv_tol=conv_tol, max_cycle=max_cycle,
+                       diis_space=diis_space, verbose=verbose,
+                       return_amps=True)
+    nk = df.nkpt
+    nocc = info["nocc"]
+    nvir = info["ev"].shape[1]
+    if nocc < 3 and nk * nocc < 3:
+        info["imag_t"] = 0.0
+        return e_cc, 0.0, info          # fewer than 3 electrons: no triples
+    fn = make_t3_energy(nk, nocc, nvir, info["kp3"], info["eo"],
+                        info["ev"])
+    e_t = complex(to_host(fn(info["t1"], info["t2"], info["U"]))) / nk
+    info["imag_t"] = float(e_t.imag)
+    return e_cc, float(e_t.real), info

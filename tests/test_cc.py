@@ -127,6 +127,79 @@ class Oracle:
         return r1, r2, e_corr
 
 
+def _oracle_t3(oracle, t1, t2):
+    """Literal (T) ingredients: W = <Phi3|H T2|0> (canonical diagonal
+    fock, so the F_N and E0 pieces vanish on rank-3), t3d likewise from
+    T1, and E(T) = <0|(T1+T2)^dag H T3c|0>."""
+    no, nv = oracle.no, oracle.nv
+    c, cd = oracle.c, oracle.cd
+    t2vec = oracle.H @ (oracle.t_matrix(np.zeros((no, nv)), t2)
+                        @ oracle.psi0)
+    t1vec = oracle.H @ (oracle.t_matrix(t1, np.zeros((no,) * 2 + (nv,) * 2))
+                        @ oracle.psi0)
+    e = np.concatenate([np.zeros(0)])
+    w = np.zeros((no,) * 3 + (nv,) * 3, dtype=complex)
+    d3t3d = np.zeros_like(w)
+    bras = {}
+    for i in range(no):
+        for j in range(no):
+            for k in range(no):
+                for a in range(nv):
+                    for b in range(nv):
+                        for cc_ in range(nv):
+                            bra = (cd[no + a] @ cd[no + b] @ cd[no + cc_]
+                                   @ c[k] @ c[j] @ c[i] @ oracle.psi0)
+                            bras[i, j, k, a, b, cc_] = bra
+                            w[i, j, k, a, b, cc_] = np.vdot(bra, t2vec)
+                            d3t3d[i, j, k, a, b, cc_] = np.vdot(bra, t1vec)
+    return w, d3t3d, bras
+
+
+def test_t3_energy_matches_determinant_oracle():
+    """The jitted (T) energy vs the literal <0|(T1+T2)^dag H T3c|0> with
+    t3c = <Phi3|H T2|0>/D3, at random amplitudes and integrals."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    no, nv = 3, 3
+    n = no + nv
+    u = 0.2 * _random_u(n, rng)
+    e = np.concatenate([-1.0 - rng.random(no), 1.0 + rng.random(nv)])
+    t1, t2 = _random_amps(no, nv, rng)
+
+    oracle = Oracle(u, e, no)
+    w_o, _, _ = _oracle_t3(oracle, t1, t2)
+    d3 = (e[:no, None, None, None, None, None]
+          + e[None, :no, None, None, None, None]
+          + e[None, None, :no, None, None, None]
+          - e[None, None, None, no:, None, None]
+          - e[None, None, None, None, no:, None]
+          - e[None, None, None, None, None, no:])
+    t3c = w_o / d3
+    # T3 operator from t3c; E(T) = <0|(T1+T2)^dag H T3|0>
+    T3 = np.zeros_like(oracle.H)
+    c, cd = oracle.c, oracle.cd
+    for i in range(no):
+        for j in range(no):
+            for k in range(no):
+                for a in range(nv):
+                    for b in range(nv):
+                        for cc_ in range(nv):
+                            T3 += t3c[i, j, k, a, b, cc_] / 36.0 * (
+                                cd[no + a] @ cd[no + b] @ cd[no + cc_]
+                                @ c[k] @ c[j] @ c[i])
+    t3vec = oracle.H @ (T3 @ oracle.psi0)
+    amp1 = oracle.t_matrix(t1, np.zeros_like(t2)) @ oracle.psi0
+    amp2 = oracle.t_matrix(np.zeros_like(t1), t2) @ oracle.psi0
+    e_t_oracle = np.vdot(amp2, t3vec) + np.vdot(amp1, t3vec)
+
+    kp3 = np.zeros((1, 1, 1), dtype=np.int64)
+    fn = cc_mod.make_t3_energy(1, no, nv, kp3, e[None, :no], e[None, no:])
+    e_t = complex(fn(jnp.asarray(t1)[None], {(0, 0, 0): jnp.asarray(t2)},
+                     jnp.asarray(u)[None, None, None]))
+    np.testing.assert_allclose(e_t, e_t_oracle, atol=1e-10)
+
+
 def _random_u(n, rng):
     """Random antisymmetrized integrals with physical symmetries:
     v[pqrs]=v[qpsr] (exchange), v[pqrs]=conj(v[rspq]) (hermitian);
@@ -277,17 +350,34 @@ def test_kccsd_first_iterate_is_mp2():
 
 @pytest.mark.slow
 def test_kccsd_supercell_consistency():
-    """1x1x2 k-mesh CCSD/cell == doubled-supercell gamma CCSD / 2."""
+    """1x1x2 k-mesh CCSD(T)/cell == doubled-supercell gamma CCSD(T) / 2
+    (k-blocked amplitudes + complex Bloch integrals vs one real-ish
+    gamma problem — the strongest physical k-bookkeeping gate)."""
     cell1 = h2_cell(nz=1)
     df1, mf1 = _df_mf(cell1, cell1.get_kpts([1, 1, 2]))
-    e_k, info_k = cc_mod.kccsd(df1, mf1, conv_tol=1e-9, max_cycle=80)
+    e_k, et_k, info_k = cc_mod.kccsd_t(df1, mf1, conv_tol=1e-9,
+                                       max_cycle=80)
     assert info_k["converged"]
+    assert abs(info_k["imag_t"]) < 1e-9
 
     cell2 = h2_cell(nz=2)
     df2, mf2 = _df_mf(cell2, np.zeros((1, 3)), m0=(11, 11, 25))
-    e_s, info_s = cc_mod.kccsd(df2, mf2, conv_tol=1e-9, max_cycle=80)
+    e_s, et_s, info_s = cc_mod.kccsd_t(df2, mf2, conv_tol=1e-9,
+                                       max_cycle=80)
     assert info_s["converged"]
     np.testing.assert_allclose(e_k, e_s / 2, atol=2e-5)
+    assert et_s != 0.0              # 4 electrons: triples contribute
+    np.testing.assert_allclose(et_k, et_s / 2, atol=2e-5)
+
+
+def test_kccsd_t_two_electron_guard():
+    """(T) vanishes identically for a 2-electron system (cannot excite
+    three); the guard path returns 0 without building triples."""
+    cell = h2_cell()
+    df, mf = _df_mf(cell, np.zeros((1, 3)))
+    e_cc, e_t, info = cc_mod.kccsd_t(df, mf, conv_tol=1e-9)
+    assert info["converged"]
+    assert e_t == 0.0
 
 
 def test_kccsd_uhf_closed_shell_reduction():
