@@ -480,6 +480,139 @@ def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0,
 
 
 # ----------------------------------------------------------------------
+# EOM-EE-CCSD via the CCSD Jacobian
+# ----------------------------------------------------------------------
+
+def _pack_dev(t1, t2, nk):
+    return jnp.concatenate(
+        [t1.ravel()] + [t2[ki, kj, ka].ravel()
+                        for ki in range(nk) for kj in range(nk)
+                        for ka in range(nk)])
+
+
+def eomee(df, mf, conv_tol=1e-8, max_cycle=80, verbose=0):
+    """EOM-EE-CCSD excitation energies (zero-momentum-transfer sector).
+
+    Uses the linear-response identity: at converged amplitudes the CCSD
+    residual Jacobian  J = dR/dt  equals  <Phi_mu| Hbar |Phi_nu> - E 1
+    on the singles+doubles space (Hbar = e^-T H e^T is block-triangular
+    once R = 0), so its eigenvalues ARE the EOM-EE excitation energies.
+    The Jacobian comes from ``jax.jacfwd`` of the (holomorphic — no
+    conj(t) anywhere) jitted residual: no sigma-vector equations to
+    derive, and the complex-safety of the residual (oracle-gated) is
+    inherited.  Gate: tests/test_cc.py vs the literal determinant-space
+    Hbar block.
+
+    The redundant packed t2 (full antisymmetric blocks) is projected
+    onto an orthonormal basis of independent components ((k,i)<(k,j),
+    (k,a)<(k,b) composite orderings); the amplitude space is exactly the
+    q = 0 (optical) sector, see the inline note.
+
+    Returns (omega, info): complex eigenvalues sorted by real part.
+    Dense diagonalization — fixture scale; the scalable path is Davidson
+    on the same Jacobian as a ``jax.jvp`` matvec (no matrix
+    materialized)."""
+    e_cc, info = kccsd(df, mf, conv_tol=conv_tol, max_cycle=max_cycle,
+                       verbose=verbose, return_amps=True)
+    if not info["converged"]:
+        raise RuntimeError("kccsd did not converge; EOM needs R = 0")
+    w = eom_dense(df.nkpt, info["nocc"], info["ev"].shape[1],
+                  info["kp3"], info["eo"], info["ev"],
+                  info["t1"], info["t2"], info["U"])
+    info["e_ccsd"] = e_cc
+    return w, info
+
+
+def eom_dense(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
+    """Dense EOM-EE eigenvalues from converged amplitudes (see eomee)."""
+    step = make_step(nk, nocc, nvir, kp3, eo_, ev_)
+
+    n1 = nk * nocc * nvir
+    blk = nocc * nocc * nvir * nvir
+    ntot = n1 + nk ** 3 * blk
+    cdt = U_dev.dtype
+
+    def unpack(vec):
+        t1 = vec[:n1].reshape(nk, nocc, nvir)
+        t2 = {}
+        off = n1
+        for ki in range(nk):
+            for kj in range(nk):
+                for ka in range(nk):
+                    t2[ki, kj, ka] = vec[off:off + blk].reshape(
+                        nocc, nocc, nvir, nvir)
+                    off += blk
+        return t1, t2
+
+    d1 = np.stack([eo_[k][:, None] - ev_[k][None, :] for k in range(nk)])
+    d2v = []
+    for ki in range(nk):
+        for kj in range(nk):
+            for ka in range(nk):
+                kb = int(kp3[ki, kj, ka])
+                d2v.append((eo_[ki][:, None, None, None]
+                            + eo_[kj][None, :, None, None]
+                            - ev_[ka][None, None, :, None]
+                            - ev_[kb][None, None, None, :]).ravel())
+    dvec = jnp.asarray(np.concatenate([d1.ravel()] + d2v))
+
+    @jax.jit
+    def residual(vec, U):
+        t1, t2 = unpack(vec)
+        t1n, t2n, _ = step(t1, t2, U)
+        return dvec * (_pack_dev(t1n, t2n, nk) - vec)
+
+    tvec = _pack_dev(t1_conv, t2_conv, nk)
+    jac = jax.jacfwd(lambda v: residual(v, U_dev),
+                     holomorphic=True)(tvec.astype(cdt))
+    jac = to_host(jac)
+
+    # Orthonormal basis of independent amplitudes.  NB: the ground-state
+    # amplitude space IS the q = 0 (optical) momentum sector — t1 is
+    # k-diagonal and every t2 block conserves momentum — so the Jacobian
+    # spans exactly the zero-momentum-transfer EOM-EE block.  Finite-q
+    # sectors would need k-offdiagonal trial amplitudes (a sigma-vector
+    # generalization), intentionally out of scope for the dense variant.
+    cols = []
+    for k in range(nk):
+        for i in range(nocc):
+            for a in range(nvir):
+                col = np.zeros(ntot)
+                col[(k * nocc + i) * nvir + a] = 1.0
+                cols.append(col)
+
+    def comp(k, p):
+        return k * (nocc + nvir) + p
+
+    idx2 = {}
+    off = n1
+    for ki in range(nk):
+        for kj in range(nk):
+            for ka in range(nk):
+                kb = int(kp3[ki, kj, ka])
+                for i in range(nocc):
+                    for j in range(nocc):
+                        for a in range(nvir):
+                            for b in range(nvir):
+                                idx2[(ki, i, kj, j, ka, a, kb, b)] = (
+                                    off + ((i * nocc + j) * nvir + a)
+                                    * nvir + b)
+                off += blk
+    for (ki, i, kj, j, ka, a, kb, b), pos in idx2.items():
+        if comp(ki, i) >= comp(kj, j) or comp(ka, a) >= comp(kb, b):
+            continue
+        col = np.zeros(ntot)
+        col[pos] = 0.5
+        col[idx2[(kj, j, ki, i, ka, a, kb, b)]] = -0.5
+        col[idx2[(ki, i, kj, j, kb, b, ka, a)]] = -0.5
+        col[idx2[(kj, j, ki, i, kb, b, ka, a)]] = 0.5
+        cols.append(col)
+    bmat = np.stack(cols, axis=1)
+    w = np.linalg.eigvals(bmat.T @ jac @ bmat)
+    return np.sort_complex(w)
+
+
+# ----------------------------------------------------------------------
 # perturbative triples: CCSD(T)
 # ----------------------------------------------------------------------
 

@@ -200,6 +200,73 @@ def test_t3_energy_matches_determinant_oracle():
     np.testing.assert_allclose(e_t, e_t_oracle, atol=1e-10)
 
 
+def _expm_nilpotent(T):
+    out = np.eye(T.shape[0], dtype=complex)
+    term = out
+    for k in range(1, 40):
+        term = term @ T / k
+        out = out + term
+        if np.max(np.abs(term)) == 0.0:
+            break
+    assert np.max(np.abs(term)) == 0.0
+    return out
+
+
+def test_eomee_matches_determinant_oracle():
+    """eom_dense (Jacobian route) vs the literal Hbar = e^-T H e^T
+    projected on the singles+doubles determinant space: the eigenvalue
+    sets must coincide (basis-independent)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    no, nv = 2, 3
+    n = no + nv
+    u = 0.1 * _random_u(n, rng)
+    e = np.concatenate([-1.0 - rng.random(no), 1.0 + rng.random(nv)])
+
+    kp3 = np.zeros((1, 1, 1), dtype=np.int64)
+    step = cc_mod.make_step(1, no, nv, kp3, e[None, :no], e[None, no:])
+    U = jnp.asarray(u)[None, None, None]
+    d2 = (e[:no, None, None, None] + e[None, :no, None, None]
+          - e[None, None, no:, None] - e[None, None, None, no:])
+    t1 = jnp.zeros((1, no, nv), jnp.complex128)
+    t2 = {(0, 0, 0): jnp.asarray(np.conj(u[:no, :no, no:, no:]) / d2)}
+    dt = 1.0
+    for _ in range(300):
+        t1n, t2n, _ = step(t1, t2, U)
+        dt = max(float(np.max(np.abs(np.asarray(t1n) - np.asarray(t1)))),
+                 float(np.max(np.abs(np.asarray(t2n[0, 0, 0])
+                                     - np.asarray(t2[0, 0, 0])))))
+        t1, t2 = t1n, t2n
+        if dt < 1e-13:
+            break
+    assert dt < 1e-13
+
+    w_tensor = cc_mod.eom_dense(1, no, nv, kp3, e[None, :no], e[None, no:],
+                                t1, t2, U)
+
+    oracle = Oracle(u, e, no)
+    T = oracle.t_matrix(np.asarray(t1[0]), np.asarray(t2[0, 0, 0]))
+    hbar = _expm_nilpotent(-T) @ oracle.H @ _expm_nilpotent(T)
+    c, cd = oracle.c, oracle.cd
+    basis = []
+    for i in range(no):
+        for a in range(nv):
+            basis.append(cd[no + a] @ c[i] @ oracle.psi0)
+    for i in range(no):
+        for j in range(i + 1, no):
+            for a in range(nv):
+                for b in range(a + 1, nv):
+                    basis.append(cd[no + a] @ cd[no + b]
+                                 @ c[j] @ c[i] @ oracle.psi0)
+    basis = np.stack(basis, axis=1)
+    m = basis.conj().T @ hbar @ basis
+    e_tot = np.vdot(oracle.psi0, hbar @ oracle.psi0)
+    w_oracle = np.sort_complex(np.linalg.eigvals(m) - e_tot)
+    assert len(w_tensor) == len(w_oracle)
+    np.testing.assert_allclose(w_tensor, w_oracle, atol=1e-9)
+
+
 def _random_u(n, rng):
     """Random antisymmetrized integrals with physical symmetries:
     v[pqrs]=v[qpsr] (exchange), v[pqrs]=conj(v[rspq]) (hermitian);
@@ -368,6 +435,29 @@ def test_kccsd_supercell_consistency():
     np.testing.assert_allclose(e_k, e_s / 2, atol=2e-5)
     assert et_s != 0.0              # 4 electrons: triples contribute
     np.testing.assert_allclose(et_k, et_s / 2, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_eomee_supercell_subset():
+    """q=0 EOM-EE energies of the 1x1x2 k-mesh are a subset of the
+    doubled-supercell gamma spectrum (which contains every momentum
+    sector)."""
+    cell1 = h2_cell(nz=1)
+    df1, mf1 = _df_mf(cell1, cell1.get_kpts([1, 1, 2]))
+    w_k, info_k = cc_mod.eomee(df1, mf1, conv_tol=1e-9)
+
+    cell2 = h2_cell(nz=2)
+    df2, mf2 = _df_mf(cell2, np.zeros((1, 3)), m0=(11, 11, 25))
+    w_s, info_s = cc_mod.eomee(df2, mf2, conv_tol=1e-9)
+
+    # physical spectra: imaginary parts at numerical noise
+    assert np.max(np.abs(w_k.imag)) < 1e-6
+    assert np.min(w_k.real) > 0            # excitations above the GS
+    # tolerance: the two sides run *independent* ISDF fits (primitive
+    # cell vs doubled supercell), so eigenvalues agree to the
+    # compression/fit floor (~5e-5 here), not to solver precision
+    for w in w_k:
+        assert np.min(np.abs(w_s - w)) < 1e-4
 
 
 def test_kccsd_t_two_electron_guard():
