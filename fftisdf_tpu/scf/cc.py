@@ -523,13 +523,11 @@ def eomee(df, mf, conv_tol=1e-8, max_cycle=80, verbose=0):
     return w, info
 
 
-def eom_dense(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
-    """Dense EOM-EE eigenvalues from converged amplitudes (see eomee)."""
+def _jacobian(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
+    """Host Jacobian dR/dt of the packed CCSD residual at (t1, t2)."""
     step = make_step(nk, nocc, nvir, kp3, eo_, ev_)
-
     n1 = nk * nocc * nvir
     blk = nocc * nocc * nvir * nvir
-    ntot = n1 + nk ** 3 * blk
     cdt = U_dev.dtype
 
     def unpack(vec):
@@ -565,21 +563,24 @@ def eom_dense(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
     tvec = _pack_dev(t1_conv, t2_conv, nk)
     jac = jax.jacfwd(lambda v: residual(v, U_dev),
                      holomorphic=True)(tvec.astype(cdt))
-    jac = to_host(jac)
+    return to_host(jac)
 
-    # Orthonormal basis of independent amplitudes.  NB: the ground-state
-    # amplitude space IS the q = 0 (optical) momentum sector — t1 is
-    # k-diagonal and every t2 block conserves momentum — so the Jacobian
-    # spans exactly the zero-momentum-transfer EOM-EE block.  Finite-q
-    # sectors would need k-offdiagonal trial amplitudes (a sigma-vector
-    # generalization), intentionally out of scope for the dense variant.
-    cols = []
+
+def _amp_basis(nk, nocc, nvir, kp3):
+    """Orthonormal columns spanning the independent (antisymmetric)
+    amplitude components, as (labels, columns): labels are
+    ('s', k, i, a) / ('d', ki, i, kj, j, ka, a, kb, b)."""
+    n1 = nk * nocc * nvir
+    blk = nocc * nocc * nvir * nvir
+    ntot = n1 + nk ** 3 * blk
+    cols, labels = [], []
     for k in range(nk):
         for i in range(nocc):
             for a in range(nvir):
                 col = np.zeros(ntot)
                 col[(k * nocc + i) * nvir + a] = 1.0
                 cols.append(col)
+                labels.append(("s", k, i, a))
 
     def comp(k, p):
         return k * (nocc + nvir) + p
@@ -607,9 +608,132 @@ def eom_dense(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
         col[idx2[(ki, i, kj, j, kb, b, ka, a)]] = -0.5
         col[idx2[(kj, j, ki, i, kb, b, ka, a)]] = 0.5
         cols.append(col)
-    bmat = np.stack(cols, axis=1)
+        labels.append(("d", ki, i, kj, j, ka, a, kb, b))
+    return labels, np.stack(cols, axis=1)
+
+
+def eom_dense(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
+    """Dense EOM-EE eigenvalues from converged amplitudes (see eomee).
+
+    NB: the ground-state amplitude space IS the q = 0 (optical) momentum
+    sector — t1 is k-diagonal and every t2 block conserves momentum — so
+    the Jacobian spans exactly the zero-momentum-transfer EOM-EE block.
+    Finite-q sectors would need k-offdiagonal trial amplitudes (a
+    sigma-vector generalization), intentionally out of scope here."""
+    jac = _jacobian(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv,
+                    U_dev)
+    _, bmat = _amp_basis(nk, nocc, nvir, kp3)
     w = np.linalg.eigvals(bmat.T @ jac @ bmat)
     return np.sort_complex(w)
+
+
+def eom_qp(nk, nocc, nvir, kp3, eo_, ev_, t1_host, t2_host, U_host,
+           sector):
+    """k-resolved EOM-IP/EA-CCSD eigenvalues via the continuum-orbital
+    trick: augment every k with one *phantom* orbital (zero integrals,
+    energy 0) — virtual for IP, occupied for EA.  The phantom decouples,
+    so the ground amplitudes are the physical ones zero-padded, and the
+    CCSD Jacobian block on amplitudes carrying exactly one phantom index
+    IS the IP (1h + 2h1p) / EA (1p + 2p1h) EOM matrix: an excitation
+    into (out of) the non-interacting orbital at e = 0 costs exactly
+    E(N-1) - E(N)  (E(N+1) - E(N)).  Grouping by the phantom's k-point
+    resolves the quasiparticle spectrum by crystal momentum.
+
+    Inputs are HOST arrays (augmentation re-embeds them); returns
+    {k: sorted complex eigenvalues}.  Gated against the determinant-
+    space Hbar blocks on the (N-1)/(N+1) sectors (tests/test_cc.py).
+    """
+    assert sector in ("ip", "ea")
+    nso = nocc + nvir
+    if sector == "ip":
+        no_a, nv_a = nocc, nvir + 1
+        m = np.arange(nso)                   # originals keep positions
+        eo_a = eo_
+        ev_a = np.concatenate([ev_, np.zeros((nk, 1))], axis=1)
+        t1_a = np.concatenate([t1_host, np.zeros((nk, nocc, 1),
+                                                 t1_host.dtype)], axis=2)
+
+        def phantom(label):
+            if label[0] == "s":
+                _, k, i, a = label
+                return (k if a == nvir else None)
+            _, ki, i, kj, j, ka, a, kb, b = label
+            cnt = (a == nvir) + (b == nvir)
+            if cnt != 1:
+                return None
+            return ka if a == nvir else kb
+    else:
+        no_a, nv_a = nocc + 1, nvir
+        m = np.concatenate([np.arange(nocc), np.arange(nocc + 1,
+                                                       nso + 1)])
+        eo_a = np.concatenate([eo_, np.zeros((nk, 1))], axis=1)
+        ev_a = ev_
+        t1_a = np.concatenate([t1_host, np.zeros((nk, 1, nvir),
+                                                 t1_host.dtype)], axis=1)
+
+        def phantom(label):
+            if label[0] == "s":
+                _, k, i, a = label
+                return (k if i == nocc else None)
+            _, ki, i, kj, j, ka, a, kb, b = label
+            cnt = (i == nocc) + (j == nocc)
+            if cnt != 1:
+                return None
+            return ki if i == nocc else kj
+
+    nso_a = no_a + nv_a
+    cdt = (jnp.complex128 if U_host.dtype == np.complex128
+           else jnp.complex64)
+    U_a = np.zeros((nk, nk, nk) + (nso_a,) * 4, dtype=U_host.dtype)
+    U_a[np.ix_(range(nk), range(nk), range(nk), m, m, m, m)] = U_host
+    t2_a = {}
+    for ki in range(nk):
+        for kj in range(nk):
+            for ka in range(nk):
+                blk = np.zeros((no_a, no_a, nv_a, nv_a),
+                               dtype=t1_host.dtype)
+                if sector == "ip":
+                    blk[:, :, :nvir, :nvir] = t2_host[ki, kj, ka]
+                else:
+                    blk[:nocc, :nocc] = t2_host[ki, kj, ka]
+                t2_a[ki, kj, ka] = to_device(blk, dtype=cdt)
+    jac = _jacobian(nk, no_a, nv_a, kp3, eo_a, ev_a,
+                    to_device(t1_a, dtype=cdt), t2_a,
+                    to_device(U_a, dtype=cdt))
+    labels, bmat = _amp_basis(nk, no_a, nv_a, kp3)
+    out = {}
+    for k in range(nk):
+        sel = [ii for ii, lb in enumerate(labels) if phantom(lb) == k]
+        b = bmat[:, sel]
+        out[k] = np.sort_complex(np.linalg.eigvals(b.T @ jac @ b))
+    return out
+
+
+def _eom_qp_driver(df, mf, sector, conv_tol=1e-8, max_cycle=80,
+                   verbose=0):
+    e_cc, info = kccsd(df, mf, conv_tol=conv_tol, max_cycle=max_cycle,
+                       verbose=verbose, return_amps=True)
+    if not info["converged"]:
+        raise RuntimeError("kccsd did not converge; EOM needs R = 0")
+    nk = df.nkpt
+    t2_host = {key: to_host(v) for key, v in info["t2"].items()}
+    w = eom_qp(nk, info["nocc"], info["ev"].shape[1], info["kp3"],
+               info["eo"], info["ev"], to_host(info["t1"]), t2_host,
+               to_host(info["U"]), sector)
+    info["e_ccsd"] = e_cc
+    return w, info
+
+
+def eomip(df, mf, **kw):
+    """k-resolved EOM-IP-CCSD: {k: eigenvalues of E(N-1) - E(N)}
+    (correlated hole/valence-band energies).  See eom_qp."""
+    return _eom_qp_driver(df, mf, "ip", **kw)
+
+
+def eomea(df, mf, **kw):
+    """k-resolved EOM-EA-CCSD: {k: eigenvalues of E(N+1) - E(N)}
+    (correlated electron-attachment/conduction energies).  See eom_qp."""
+    return _eom_qp_driver(df, mf, "ea", **kw)
 
 
 # ----------------------------------------------------------------------

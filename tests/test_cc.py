@@ -224,24 +224,7 @@ def test_eomee_matches_determinant_oracle():
     u = 0.1 * _random_u(n, rng)
     e = np.concatenate([-1.0 - rng.random(no), 1.0 + rng.random(nv)])
 
-    kp3 = np.zeros((1, 1, 1), dtype=np.int64)
-    step = cc_mod.make_step(1, no, nv, kp3, e[None, :no], e[None, no:])
-    U = jnp.asarray(u)[None, None, None]
-    d2 = (e[:no, None, None, None] + e[None, :no, None, None]
-          - e[None, None, no:, None] - e[None, None, None, no:])
-    t1 = jnp.zeros((1, no, nv), jnp.complex128)
-    t2 = {(0, 0, 0): jnp.asarray(np.conj(u[:no, :no, no:, no:]) / d2)}
-    dt = 1.0
-    for _ in range(300):
-        t1n, t2n, _ = step(t1, t2, U)
-        dt = max(float(np.max(np.abs(np.asarray(t1n) - np.asarray(t1)))),
-                 float(np.max(np.abs(np.asarray(t2n[0, 0, 0])
-                                     - np.asarray(t2[0, 0, 0])))))
-        t1, t2 = t1n, t2n
-        if dt < 1e-13:
-            break
-    assert dt < 1e-13
-
+    t1, t2, U, kp3 = _converge_random(no, nv, u, e)
     w_tensor = cc_mod.eom_dense(1, no, nv, kp3, e[None, :no], e[None, no:],
                                 t1, t2, U)
 
@@ -265,6 +248,75 @@ def test_eomee_matches_determinant_oracle():
     w_oracle = np.sort_complex(np.linalg.eigvals(m) - e_tot)
     assert len(w_tensor) == len(w_oracle)
     np.testing.assert_allclose(w_tensor, w_oracle, atol=1e-9)
+
+
+def _converge_random(no, nv, u, e, tol=1e-13):
+    import jax.numpy as jnp
+
+    kp3 = np.zeros((1, 1, 1), dtype=np.int64)
+    step = cc_mod.make_step(1, no, nv, kp3, e[None, :no], e[None, no:])
+    U = jnp.asarray(u)[None, None, None]
+    d2 = (e[:no, None, None, None] + e[None, :no, None, None]
+          - e[None, None, no:, None] - e[None, None, None, no:])
+    t1 = jnp.zeros((1, no, nv), jnp.complex128)
+    t2 = {(0, 0, 0): jnp.asarray(np.conj(u[:no, :no, no:, no:]) / d2)}
+    dt = 1.0
+    for _ in range(400):
+        t1n, t2n, _ = step(t1, t2, U)
+        dt = max(float(np.max(np.abs(np.asarray(t1n) - np.asarray(t1)))),
+                 float(np.max(np.abs(np.asarray(t2n[0, 0, 0])
+                                     - np.asarray(t2[0, 0, 0])))))
+        t1, t2 = t1n, t2n
+        if dt < tol:
+            break
+    assert dt < tol
+    return t1, t2, U, kp3
+
+
+def test_eom_qp_matches_determinant_oracle():
+    """EOM-IP/EA via the phantom-orbital Jacobian vs the literal Hbar
+    projected on the (N-1)/(N+1) determinant sectors."""
+    rng = np.random.default_rng(17)
+    no, nv = 2, 3
+    n = no + nv
+    u = 0.1 * _random_u(n, rng)
+    e = np.concatenate([-1.0 - rng.random(no), 1.0 + rng.random(nv)])
+    t1, t2, U, kp3 = _converge_random(no, nv, u, e)
+
+    oracle = Oracle(u, e, no)
+    T = oracle.t_matrix(np.asarray(t1[0]), np.asarray(t2[0, 0, 0]))
+    hbar = _expm_nilpotent(-T) @ oracle.H @ _expm_nilpotent(T)
+    e_tot = np.vdot(oracle.psi0, hbar @ oracle.psi0)
+    c, cd = oracle.c, oracle.cd
+
+    t2h = {(0, 0, 0): np.asarray(t2[0, 0, 0])}
+    for sector in ("ip", "ea"):
+        w = cc_mod.eom_qp(1, no, nv, kp3, e[None, :no], e[None, no:],
+                          np.asarray(t1), t2h, u[None, None, None],
+                          sector)[0]
+        basis = []
+        if sector == "ip":
+            for i in range(no):
+                basis.append(c[i] @ oracle.psi0)
+            for i in range(no):
+                for j in range(i + 1, no):
+                    for a in range(nv):
+                        basis.append(cd[no + a] @ c[j] @ c[i]
+                                     @ oracle.psi0)
+        else:
+            for a in range(nv):
+                basis.append(cd[no + a] @ oracle.psi0)
+            for a in range(nv):
+                for b in range(a + 1, nv):
+                    for i in range(no):
+                        basis.append(cd[no + a] @ cd[no + b] @ c[i]
+                                     @ oracle.psi0)
+        basis = np.stack(basis, axis=1)
+        m = basis.conj().T @ hbar @ basis
+        w_oracle = np.sort_complex(np.linalg.eigvals(m) - e_tot)
+        assert len(w) == len(w_oracle)
+        np.testing.assert_allclose(w, w_oracle, atol=1e-9,
+                                   err_msg=sector)
 
 
 def _random_u(n, rng):
@@ -458,6 +510,31 @@ def test_eomee_supercell_subset():
     # compression/fit floor (~5e-5 here), not to solver precision
     for w in w_k:
         assert np.min(np.abs(w_s - w)) < 1e-4
+
+
+@pytest.mark.slow
+def test_eomip_supercell_subset_and_koopmans():
+    """k-resolved EOM-IP of the 1x1x2 mesh: every eigenvalue appears in
+    the doubled-supercell gamma IP spectrum, and the lowest binding
+    energy sits near the Koopmans value (weakly correlated H2)."""
+    cell1 = h2_cell(nz=1)
+    df1, mf1 = _df_mf(cell1, cell1.get_kpts([1, 1, 2]))
+    w_k, info_k = cc_mod.eomip(df1, mf1, conv_tol=1e-9)
+
+    cell2 = h2_cell(nz=2)
+    df2, mf2 = _df_mf(cell2, np.zeros((1, 3)), m0=(11, 11, 25))
+    w_s, info_s = cc_mod.eomip(df2, mf2, conv_tol=1e-9)
+
+    all_k = np.concatenate([w_k[k] for k in w_k])
+    assert np.max(np.abs(all_k.imag)) < 1e-6
+    for w in all_k:
+        assert np.min(np.abs(w_s[0] - w)) < 1e-4
+    # Koopmans: lowest IP ~ -e_HOMO (correlation shifts it mildly)
+    e_homo = max(float(np.asarray(mf1.mo_energy)[k][0])
+                 for k in range(2))
+    ip_min = np.min(all_k.real)
+    assert abs(ip_min - (-e_homo)) < 0.1
+    assert ip_min > 0
 
 
 def test_kccsd_t_two_electron_guard():
