@@ -627,6 +627,138 @@ def eom_dense(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
     return np.sort_complex(w)
 
 
+def _residual_fn(nk, nocc, nvir, kp3, eo_, ev_, U_dev):
+    """The packed CCSD residual R(t) and its jitted jvp-matvec factory."""
+    step = make_step(nk, nocc, nvir, kp3, eo_, ev_)
+    n1 = nk * nocc * nvir
+    blk = nocc * nocc * nvir * nvir
+
+    def unpack(vec):
+        t1 = vec[:n1].reshape(nk, nocc, nvir)
+        t2 = {}
+        off = n1
+        for ki in range(nk):
+            for kj in range(nk):
+                for ka in range(nk):
+                    t2[ki, kj, ka] = vec[off:off + blk].reshape(
+                        nocc, nocc, nvir, nvir)
+                    off += blk
+        return t1, t2
+
+    d1 = np.stack([eo_[k][:, None] - ev_[k][None, :] for k in range(nk)])
+    d2v = []
+    for ki in range(nk):
+        for kj in range(nk):
+            for ka in range(nk):
+                kb = int(kp3[ki, kj, ka])
+                d2v.append((eo_[ki][:, None, None, None]
+                            + eo_[kj][None, :, None, None]
+                            - ev_[ka][None, None, :, None]
+                            - ev_[kb][None, None, None, :]).ravel())
+    dhost = np.concatenate([d1.ravel()] + d2v)
+    dvec = jnp.asarray(dhost)
+
+    def residual(vec):
+        t1, t2 = unpack(vec)
+        t1n, t2n, _ = step(t1, t2, U_dev)
+        return dvec * (_pack_dev(t1n, t2n, nk) - vec)
+
+    @jax.jit
+    def matvec(tvec, x):
+        return jax.jvp(residual, (tvec,), (x,))[1]
+
+    return residual, matvec, dhost
+
+
+def eom_davidson(matvec_amp, bmat, diag, nroots=4, tol=1e-7,
+                 max_space=60, max_cycle=200):
+    """Matrix-free non-Hermitian Davidson for the lowest-real-part
+    eigenvalues of the EOM block  M = B^T J B  (B orthonormal columns of
+    the sector basis; J applied only through ``matvec_amp`` — jax.jvp of
+    the CCSD residual, no matrix materialized).
+
+    ``diag``: approximate diagonal of M for the preconditioner (the
+    excitation-energy denominators).  Returns (omega[nroots], converged).
+    """
+    m = bmat.shape[1]
+    nroots = min(nroots, m)
+    rng = np.random.default_rng(0)
+
+    def apply_m(c):
+        y = matvec_amp(bmat @ c)
+        return bmat.conj().T @ y
+
+    # start from the preconditioner's lowest diagonals
+    order = np.argsort(diag.real)
+    vs = []
+    for r in range(nroots):
+        v = np.zeros(m, dtype=complex)
+        v[order[r]] = 1.0
+        vs.append(v)
+    V = np.stack(vs, axis=1)
+    conv = False
+    theta = np.zeros(nroots, dtype=complex)
+    for _ in range(max_cycle):
+        # orthonormalize V
+        q, _ = np.linalg.qr(V)
+        V = q
+        MV = np.stack([apply_m(V[:, j]) for j in range(V.shape[1])],
+                      axis=1)
+        h = V.conj().T @ MV
+        w, y = np.linalg.eig(h)
+        sel = np.argsort(w.real)[:nroots]
+        theta, yv = w[sel], y[:, sel]
+        x = V @ yv
+        r = MV @ yv - x * theta[None, :]
+        rn = np.linalg.norm(r, axis=0)
+        if np.all(rn < tol):
+            conv = True
+            break
+        if V.shape[1] + nroots > max_space:
+            V = x                      # restart from the Ritz vectors
+            continue
+        new = []
+        for j in range(nroots):
+            if rn[j] < tol:
+                continue
+            denom = diag - theta[j]
+            denom = np.where(np.abs(denom) < 1e-8, 1e-8, denom)
+            new.append(r[:, j] / denom)
+        if not new:
+            conv = True
+            break
+        V = np.concatenate([V] + [n[:, None] for n in new], axis=1)
+    return np.sort_complex(theta), conv
+
+
+def eomee_davidson(df, mf, nroots=4, conv_tol=1e-8, max_cycle=80,
+                   tol=1e-6, verbose=0):
+    """Iterative (matrix-free) EOM-EE-CCSD: the lowest ``nroots`` q=0
+    excitation energies via Davidson on jax.jvp matvecs — the scalable
+    path (the Jacobian is never materialized; each iteration is one
+    batched CC-residual-shaped computation on device)."""
+    e_cc, info = kccsd(df, mf, conv_tol=conv_tol, max_cycle=max_cycle,
+                       verbose=verbose, return_amps=True)
+    if not info["converged"]:
+        raise RuntimeError("kccsd did not converge; EOM needs R = 0")
+    nk = df.nkpt
+    nocc, nvir = info["nocc"], info["ev"].shape[1]
+    _, matvec, dhost = _residual_fn(nk, nocc, nvir, info["kp3"],
+                                    info["eo"], info["ev"], info["U"])
+    tvec = _pack_dev(info["t1"], info["t2"], nk)
+
+    def mv(x):
+        return to_host(matvec(tvec, to_device(x,
+                                              dtype=info["U"].dtype)))
+
+    _, bmat = _amp_basis(nk, nocc, nvir, info["kp3"])
+    diag = -(bmat.T * dhost[None, :]) @ bmat   # diag of -D in the basis
+    diag = np.diag(diag).astype(complex)
+    w, conv = eom_davidson(mv, bmat, diag, nroots=nroots, tol=tol)
+    info["e_ccsd"], info["eom_converged"] = e_cc, conv
+    return w, info
+
+
 def eom_qp(nk, nocc, nvir, kp3, eo_, ev_, t1_host, t2_host, U_host,
            sector):
     """k-resolved EOM-IP/EA-CCSD eigenvalues via the continuum-orbital

@@ -512,6 +512,18 @@ def test_eomee_supercell_subset():
         assert np.min(np.abs(w_s - w)) < 1e-4
 
 
+def test_eomee_davidson_matches_dense():
+    """Matrix-free Davidson (jax.jvp matvecs) vs dense Jacobian
+    eigenvalues — lowest roots must coincide."""
+    cell = h2_cell()
+    df, mf = _df_mf(cell, np.zeros((1, 3)))
+    w_dense, _ = cc_mod.eomee(df, mf, conv_tol=1e-10)
+    w_dav, info = cc_mod.eomee_davidson(df, mf, nroots=4,
+                                        conv_tol=1e-10, tol=1e-8)
+    assert info["eom_converged"]
+    np.testing.assert_allclose(w_dav, w_dense[:4], atol=1e-6)
+
+
 @pytest.mark.slow
 def test_eomip_supercell_subset_and_koopmans():
     """k-resolved EOM-IP of the 1x1x2 mesh: every eigenvalue appears in
