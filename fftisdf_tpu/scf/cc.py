@@ -152,13 +152,16 @@ def make_eris(df, mf):
 # the CCSD iteration (spin-orbital, k-blocked, complex-safe)
 # ----------------------------------------------------------------------
 
-def make_step(nk, nocc, nvir, kp3, eo, ev):
-    """Build the jitted CCSD update ``step(t1, t2, U) -> (t1, t2, e)``.
+def _equations(nk, nocc, nvir, kp3):
+    """Build ``resid(t1, t2, f, U) -> (r1, r2, e)``: the FULL CCSD
+    residual R_mu = <Phi_mu| e^-T H e^T |0> (one-body diagonal included;
+    at a canonical diagonal fock R = D * (t_new - t) of make_step) plus
+    the correlation energy at the input amplitudes.
 
-    kp3[a,b,c] = index of k_a + k_b - k_c.  ``e`` is the supercell
-    correlation energy at the *input* amplitudes (so the first call from
-    the MP2 guess reports E_MP2).  U must already carry the supercell
-    normalization (cell ERIs / nk).
+    ``f = (foo, fov, fvo, fvv)``: per-k one-body blocks passed as
+    INDEPENDENT arguments (fvo = fov^dag for a physical Hermitian fock).
+    Keeping them separate makes the residual holomorphic in every block,
+    so Lagrangian densities come from jax.grad (see lambda_rdm).
     """
     o, v = slice(0, nocc), slice(nocc, nocc + nvir)
     kp3 = np.asarray(kp3)
@@ -166,20 +169,8 @@ def make_step(nk, nocc, nvir, kp3, eo, ev):
     def kp(a, b, c):
         return int(kp3[a, b, c])
 
-    d1 = [eo[k][:, None] - ev[k][None, :] for k in range(nk)]
-    d2 = {}
-    for ki in range(nk):
-        for kj in range(nk):
-            for ka in range(nk):
-                kb = kp(ki, kj, ka)
-                d2[ki, kj, ka] = (
-                    eo[ki][:, None, None, None]
-                    + eo[kj][None, :, None, None]
-                    - ev[ka][None, None, :, None]
-                    - ev[kb][None, None, None, :])
-
-    def step(t1, t2, U):
-        cplx = U.dtype
+    def resid(t1, t2, f, U):
+        foo, fov, fvo, fvv = f
         t1 = [t1[k] for k in range(nk)]
         ein = jnp.einsum
 
@@ -200,13 +191,12 @@ def make_step(nk, nocc, nvir, kp3, eo, ev):
                     tau[ki, kj, ka] = tt + t1t1
                     tau_t[ki, kj, ka] = tt + 0.5 * t1t1
 
-        # ---- F intermediates (momentum-diagonal; canonical fock, so no
-        #      bare f terms beyond the denominators) ----
+        # ---- F intermediates (momentum-diagonal), full one-body ----
         f_ae, f_mi, f_me = [], [], []
         for k in range(nk):
-            ae = jnp.zeros((nvir, nvir), cplx)
-            mi = jnp.zeros((nocc, nocc), cplx)
-            me = jnp.zeros((nocc, nvir), cplx)
+            ae = fvv[k] - 0.5 * ein("ma,me->ae", t1[k], fov[k])
+            mi = foo[k] + 0.5 * ein("ie,me->mi", t1[k], fov[k])
+            me = fov[k]
             for km in range(nk):
                 ae = ae + ein("mf,mafe->ae", t1[km],
                               u(km, k, km, o, v, v, v))
@@ -223,10 +213,12 @@ def make_step(nk, nocc, nvir, kp3, eo, ev):
             f_mi.append(mi)
             f_me.append(me)
 
-        # ---- T1 residual / update ----
-        t1_new = []
+        # ---- T1 residual ----
+        r1_out = []
         for k in range(nk):
-            r = (ein("ie,ae->ia", t1[k], f_ae[k])
+            # driving <Phi_i^a|F|0> = f[a,i] — vertex-natural (vo block)
+            r = (fvo[k].T
+                 + ein("ie,ae->ia", t1[k], f_ae[k])
                  - ein("ma,mi->ia", t1[k], f_mi[k]))
             for km in range(nk):
                 r = r + ein("imae,me->ia", t2[k, km, k], f_me[km])
@@ -239,7 +231,7 @@ def make_step(nk, nocc, nvir, kp3, eo, ev):
                     ke = kp(km, kn, k)
                     r = r - 0.5 * ein("mnae,nmei->ia", t2[km, kn, k],
                                       u(kn, km, ke, o, o, v, o))
-            t1_new.append(r / d1[k])
+            r1_out.append(r)
 
         # ---- W intermediates ----
         # W_mnij, blocks [km,kn,ki] (kj fixed); raw then P_(ij)
@@ -364,11 +356,12 @@ def make_step(nk, nocc, nvir, kp3, eo, ev):
                         r = r + 0.5 * ein(
                             "ijef,abef->ijab", tau[ki, kj, ke],
                             w_vvvv[ka, kb, ke])
-                    t2_new[ki, kj, ka] = r / d2[ki, kj, ka]
+                    t2_new[ki, kj, ka] = r
 
         # ---- energy at the INPUT amplitudes ----
-        e = jnp.zeros((), cplx)
+        e = jnp.zeros((), U.dtype)
         for ki in range(nk):
+            e = e + ein("ia,ia->", fov[ki], t1[ki])
             for kj in range(nk):
                 e = e + 0.5 * ein("ijab,ia,jb->",
                                   u(ki, kj, ki, o, o, v, v),
@@ -377,7 +370,52 @@ def make_step(nk, nocc, nvir, kp3, eo, ev):
                     e = e + 0.25 * ein("ijab,ijab->",
                                        u(ki, kj, ka, o, o, v, v),
                                        t2[ki, kj, ka])
-        return jnp.stack(t1_new), t2_new, e
+        return r1_out, t2_new, e
+
+    return resid
+
+
+def make_step(nk, nocc, nvir, kp3, eo, ev):
+    """Build the jitted CCSD update ``step(t1, t2, U) -> (t1, t2, e)``.
+
+    kp3[a,b,c] = index of k_a + k_b - k_c.  ``e`` is the supercell
+    correlation energy at the *input* amplitudes (so the first call from
+    the MP2 guess reports E_MP2).  U must already carry the supercell
+    normalization (cell ERIs / nk).  Canonical reference: the one-body
+    blocks handed to the equations are diag(eo/ev), and the update is
+    t + R/D (Jacobi on the full residual of ``_equations``).
+    """
+    kp3 = np.asarray(kp3)
+
+    def kp(a, b, c):
+        return int(kp3[a, b, c])
+
+    d1 = [eo[k][:, None] - ev[k][None, :] for k in range(nk)]
+    d2 = {}
+    for ki in range(nk):
+        for kj in range(nk):
+            for ka in range(nk):
+                kb = kp(ki, kj, ka)
+                d2[ki, kj, ka] = (
+                    eo[ki][:, None, None, None]
+                    + eo[kj][None, :, None, None]
+                    - ev[ka][None, None, :, None]
+                    - ev[kb][None, None, None, :])
+
+    resid = _equations(nk, nocc, nvir, kp3)
+
+    def step(t1, t2, U):
+        cplx = U.dtype
+        f = ([jnp.asarray(np.diag(eo[k])).astype(cplx)
+              for k in range(nk)],
+             [jnp.zeros((nocc, nvir), cplx) for _ in range(nk)],
+             [jnp.zeros((nvir, nocc), cplx) for _ in range(nk)],
+             [jnp.asarray(np.diag(ev[k])).astype(cplx)
+              for k in range(nk)])
+        r1, r2, e = resid(t1, t2, f, U)
+        t1_new = jnp.stack([t1[k] + r1[k] / d1[k] for k in range(nk)])
+        t2_new = {key: t2[key] + r2[key] / d2[key] for key in r2}
+        return t1_new, t2_new, e
 
     return jax.jit(step)
 
@@ -757,6 +795,117 @@ def eomee_davidson(df, mf, nroots=4, conv_tol=1e-8, max_cycle=80,
     w, conv = eom_davidson(mv, bmat, diag, nroots=nroots, tol=tol)
     info["e_ccsd"], info["eom_converged"] = e_cc, conv
     return w, info
+
+
+def lambda_rdm(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
+    """Lambda (adjoint) solve and the unrelaxed CCSD one-particle
+    density, with NO hand-derived Lambda equations:
+
+    - stationarity of the Lagrangian L = E(t) + lambda^T R(t) w.r.t. the
+      amplitudes is the linear system  J^T lambda = -dE/dt  with the SAME
+      residual Jacobian the EOM path uses (jax.jacfwd / jax.grad of the
+      oracle-verified holomorphic residual), solved on the
+      independent-amplitude basis;
+    - the density is  gamma_pq = dL/df_pq  (jax.grad w.r.t. the one-body
+      blocks of ``_equations``, which are independent holomorphic
+      arguments), plus the reference part delta_ij.  This is the
+      standard *unrelaxed* (orbital-response-free) CCSD density.
+
+    Returns ((goo, gov, gvo, gvv) per-k host blocks, lambda_packed).
+    Gate: tests/test_cc.py vs the literal
+    <0|(1+Lambda) e^-T p^dag q e^T|0> with the determinant-space Lambda.
+    """
+    resid = _equations(nk, nocc, nvir, kp3)
+    n1 = nk * nocc * nvir
+    blk = nocc * nocc * nvir * nvir
+    cdt = U_dev.dtype
+
+    def unpack(vec):
+        t1 = vec[:n1].reshape(nk, nocc, nvir)
+        t2 = {}
+        off = n1
+        for ki in range(nk):
+            for kj in range(nk):
+                for ka in range(nk):
+                    t2[ki, kj, ka] = vec[off:off + blk].reshape(
+                        nocc, nocc, nvir, nvir)
+                    off += blk
+        return t1, t2
+
+    f0 = ([jnp.asarray(np.diag(eo_[k])).astype(cdt) for k in range(nk)],
+          [jnp.zeros((nocc, nvir), cdt) for _ in range(nk)],
+          [jnp.zeros((nvir, nocc), cdt) for _ in range(nk)],
+          [jnp.asarray(np.diag(ev_[k])).astype(cdt) for k in range(nk)])
+
+    def rvec_e(vec, f):
+        t1_, t2_ = unpack(vec)
+        r1, r2, e = resid(t1_, t2_, f, U_dev)
+        return _pack_dev(jnp.stack(r1), r2, nk), e
+
+    tvec = _pack_dev(t1_conv, t2_conv, nk).astype(cdt)
+    g = jax.grad(lambda v: rvec_e(v, f0)[1],
+                 holomorphic=True)(tvec)
+    jac = jax.jacfwd(lambda v: rvec_e(v, f0)[0],
+                     holomorphic=True)(tvec)
+    gh, jh = to_host(g), to_host(jac)
+    _, bmat = _amp_basis(nk, nocc, nvir, kp3)
+    lam_b = np.linalg.solve((bmat.T @ jh @ bmat).T, -(bmat.T @ gh))
+    lam = to_device(bmat @ lam_b, dtype=cdt)
+
+    def lagr(f):
+        r, e = rvec_e(tvec, f)
+        return e + jnp.sum(lam * r)            # lambda^T R (no conj)
+
+    grads = jax.grad(lagr, holomorphic=True)(f0)
+    goo = [to_host(grads[0][k]) + np.eye(nocc) for k in range(nk)]
+    gov = [to_host(grads[1][k]) for k in range(nk)]
+    gvo = [to_host(grads[2][k]) for k in range(nk)]
+    gvv = [to_host(grads[3][k]) for k in range(nk)]
+    return (goo, gov, gvo, gvv), to_host(lam)
+
+
+def onerdm(df, mf, conv_tol=1e-8, max_cycle=80, verbose=0):
+    """Unrelaxed CCSD one-particle density matrix in the spin-orbital MO
+    basis, per k-point: blocks (goo, gov, gvo, gvv) + reference part.
+    Returns (gamma_blocks, info); info carries natural-occupation sums
+    per k (trace check: sum_k tr(gamma_k) = nk * nocc_so)."""
+    e_cc, info = kccsd(df, mf, conv_tol=conv_tol, max_cycle=max_cycle,
+                       verbose=verbose, return_amps=True)
+    if not info["converged"]:
+        raise RuntimeError("kccsd did not converge")
+    nk = df.nkpt
+    gam, lam = lambda_rdm(nk, info["nocc"], info["ev"].shape[1],
+                          info["kp3"], info["eo"], info["ev"],
+                          info["t1"], info["t2"], info["U"])
+    goo, gov, gvo, gvv = gam
+    info["e_ccsd"] = e_cc
+    info["trace"] = float(sum(np.trace(goo[k]).real
+                              + np.trace(gvv[k]).real
+                              for k in range(nk)))
+    return gam, info
+
+
+def ao_density(df, mf, conv_tol=1e-8, max_cycle=80, verbose=0):
+    """Spin-resolved AO-basis CCSD one-particle density per k-point,
+    shaped (2, nk, nao, nao) — plug-compatible with scf.analysis
+    (Mulliken/Loewdin populations, moments) for correlated observables.
+
+    dm_s[k] = C_s gamma_s C_s^dag with gamma the unrelaxed CCSD density
+    (onerdm) and C the spin-s spin-orbital coefficient columns."""
+    gam, info = onerdm(df, mf, conv_tol=conv_tol, max_cycle=max_cycle,
+                       verbose=verbose)
+    goo, gov, gvo, gvv = gam
+    cs, _, spins, nocc = _spinorb_mo(mf)
+    nk = df.nkpt
+    nao = cs.shape[1]
+    dm = np.zeros((2, nk, nao, nao), dtype=complex)
+    for k in range(nk):
+        g = np.block([[goo[k], gov[k]], [gvo[k], gvv[k]]])
+        for s in range(2):
+            sel = spins[k] == s
+            c = cs[k][:, sel]
+            dm[s, k] = c @ g[np.ix_(sel, sel)] @ c.conj().T
+    return dm, info
 
 
 def eom_qp(nk, nocc, nvir, kp3, eo_, ev_, t1_host, t2_host, U_host,

@@ -46,17 +46,19 @@ def _jw_annihilators(n):
 
 class Oracle:
     """H, |0>, excitation operators, and literal CC residuals from
-    (antisymmetrized integrals u, orbital energies e, nocc)."""
+    (antisymmetrized integrals u, orbital energies e, nocc).  ``fock``
+    overrides the diagonal: a full Hermitian one-body matrix."""
 
-    def __init__(self, u, e, nocc):
+    def __init__(self, u, e, nocc, fock=None):
         n = len(e)
         self.n, self.no, self.nv = n, nocc, n - nocc
         c = _jw_annihilators(n)
         cd = [m.T for m in c]
         self.c, self.cd = c, cd
         dim = 2 ** n
-        # fock = diag(e)  =>  h1 = diag(e) - sum_i u[p,i,q,i]
-        h1 = np.diag(e).astype(complex)
+        # fock f  =>  h1 = f - sum_i u[p,i,q,i]
+        h1 = (np.diag(e).astype(complex) if fock is None
+              else np.array(fock, dtype=complex))
         h1 -= np.einsum("piqi->pq", u[:, :nocc, :, :nocc])
         H = np.zeros((dim, dim), dtype=complex)
         for p in range(n):
@@ -125,6 +127,37 @@ class Oracle:
                                @ c[j] @ c[i] @ self.psi0)
                         r2[i, j, a, b] = np.vdot(bra, w)
         return r1, r2, e_corr
+
+
+def test_residual_full_fock_matches_oracle():
+    """_equations with a full (non-diagonal, Hermitian) one-body matrix —
+    the bare-f terms and the conjugated T1 driving f[a,i] — vs the
+    literal residuals."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    no, nv = 2, 3
+    n = no + nv
+    u = 0.2 * _random_u(n, rng)
+    e = np.concatenate([-1.0 - rng.random(no), 1.0 + rng.random(nv)])
+    df_ = 0.3 * (rng.standard_normal((n, n))
+                 + 1j * rng.standard_normal((n, n)))
+    fock = np.diag(e) + df_ + df_.conj().T
+    t1, t2 = _random_amps(no, nv, rng)
+
+    oracle = Oracle(u, e, no, fock=fock)
+    r1_o, r2_o, e_o = oracle.residuals(t1, t2)
+
+    kp3 = np.zeros((1, 1, 1), dtype=np.int64)
+    resid = cc_mod._equations(1, no, nv, kp3)
+    f = ([jnp.asarray(fock[:no, :no])], [jnp.asarray(fock[:no, no:])],
+         [jnp.asarray(fock[no:, :no])], [jnp.asarray(fock[no:, no:])])
+    r1, r2, e_t = resid(jnp.asarray(t1)[None], {(0, 0, 0): jnp.asarray(t2)},
+                        f, jnp.asarray(u)[None, None, None])
+    # energy: the oracle includes the one-body de-excitation sum f_ia t1
+    np.testing.assert_allclose(complex(e_t), e_o, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r1[0]), r1_o, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(r2[0, 0, 0]), r2_o, atol=1e-10)
 
 
 def _oracle_t3(oracle, t1, t2):
@@ -317,6 +350,58 @@ def test_eom_qp_matches_determinant_oracle():
         assert len(w) == len(w_oracle)
         np.testing.assert_allclose(w, w_oracle, atol=1e-9,
                                    err_msg=sector)
+
+
+def test_onerdm_matches_determinant_oracle():
+    """lambda_rdm (adjoint solve + jax.grad Lagrangian density) vs the
+    literal <0|(1+Lambda) e^-T p^dag q e^T |0> with Lambda solved
+    independently in determinant space."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(29)
+    no, nv = 2, 3
+    n = no + nv
+    u = 0.1 * _random_u(n, rng)
+    e = np.concatenate([-1.0 - rng.random(no), 1.0 + rng.random(nv)])
+    t1, t2, U, kp3 = _converge_random(no, nv, u, e)
+
+    gam, _ = cc_mod.lambda_rdm(1, no, nv, kp3, e[None, :no], e[None, no:],
+                               t1, t2, U)
+    goo, gov, gvo, gvv = gam
+    g_tensor = np.block([[goo[0], gov[0]], [gvo[0], gvv[0]]])
+
+    # determinant-space Lambda: basis-column operators, A lam = -b
+    oracle = Oracle(u, e, no)
+    labels, bmat = cc_mod._amp_basis(1, no, nv, kp3)
+    n1 = no * nv
+    ops = []
+    for col in bmat.T:
+        ops.append(oracle.t_matrix(col[:n1].reshape(no, nv),
+                                   col[n1:].reshape(no, no, nv, nv)))
+    T = oracle.t_matrix(np.asarray(t1[0]), np.asarray(t2[0, 0, 0]))
+    expT, expmT = _expm_nilpotent(T), _expm_nilpotent(-T)
+    hbar = expmT @ oracle.H @ expT
+    m = len(ops)
+    b = np.array([np.vdot(oracle.psi0, hbar @ op @ oracle.psi0)
+                  for op in ops])
+    A = np.empty((m, m), dtype=complex)
+    for nu, opn in enumerate(ops):
+        comm = hbar @ opn - opn @ hbar
+        for mu, opm in enumerate(ops):
+            A[nu, mu] = np.vdot(oracle.psi0, opm.T @ comm @ oracle.psi0)
+    lam_o = np.linalg.solve(A, -b)
+    lam_mat = sum(lam_o[mu] * ops[mu].T for mu in range(m))
+    left = (np.eye(hbar.shape[0]) + lam_mat).conj().T @ oracle.psi0
+
+    g_oracle = np.empty((n, n), dtype=complex)
+    for p in range(n):
+        for q in range(n):
+            v = expmT @ (oracle.cd[p] @ (oracle.c[q]
+                                         @ (expT @ oracle.psi0)))
+            g_oracle[p, q] = np.vdot(left, v)
+    np.testing.assert_allclose(g_tensor, g_oracle, atol=1e-9)
+    # trace = particle number, exactly
+    np.testing.assert_allclose(np.trace(g_tensor).real, no, atol=1e-9)
 
 
 def _random_u(n, rng):
@@ -547,6 +632,41 @@ def test_eomip_supercell_subset_and_koopmans():
     ip_min = np.min(all_k.real)
     assert abs(ip_min - (-e_homo)) < 0.1
     assert ip_min > 0
+
+
+def test_onerdm_physical_h2():
+    """CCSD density of periodic H2 at 1x1x2: exact particle number,
+    physical natural occupations, near-Hermitian at weak correlation."""
+    cell = h2_cell()
+    df, mf = _df_mf(cell, cell.get_kpts([1, 1, 2]))
+    gam, info = cc_mod.onerdm(df, mf, conv_tol=1e-9)
+    goo, gov, gvo, gvv = gam
+    np.testing.assert_allclose(info["trace"], 2 * 2, atol=1e-8)
+    for k in range(2):
+        g = np.block([[goo[k], gov[k]], [gvo[k], gvv[k]]])
+        gs = 0.5 * (g + g.conj().T)
+        occ = np.linalg.eigvalsh(gs)
+        assert occ.min() > -1e-6 and occ.max() < 1 + 1e-6
+        assert occ.max() > 0.95            # weakly correlated
+        # unrelaxed density: non-hermiticity is O(t^2), small here
+        assert np.max(np.abs(g - g.conj().T)) < 0.05
+
+
+def test_cc_ao_density_observables():
+    """AO-basis CCSD density: exact electron count through the overlap
+    metric, and populations runnable through scf.analysis."""
+    from fftisdf_tpu.scf import analysis
+
+    cell = h2_cell()
+    df, mf = _df_mf(cell, cell.get_kpts([1, 1, 2]))
+    dm, info = cc_mod.ao_density(df, mf, conv_tol=1e-9)
+    nk = 2
+    nelec = np.einsum("skmn,knm->", dm, np.asarray(mf.s1e)).real / nk
+    np.testing.assert_allclose(nelec, 2.0, atol=1e-8)
+    pops = analysis.ao_populations(cell, dm, mf.s1e, scheme="loewdin")
+    np.testing.assert_allclose(pops.sum(), 2.0, atol=1e-7)
+    # closed shell: spin channels identical
+    np.testing.assert_allclose(dm[0], dm[1], atol=1e-9)
 
 
 def test_kccsd_t_two_electron_guard():
