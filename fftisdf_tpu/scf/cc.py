@@ -375,6 +375,161 @@ def _equations(nk, nocc, nvir, kp3):
     return resid
 
 
+def _equations_packed(nk, nocc, nvir, kp3):
+    """Batched-gather formulation of ``_equations`` — identical math,
+    TPU-first shape.
+
+    Every momentum block loop becomes one einsum over packed
+    (nk, nk, nk, ...) tensors: aligned blocks contract directly; blocks
+    whose k-labels are *derived* (via kp3) are materialized by XLA
+    gathers from host-precomputed index tables.  The trace is O(#terms),
+    independent of nk (the trace-loop reference `_equations` is
+    O(nk^3 terms): >10 min XLA compiles at nk=8).  Equivalence with the
+    reference implementation is a permanent gate (tests/test_cc.py).
+
+    Memory note: four contractions gather an (nk^4, o^2 v^2) operand —
+    ~270 MB at nk=8 / 16 spin orbitals (f64).  For larger nso, chunk the
+    gathered axis with lax.map like make_t3_energy does.
+    """
+    o, v = slice(0, nocc), slice(nocc, nocc + nvir)
+    KP = np.asarray(kp3)
+    ar = np.arange(nk)
+    X2, Y2 = ar[:, None], ar[None, :]
+    X3, Y3, Z3 = ar[:, None, None], ar[None, :, None], ar[None, None, :]
+    X4 = ar[:, None, None, None]
+    Y4 = ar[None, :, None, None]
+    Z4 = ar[None, None, :, None]
+    W4 = ar[None, None, None, :]
+    KPxyz = KP[X3, Y3, Z3]                  # kp(axis0, axis1, axis2)
+    KPxyw4 = KP[X4, Y4, W4]                 # kp(x, y, w) on 4-axis grids
+    KPxwz4 = KP[X4, W4, Z4]                 # kp(x, w, z)
+
+    def resid(t1, t2, f, U):
+        foo = jnp.stack(list(f[0]))
+        fov = jnp.stack(list(f[1]))
+        fvo = jnp.stack(list(f[2]))
+        fvv = jnp.stack(list(f[3]))
+        T2 = jnp.stack([jnp.stack([jnp.stack(
+            [t2[a, b, c] for c in range(nk)]) for b in range(nk)])
+            for a in range(nk)])
+        ein = jnp.einsum
+
+        # pre-sliced integral slabs
+        Uoooo = U[..., o, o, o, o]
+        Uooov = U[..., o, o, o, v]
+        Uoovo = U[..., o, o, v, o]
+        Uoovv = U[..., o, o, v, v]
+        Uovov = U[..., o, v, o, v]
+        Uovvo = U[..., o, v, v, o]
+        Uovoo = U[..., o, v, o, o]
+        Uovvv = U[..., o, v, v, v]
+        Uvovv = U[..., v, o, v, v]
+        Uvvvo = U[..., v, v, v, o]
+        Uvvvv = U[..., v, v, v, v]
+
+        # ---- tau (t1 parts are momentum-diagonal: scatter-add) ----
+        t1t1 = ein("kia,ljb->klijab", t1, t1)
+        t1t1x = ein("kib,lja->klijab", t1, t1)
+        tadd = jnp.zeros_like(T2)
+        tadd = tadd.at[X2, Y2, X2].add(t1t1)
+        tadd = tadd.at[X2, Y2, Y2].add(-t1t1x)
+        tau = T2 + tadd
+        tau_t = T2 + 0.5 * tadd
+
+        # ---- F intermediates (k-diagonal, shape (nk, ...)) ----
+        f_ae = (fvv - 0.5 * ein("kma,kme->kae", t1, fov)
+                + ein("xmf,xkmafe->kae", t1, Uovvv[X2, Y2, X2])
+                - 0.5 * ein("xykmnaf,xykmnef->kae", tau_t, Uoovv))
+        f_mi = (foo + 0.5 * ein("kie,kme->kmi", t1, fov)
+                + ein("yne,kymnie->kmi", t1, Uooov[X2, Y2, X2])
+                + 0.5 * ein("kxyinef,kxymnef->kmi", tau_t, Uoovv))
+        f_me = fov + ein("ynf,kymnef->kme", t1, Uoovv[X2, Y2, X2])
+
+        # ---- T1 residual ----
+        r1 = (jnp.swapaxes(fvo, 1, 2)
+              + ein("kie,kae->kia", t1, f_ae)
+              - ein("kma,kmi->kia", t1, f_mi)
+              + ein("kximae,xme->kia", T2[X2, Y2, X2], f_me)
+              - ein("ynf,yknaif->kia", t1, Uovov[X2, Y2, Y2])
+              - 0.5 * ein("kxyimef,kxymaef->kia", T2,
+                          Uovvv[Y3, X3, Z3])
+              - 0.5 * ein("xykmnae,xyknmei->kia", T2,
+                          Uoovo[Y3, X3, KPxyz]))
+
+        # ---- W_mnij, blocks [x=km, y=kn, z=ki] (kj = kp(x,y,z)) ----
+        kj_b = KPxyz
+        t1_g = t1[kj_b]
+        raw_o = ein("xyzje,xyzmnie->xyzmnij", t1_g, Uooov)
+        w_oooo = (Uoooo + raw_o
+                  - raw_o[X3, Y3, kj_b].transpose(0, 1, 2, 3, 4, 6, 5)
+                  + 0.25 * ein("xyzwijef,xywmnef->xyzmnij",
+                               tau[Z4, kj_b[:, :, :, None], W4], Uoovv))
+
+        # ---- W_abef, blocks [x=ka, y=kb, z=ke] ----
+        raw_v = ein("ymb,xyzamef->xyzabef", t1, Uvovv)
+        w_vvvv = (Uvvvv - raw_v
+                  + jnp.swapaxes(raw_v, 0, 1).transpose(0, 1, 2, 4, 3,
+                                                        5, 6)
+                  + 0.25 * ein("xywmnab,xyzwmnef->xyzabef",
+                               tau[Z3, KPxyz, X3],
+                               Uoovv[W4, KPxyw4, Z4]))
+
+        # ---- W_mbej, blocks [x=km, y=kb, z=ke] (kj = kp(x,y,z)) ----
+        kf_g = KP[kj_b[:, :, :, None], W4, Y4]
+        w_ovvo = (Uovvo
+                  + ein("xyzjf,xyzmbef->xyzmbej", t1_g, Uovvv)
+                  - ein("ynb,xyzmnej->xyzmbej", t1, Uoovo)
+                  - ein("xyzjf,ynb,xyzmnef->xyzmbej", t1_g, t1, Uoovv)
+                  - 0.5 * ein("xyzwjnfb,xwzmnef->xyzmbej",
+                              T2[kj_b[:, :, :, None], W4, kf_g], Uoovv))
+
+        # ---- T2 residual, blocks [x=ki, y=kj, z=ka] (kb = kp(x,y,z)) --
+        kb_b = KPxyz
+        f_be_t = f_ae - 0.5 * ein("kmb,kme->kbe", t1, f_me)
+        f_mj_t = f_mi + 0.5 * ein("kje,kme->kmj", t1, f_me)
+        raw_ab = (ein("xyzijae,xyzbe->xyzijab", T2, f_be_t[kb_b])
+                  - ein("zma,xyzmbij->xyzijab", t1,
+                        Uovoo[Z3, kb_b, X3]))
+        raw_ij = (-ein("xyzimab,ymj->xyzijab", T2, f_mj_t)
+                  + ein("xie,xyzabej->xyzijab", t1,
+                        Uvvvo[Z3, kb_b, X3]))
+        raw_z = (-ein("xie,zma,xyzmbej->xyzijab", t1, t1,
+                      Uovvo[Z3, kb_b, X3])
+                 + ein("xwzimae,xyzwmbej->xyzijab", T2,
+                       w_ovvo[W4, kb_b[:, :, :, None], KPxwz4]))
+
+        r2 = Uoovv.conj()
+        r2 = r2 + (raw_ab
+                   - raw_ab[X3, Y3, kb_b].transpose(0, 1, 2, 3, 4, 6, 5))
+        r2 = r2 + (raw_ij
+                   - jnp.swapaxes(raw_ij, 0, 1).transpose(0, 1, 2, 4, 3,
+                                                          5, 6))
+        z_ab = raw_z[X3, Y3, kb_b]
+        r2 = r2 + (raw_z
+                   - jnp.swapaxes(raw_z, 0, 1).transpose(0, 1, 2, 4, 3,
+                                                         5, 6)
+                   - z_ab.transpose(0, 1, 2, 3, 4, 6, 5)
+                   + jnp.swapaxes(z_ab, 0, 1).transpose(0, 1, 2, 4, 3,
+                                                        6, 5))
+        r2 = r2 + 0.5 * ein("xyzwmnab,xywmnij->xyzijab",
+                            tau[W4, KPxyw4, Z4],
+                            w_oooo[Z3, KPxyz, X3])
+        r2 = r2 + 0.5 * ein("xywijef,xyzwabef->xyzijab", tau,
+                            w_vvvv[Z4, kb_b[:, :, :, None], W4])
+
+        # ---- energy at the input amplitudes ----
+        e = (ein("kia,kia->", fov, t1)
+             + 0.5 * ein("xyijab,xia,yjb->", Uoovv[X2, Y2, X2], t1, t1)
+             + 0.25 * ein("xyzijab,xyzijab->", Uoovv, T2))
+
+        r1_out = [r1[k] for k in range(nk)]
+        r2_out = {(a, b, c): r2[a, b, c] for a in range(nk)
+                  for b in range(nk) for c in range(nk)}
+        return r1_out, r2_out, e
+
+    return resid
+
+
 def make_step(nk, nocc, nvir, kp3, eo, ev):
     """Build the jitted CCSD update ``step(t1, t2, U) -> (t1, t2, e)``.
 
@@ -383,7 +538,9 @@ def make_step(nk, nocc, nvir, kp3, eo, ev):
     the MP2 guess reports E_MP2).  U must already carry the supercell
     normalization (cell ERIs / nk).  Canonical reference: the one-body
     blocks handed to the equations are diag(eo/ev), and the update is
-    t + R/D (Jacobi on the full residual of ``_equations``).
+    t + R/D (Jacobi on the full residual of the batched-gather
+    ``_equations_packed``; ``_equations`` is the equivalent trace-loop
+    reference implementation).
     """
     kp3 = np.asarray(kp3)
 
@@ -402,7 +559,7 @@ def make_step(nk, nocc, nvir, kp3, eo, ev):
                     - ev[ka][None, None, :, None]
                     - ev[kb][None, None, None, :])
 
-    resid = _equations(nk, nocc, nvir, kp3)
+    resid = _equations_packed(nk, nocc, nvir, kp3)
 
     def step(t1, t2, U):
         cplx = U.dtype
@@ -821,7 +978,7 @@ def lambda_rdm(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
     Gate: tests/test_cc.py vs the literal
     <0|(1+Lambda) e^-T p^dag q e^T|0> with the determinant-space Lambda.
     """
-    resid = _equations(nk, nocc, nvir, kp3)
+    resid = _equations_packed(nk, nocc, nvir, kp3)
     n1 = nk * nocc * nvir
     blk = nocc * nocc * nvir * nvir
     cdt = U_dev.dtype

@@ -129,6 +129,52 @@ class Oracle:
         return r1, r2, e_corr
 
 
+def test_packed_equations_match_reference():
+    """The batched-gather production equations (_equations_packed) vs
+    the trace-loop reference implementation (_equations), at nk=2 with
+    random amplitudes, a random full Hermitian fock, and integrals
+    carrying a random (momentum-conserving-shaped) structure."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    nk, no, nv = 2, 2, 2
+    n = no + nv
+    # random "U" blocks with the right antisymmetry per block is not
+    # needed for an implementation-equivalence test — both codes consume
+    # the same arbitrary tensor
+    U = (rng.standard_normal((nk, nk, nk, n, n, n, n))
+         + 1j * rng.standard_normal((nk, nk, nk, n, n, n, n))) * 0.1
+    kp3 = np.empty((nk, nk, nk), dtype=np.int64)
+    for a in range(nk):
+        for b in range(nk):
+            for c in range(nk):
+                kp3[a, b, c] = (a + b - c) % nk
+    t1 = 0.1 * (rng.standard_normal((nk, no, nv))
+                + 1j * rng.standard_normal((nk, no, nv)))
+    t2 = {}
+    for a in range(nk):
+        for b in range(nk):
+            for c in range(nk):
+                t2[a, b, c] = jnp.asarray(
+                    0.1 * (rng.standard_normal((no, no, nv, nv))
+                           + 1j * rng.standard_normal((no, no, nv, nv))))
+    f = tuple(
+        [jnp.asarray(rng.standard_normal(sh)
+                     + 1j * rng.standard_normal(sh)) for _ in range(nk)]
+        for sh in ((no, no), (no, nv), (nv, no), (nv, nv)))
+    args = (jnp.asarray(t1), t2, f, jnp.asarray(U))
+    r1_a, r2_a, e_a = cc_mod._equations(nk, no, nv, kp3)(*args)
+    r1_b, r2_b, e_b = cc_mod._equations_packed(nk, no, nv, kp3)(*args)
+    np.testing.assert_allclose(complex(e_a), complex(e_b), atol=1e-12)
+    for k in range(nk):
+        np.testing.assert_allclose(np.asarray(r1_a[k]),
+                                   np.asarray(r1_b[k]), atol=1e-12)
+    for key in r2_a:
+        np.testing.assert_allclose(np.asarray(r2_a[key]),
+                                   np.asarray(r2_b[key]), atol=1e-12,
+                                   err_msg=str(key))
+
+
 def test_residual_full_fock_matches_oracle():
     """_equations with a full (non-diagonal, Hermitian) one-body matrix —
     the bare-f terms and the conjugated T1 driving f[a,i] — vs the
