@@ -715,6 +715,58 @@ def test_cc_ao_density_observables():
     np.testing.assert_allclose(dm[0], dm[1], atol=1e-9)
 
 
+def test_kccsd_spin_polarized_matches_kump2_first_iterate():
+    """Open-shell (triplet H2) KUHF reference through the spin-orbital
+    path: runs with distinct alpha/beta occupations, converges, and the
+    CCSD energy at the MP2 guess equals scf.mp2.kump2."""
+    from fftisdf_tpu.scf import KUHF
+    from fftisdf_tpu.scf.mp2 import kump2
+
+    cell = h2_cell().copy(spin=2).build()
+    kpts = cell.get_kpts([1, 1, 2])
+    mf = KUHF(cell, kpts, verbose=0, conv_tol=1e-9, max_cycle=80)
+    mf.kernel()
+    assert mf.converged
+    df = FFTISDF(cell, kpts, c0=60.0, m0=(11, 11, 13), verbose=0,
+                 select_tol=1e-18, rcond=1e-12).build()
+    e_ump2, _ = kump2(df, mf)
+
+    # first iterate == UMP2 (same integrals)
+    import jax.numpy as jnp
+    from fftisdf_tpu.utils.device import to_device, to_host
+
+    nk = df.nkpt
+    U, eo, ev, nocc = cc_mod.make_eris(df, mf)
+    k3c = df.kconserv3()
+    kp3 = np.empty((nk, nk, nk), dtype=np.int64)
+    for a in range(nk):
+        for b in range(nk):
+            for c in range(nk):
+                kp3[a, b, c] = k3c[a, c, b]
+    U = U / nk
+    step = cc_mod.make_step(nk, nocc, ev.shape[1], kp3, eo, ev)
+    t1 = jnp.zeros((nk, nocc, ev.shape[1]), jnp.complex128)
+    t2 = {}
+    for ki in range(nk):
+        for kj in range(nk):
+            for ka in range(nk):
+                kb = int(kp3[ki, kj, ka])
+                d = (eo[ki][:, None, None, None]
+                     + eo[kj][None, :, None, None]
+                     - ev[ka][None, None, :, None]
+                     - ev[kb][None, None, None, :])
+                t2[ki, kj, ka] = to_device(
+                    np.conj(U[ki, kj, ka, :nocc, :nocc, nocc:, nocc:]) / d)
+    _, _, e_dev = step(t1, t2, to_device(U))
+    e_first = complex(to_host(e_dev)) / nk
+    np.testing.assert_allclose(e_first.real, e_ump2, atol=1e-9)
+
+    # and the full solve converges below UMP2
+    e_cc, info = cc_mod.kccsd(df, mf, conv_tol=1e-8, max_cycle=80)
+    assert info["converged"]
+    assert e_cc < 0
+
+
 def test_kccsd_t_two_electron_guard():
     """(T) vanishes identically for a 2-electron system (cannot excite
     three); the guard path returns 0 without building triples."""
