@@ -117,13 +117,18 @@ def _gamma2_mf(gamma):
             - 0.5 * np.einsum("ps,rq->pqrs", gamma, gamma))
 
 
-def dmet_energy(mf, df, frag_ao, solver=None, tol=1e-7):
+def dmet_energy(mf, df, frag_ao, solver=None, tol=1e-7, fit_mu=False,
+                mu_tol=1e-6, mu_maxiter=20):
     """One-shot DMET total energy per cell.
 
     mf: converged KRHF; df: built FFTISDF on the same (cell, kpts);
     frag_ao: AO indices of the fragment within the reference cell;
     solver(h1, eri, nelec) -> (e, gamma, Gamma): defaults to scf.fci.
-    Returns (e_dmet, info).
+    ``fit_mu``: fit a global chemical potential on the fragment diagonal
+    (secant iterations of the impurity solve) so the correlated fragment
+    filling matches the mean-field one — the standard DMET number-
+    conservation condition; the Lagrange-multiplier term is excluded
+    from the energy functional.  Returns (e_dmet, info).
     """
     from fftisdf_tpu.scf.fci import fci_ground
 
@@ -139,7 +144,35 @@ def dmet_energy(mf, df, frag_ao, solver=None, tol=1e-7):
     h_solver = f_emb - _vhf(eri, gamma_mf)
     nelec = int(round(float(np.trace(gamma_mf).real)))
 
-    e_emb, gamma, Gam = solver(h_solver, eri, nelec)
+    def solve(mu):
+        hmu = h_solver.copy()
+        hmu[np.arange(nfrag), np.arange(nfrag)] -= mu
+        return solver(hmu, eri, nelec)
+
+    mu = 0.0
+    e_emb, gamma, Gam = solve(mu)
+    if fit_mu:
+        target = float(np.trace(gamma_mf[:nfrag, :nfrag]).real)
+
+        def nf(g):
+            return float(np.trace(g[:nfrag, :nfrag]).real)
+
+        mu0, n0 = 0.0, nf(gamma)
+        if abs(n0 - target) > mu_tol:
+            mu1 = 0.05 if n0 < target else -0.05
+            e_emb, gamma, Gam = solve(mu1)
+            n1 = nf(gamma)
+            for _ in range(mu_maxiter):
+                if abs(n1 - target) < mu_tol or abs(n1 - n0) < 1e-12:
+                    break
+                mu_new = mu1 + (target - n1) * (mu1 - mu0) / (n1 - n0)
+                mu0, n0 = mu1, n1
+                mu1 = float(np.clip(mu_new, mu1 - 0.5, mu1 + 0.5))
+                e_emb, gamma, Gam = solve(mu1)
+                n1 = nf(gamma)
+            mu = mu1
+            info["nfrag_err"] = abs(n1 - target)
+        info["mu"] = mu
     dgam = gamma - gamma_mf
     dgam2 = Gam - _gamma2_mf(gamma_mf)
 

@@ -125,6 +125,20 @@ def test_dmet_atom_fragments_h2_chain():
     assert 0.5 * abs(e_ccsd) < abs(total) < 1.5 * abs(e_ccsd)
 
 
+def test_dmet_mu_fit_conserves_fragment_filling():
+    """Chemical-potential fitting drives the correlated fragment filling
+    to the mean-field value; the energy stays within the embedding
+    error of the unfitted one for this weakly correlated chain."""
+    cell = h2_cell()
+    kpts = cell.get_kpts([1, 1, 2])
+    df, mf = _df_mf(cell, kpts)
+    e0, info0 = dmet_energy(mf, df, frag_ao=[0, 1])
+    e1, info1 = dmet_energy(mf, df, frag_ao=[0, 1], fit_mu=True)
+    assert info1.get("nfrag_err", 0.0) < 1e-6
+    assert abs(e1 - e0) < 5e-3
+    assert info1["de_corr"] < 0
+
+
 def test_dmet_bath_exactness_checks():
     """build_embedding invariants: orthonormal embedding basis and an
     idempotent embedded mean-field RDM (asserted inside), correct
