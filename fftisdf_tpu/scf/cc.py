@@ -530,14 +530,43 @@ def _equations_packed(nk, nocc, nvir, kp3):
     return resid
 
 
-def make_step(nk, nocc, nvir, kp3, eo, ev):
+def _hf_fock_so(df, mf):
+    """Reference-determinant HF Fock (h + J - K) in the spin-orbital MO
+    basis, J/K served from the ISDF state (integral-consistent with
+    make_eris) at the converged density.  Enables CC on non-HF (KS)
+    references: the full one-body blocks enter the equations and only
+    the (real) diagonal goes into the denominators.  Returns
+    (f_so (nk, nso, nso) host complex, nocc_so)."""
+    cs, _, spins, nocc = _spinorb_mo(mf)
+    dm = np.asarray(mf.dm)
+    dms = np.stack([dm / 2.0, dm / 2.0]) if dm.ndim == 3 else dm
+    exxdiv = getattr(mf, "exxdiv", None)
+    vja, vka = df.get_jk(dms[0], exxdiv=exxdiv)
+    vjb, vkb = df.get_jk(dms[1], exxdiv=exxdiv)
+    vj = to_host(vja) + to_host(vjb)
+    h1e = np.asarray(mf.h1e)
+    focks = [h1e + vj - to_host(vka), h1e + vj - to_host(vkb)]
+    nk, nao, nso = cs.shape
+    f_so = np.zeros((nk, nso, nso), dtype=complex)
+    for k in range(nk):
+        for s in range(2):
+            sel = np.where(spins[k] == s)[0]
+            c = cs[k][:, sel]
+            f_so[k][np.ix_(sel, sel)] = c.conj().T @ focks[s][k] @ c
+    return f_so, nocc
+
+
+def make_step(nk, nocc, nvir, kp3, eo, ev, f_so=None):
     """Build the jitted CCSD update ``step(t1, t2, U) -> (t1, t2, e)``.
 
     kp3[a,b,c] = index of k_a + k_b - k_c.  ``e`` is the supercell
     correlation energy at the *input* amplitudes (so the first call from
     the MP2 guess reports E_MP2).  U must already carry the supercell
-    normalization (cell ERIs / nk).  Canonical reference: the one-body
-    blocks handed to the equations are diag(eo/ev), and the update is
+    normalization (cell ERIs / nk).  With ``f_so=None`` (canonical
+    reference) the one-body blocks handed to the equations are
+    diag(eo/ev); a full ``f_so`` (nk, nso, nso) enables non-canonical /
+    non-HF references — its off-diagonals enter the residual while
+    eo/ev (its real diagonal) stay in the denominators.  The update is
     t + R/D (Jacobi on the full residual of the batched-gather
     ``_equations_packed``; ``_equations`` is the equivalent trace-loop
     reference implementation).
@@ -563,12 +592,23 @@ def make_step(nk, nocc, nvir, kp3, eo, ev):
 
     def step(t1, t2, U):
         cplx = U.dtype
-        f = ([jnp.asarray(np.diag(eo[k])).astype(cplx)
-              for k in range(nk)],
-             [jnp.zeros((nocc, nvir), cplx) for _ in range(nk)],
-             [jnp.zeros((nvir, nocc), cplx) for _ in range(nk)],
-             [jnp.asarray(np.diag(ev[k])).astype(cplx)
-              for k in range(nk)])
+        if f_so is None:
+            f = ([jnp.asarray(np.diag(eo[k])).astype(cplx)
+                  for k in range(nk)],
+                 [jnp.zeros((nocc, nvir), cplx) for _ in range(nk)],
+                 [jnp.zeros((nvir, nocc), cplx) for _ in range(nk)],
+                 [jnp.asarray(np.diag(ev[k])).astype(cplx)
+                  for k in range(nk)])
+        else:
+            o, vs = slice(0, nocc), slice(nocc, nocc + nvir)
+            f = ([jnp.asarray(f_so[k][o, o]).astype(cplx)
+                  for k in range(nk)],
+                 [jnp.asarray(f_so[k][o, vs]).astype(cplx)
+                  for k in range(nk)],
+                 [jnp.asarray(f_so[k][vs, o]).astype(cplx)
+                  for k in range(nk)],
+                 [jnp.asarray(f_so[k][vs, vs]).astype(cplx)
+                  for k in range(nk)])
         r1, r2, e = resid(t1, t2, f, U)
         t1_new = jnp.stack([t1[k] + r1[k] / d1[k] for k in range(nk)])
         t2_new = {key: t2[key] + r2[key] / d2[key] for key in r2}
@@ -606,18 +646,37 @@ def _unpack_dev(vec, nk, nocc, nvir):
 
 
 def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0,
-          return_amps=False):
-    """CCSD correlation energy per cell from a converged KRHF/KUHF ``mf``
-    on the ISDF factorization ``df``.  Returns (e_corr, info).
+          return_amps=False, reference="auto"):
+    """CCSD correlation energy per cell from a converged ``mf`` on the
+    ISDF factorization ``df``.  Returns (e_corr, info).
 
     Spin-orbital formulation: restricted and unrestricted references run
     through the same code (KUHF support = different alpha/beta orbitals
     in the spin-orbital integral blocks).
+
+    ``reference``: 'canonical' assumes diagonal fock = mo_energy (HF);
+    'fock' rebuilds the reference-determinant HF fock from the ISDF
+    state and runs the full-one-body equations — required for KS (KRKS/
+    KUKS) references, where f has ov blocks; 'auto' picks 'fock' when
+    ``mf.xc`` exists and is not 'hf'.  The correlation energy is then
+    relative to the HF energy *functional at the reference determinant*
+    (not the KS total energy); for a 2-electron system
+    E_det(ref) + E_corr is reference-independent (= FCI) — gated.
     """
     from fftisdf_tpu.scf.hf import DIIS
 
+    if reference == "auto":
+        reference = ("fock" if getattr(mf, "xc", "hf")
+                     not in (None, "hf") else "canonical")
     nk = df.nkpt
     U, eo, ev, nocc = make_eris(df, mf)
+    f_so = None
+    if reference == "fock":
+        f_so, _ = _hf_fock_so(df, mf)
+        eo = np.real(np.stack([np.diag(f_so[k])[:nocc]
+                               for k in range(nk)]))
+        ev = np.real(np.stack([np.diag(f_so[k])[nocc:]
+                               for k in range(nk)]))
     nvir = ev.shape[1]
     if nocc == 0 or nvir == 0:
         return 0.0, {"converged": True, "niter": 0, "imag": 0.0,
@@ -630,7 +689,7 @@ def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0,
                 kp3[a, b, c] = k3c[a, c, b]
 
     U = U / nk                               # supercell normalization
-    step = make_step(nk, nocc, nvir, kp3, eo, ev)
+    step = make_step(nk, nocc, nvir, kp3, eo, ev, f_so=f_so)
 
     cdt = (jnp.complex128 if df.x_k.dtype == jnp.complex128
            else jnp.complex64)
@@ -681,7 +740,7 @@ def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0,
     _, _, e_dev = step(t1, t2, U_dev)
     e = complex(to_host(e_dev)) / nk
     info = {"converged": conv, "niter": niter, "dt_max": dt_max,
-            "imag": float(e.imag), "nocc": nocc}
+            "imag": float(e.imag), "nocc": nocc, "reference": reference}
     if return_amps:
         info["t1"], info["t2"], info["U"] = t1, t2, U_dev
         info["eo"], info["ev"], info["kp3"] = eo, ev, kp3
@@ -725,6 +784,9 @@ def eomee(df, mf, conv_tol=1e-8, max_cycle=80, verbose=0):
                        verbose=verbose, return_amps=True)
     if not info["converged"]:
         raise RuntimeError("kccsd did not converge; EOM needs R = 0")
+    if info.get("reference") == "fock":
+        raise NotImplementedError(
+            "EOM assumes a canonical (diagonal-fock HF) reference")
     w = eom_dense(df.nkpt, info["nocc"], info["ev"].shape[1],
                   info["kp3"], info["eo"], info["ev"],
                   info["t1"], info["t2"], info["U"])
@@ -950,6 +1012,9 @@ def eomee_davidson(df, mf, nroots=4, conv_tol=1e-8, max_cycle=80,
                        verbose=verbose, return_amps=True)
     if not info["converged"]:
         raise RuntimeError("kccsd did not converge; EOM needs R = 0")
+    if info.get("reference") == "fock":
+        raise NotImplementedError(
+            "EOM assumes a canonical (diagonal-fock HF) reference")
     nk = df.nkpt
     nocc, nvir = info["nocc"], info["ev"].shape[1]
     _, matvec, dhost = _residual_fn(nk, nocc, nvir, info["kp3"],
@@ -1044,6 +1109,9 @@ def onerdm(df, mf, conv_tol=1e-8, max_cycle=80, verbose=0):
                        verbose=verbose, return_amps=True)
     if not info["converged"]:
         raise RuntimeError("kccsd did not converge")
+    if info.get("reference") == "fock":
+        raise NotImplementedError(
+            "the Lambda/RDM path assumes a canonical HF reference")
     nk = df.nkpt
     gam, lam = lambda_rdm(nk, info["nocc"], info["ev"].shape[1],
                           info["kp3"], info["eo"], info["ev"],
@@ -1167,6 +1235,9 @@ def _eom_qp_driver(df, mf, sector, conv_tol=1e-8, max_cycle=80,
                        verbose=verbose, return_amps=True)
     if not info["converged"]:
         raise RuntimeError("kccsd did not converge; EOM needs R = 0")
+    if info.get("reference") == "fock":
+        raise NotImplementedError(
+            "EOM assumes a canonical (diagonal-fock HF) reference")
     nk = df.nkpt
     t2_host = {key: to_host(v) for key, v in info["t2"].items()}
     w = eom_qp(nk, info["nocc"], info["ev"].shape[1], info["kp3"],
@@ -1335,6 +1406,9 @@ def kccsd_t(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0):
     e_cc, info = kccsd(df, mf, conv_tol=conv_tol, max_cycle=max_cycle,
                        diis_space=diis_space, verbose=verbose,
                        return_amps=True)
+    if info.get("reference") == "fock":
+        raise NotImplementedError(
+            "(T) assumes a canonical (diagonal-fock HF) reference")
     nk = df.nkpt
     nocc = info["nocc"]
     nvir = info["ev"].shape[1]

@@ -767,6 +767,34 @@ def test_kccsd_spin_polarized_matches_kump2_first_iterate():
     assert e_cc < 0
 
 
+def test_kccsd_ks_reference_invariance():
+    """CCSD with singles is exact for 2 electrons from ANY reference:
+    E_det(reference determinant, HF functional) + E_corr must be
+    identical for the KRHF and KRKS-PBE references (= FCI).  Exercises
+    the full-fock (non-canonical) equations end to end."""
+    from fftisdf_tpu.scf import KRKS
+
+    cell = h2_cell()
+    kpts = np.zeros((1, 3))
+    df, mf_hf = _df_mf(cell, kpts)
+    e_hf_corr, info_hf = cc_mod.kccsd(df, mf_hf, conv_tol=1e-10,
+                                      max_cycle=100)
+    assert info_hf["converged"] and info_hf["reference"] == "canonical"
+    e_total_hf = mf_hf.e_tot + e_hf_corr
+
+    ks = KRKS(cell, kpts, xc="pbe", verbose=0, conv_tol=1e-10)
+    ks.kernel()
+    assert ks.converged
+    e_ks_corr, info_ks = cc_mod.kccsd(df, ks, conv_tol=1e-10,
+                                      max_cycle=120)
+    assert info_ks["converged"] and info_ks["reference"] == "fock"
+    # HF energy functional at the KS determinant
+    fock, vj, vk = mf_hf.get_fock(ks.dm)
+    e_det = mf_hf.energy_elec(np.asarray(ks.dm), vj, vk) + mf_hf.e_nuc
+    assert e_det > e_total_hf            # variational: above FCI
+    np.testing.assert_allclose(e_det + e_ks_corr, e_total_hf, atol=3e-6)
+
+
 def test_kccsd_t_two_electron_guard():
     """(T) vanishes identically for a 2-electron system (cannot excite
     three); the guard path returns 0 without building triples."""
