@@ -105,14 +105,16 @@ def _spinorb_mo(mf):
             noccs[0] + noccs[1])
 
 
-def make_eris(df, mf):
-    """Antisymmetrized spin-orbital integral blocks.
+def make_eris_dev(df, mf):
+    """Antisymmetrized spin-orbital integral blocks, DEVICE-resident.
 
-    Returns (U, eo, ev, nocc) with U[k1,k2,k3][p,q,r,s] =
+    Returns (U_dev, eo, ev, nocc) with U[k1,k2,k3][p,q,r,s] =
     <p k1, q k2 || r k3, s k4>, k4 = k1 + k2 - k3 (physicists' notation,
-    cell normalization), eo/ev the occupied/virtual spin-orbital energies
-    per k.
-    """
+    cell normalization), eo/ev the occupied/virtual spin-orbital
+    energies per k (host).  Assembly (per momentum triple: two
+    three-matmul ERI contractions + spin masks + transposes) stays on
+    device end to end — no per-block host round-trips (O(nk^3) complex
+    transfers are minutes on slow tunnel transports)."""
     cs, es, spins, nocc = _spinorb_mo(mf)
     nk = df.nkpt
     k3c = df.kconserv3()
@@ -120,32 +122,46 @@ def make_eris(df, mf):
     def kp(a, b, c):                        # index of k_a + k_b - k_c
         return int(k3c[a, c, b])
 
-    nso = cs.shape[2]
-    U = np.zeros((nk, nk, nk, nso, nso, nso, nso), dtype=np.complex128)
+    @jax.jit
+    def _block(d, x, md, mx):
+        d = jnp.transpose(d, (0, 2, 1, 3)) * md    # (p,r,q,s)->(p,q,r,s)
+        x = jnp.transpose(x, (0, 2, 3, 1)) * mx    # (p,s,q,r)->(p,q,r,s)
+        return d - x
+
+    blocks = []
     for k1 in range(nk):
+        b2 = []
         for k2 in range(nk):
+            b3 = []
             for k3 in range(nk):
                 k4 = kp(k1, k2, k3)
                 # direct <pq|rs> = chem (p k1, r k3 | q k2, s k4)
-                d = np.asarray(to_host(mo_eri(
-                    df, (cs[k1], cs[k3], cs[k2], cs[k4]),
-                    (k1, k3, k2, k4))))
-                d = d.transpose(0, 2, 1, 3)            # (p,r,q,s)->(p,q,r,s)
-                d = d * ((spins[k1][:, None, None, None]
-                          == spins[k3][None, None, :, None])
-                         & (spins[k2][None, :, None, None]
-                            == spins[k4][None, None, None, :]))
+                d = mo_eri(df, (cs[k1], cs[k3], cs[k2], cs[k4]),
+                           (k1, k3, k2, k4))
                 # exchange <pq|sr> = chem (p k1, s k4 | q k2, r k3)
-                x = np.asarray(to_host(mo_eri(
-                    df, (cs[k1], cs[k4], cs[k2], cs[k3]),
-                    (k1, k4, k2, k3))))
-                x = x.transpose(0, 2, 3, 1)            # (p,s,q,r)->(p,q,r,s)
-                x = x * ((spins[k1][:, None, None, None]
-                          == spins[k4][None, None, None, :])
-                         & (spins[k2][None, :, None, None]
-                            == spins[k3][None, None, :, None]))
-                U[k1, k2, k3] = d - x
+                x = mo_eri(df, (cs[k1], cs[k4], cs[k2], cs[k3]),
+                           (k1, k4, k2, k3))
+                md = ((spins[k1][:, None, None, None]
+                       == spins[k3][None, None, :, None])
+                      & (spins[k2][None, :, None, None]
+                         == spins[k4][None, None, None, :]))
+                mx = ((spins[k1][:, None, None, None]
+                       == spins[k4][None, None, None, :])
+                      & (spins[k2][None, :, None, None]
+                         == spins[k3][None, None, :, None]))
+                b3.append(_block(d, x, jnp.asarray(md), jnp.asarray(mx)))
+            b2.append(b3)
+        blocks.append(b2)
+    U = jax.jit(lambda bs: jnp.stack(
+        [jnp.stack([jnp.stack(b3) for b3 in b2]) for b2 in bs]))(blocks)
     return U, es[:, :nocc], es[:, nocc:], nocc
+
+
+def make_eris(df, mf):
+    """Host-array variant of :func:`make_eris_dev` (one bulk device->
+    host pull), used by the host-side EOM-QP augmentation and tests."""
+    U, eo, ev, nocc = make_eris_dev(df, mf)
+    return np.asarray(to_host(U)), eo, ev, nocc
 
 
 # ----------------------------------------------------------------------
@@ -669,7 +685,7 @@ def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0,
         reference = ("fock" if getattr(mf, "xc", "hf")
                      not in (None, "hf") else "canonical")
     nk = df.nkpt
-    U, eo, ev, nocc = make_eris(df, mf)
+    U, eo, ev, nocc = make_eris_dev(df, mf)
     f_so = None
     if reference == "fock":
         f_so, _ = _hf_fock_so(df, mf)
@@ -688,25 +704,32 @@ def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0,
             for c in range(nk):
                 kp3[a, b, c] = k3c[a, c, b]
 
-    U = U / nk                               # supercell normalization
     step = make_step(nk, nocc, nvir, kp3, eo, ev, f_so=f_so)
 
     cdt = (jnp.complex128 if df.x_k.dtype == jnp.complex128
            else jnp.complex64)
-    U_dev = to_device(U, dtype=cdt)
+    # supercell normalization + MP2 guess, all on device
+    U_dev = jax.jit(lambda u: u.astype(cdt) / nk)(U)
     t1 = jnp.zeros((nk, nocc, nvir), cdt)
-    t2 = {}
-    for ki in range(nk):
-        for kj in range(nk):
-            for ka in range(nk):
-                kb = int(kp3[ki, kj, ka])
-                d = (eo[ki][:, None, None, None]
-                     + eo[kj][None, :, None, None]
-                     - ev[ka][None, None, :, None]
-                     - ev[kb][None, None, None, :])
-                t2[ki, kj, ka] = to_device(
-                    np.conj(U[ki, kj, ka, :nocc, :nocc, nocc:, nocc:]) / d,
-                    dtype=cdt)
+
+    @jax.jit
+    def _guess(u):
+        t2 = {}
+        for ki in range(nk):
+            for kj in range(nk):
+                for ka in range(nk):
+                    kb = int(kp3[ki, kj, ka])
+                    d = (eo[ki][:, None, None, None]
+                         + eo[kj][None, :, None, None]
+                         - ev[ka][None, None, :, None]
+                         - ev[kb][None, None, None, :])
+                    t2[ki, kj, ka] = (
+                        jnp.conj(u[ki, kj, ka, :nocc, :nocc,
+                                   nocc:, nocc:])
+                        / jnp.asarray(d).astype(cdt))
+        return t2
+
+    t2 = _guess(U_dev)
 
     diis = DIIS(space=diis_space)
     unpack = jax.jit(_unpack_dev, static_argnums=(1, 2, 3))
