@@ -391,7 +391,7 @@ def _equations(nk, nocc, nvir, kp3):
     return resid
 
 
-def _equations_packed(nk, nocc, nvir, kp3):
+def _equations_packed(nk, nocc, nvir, kp3, mesh=None):
     """Batched-gather formulation of ``_equations`` — identical math,
     TPU-first shape.
 
@@ -406,6 +406,13 @@ def _equations_packed(nk, nocc, nvir, kp3):
     Memory note: four contractions gather an (nk^4, o^2 v^2) operand —
     ~270 MB at nk=8 / 16 spin orbitals (f64).  For larger nso, chunk the
     gathered axis with lax.map like make_t3_energy does.
+
+    ``mesh``: a 1D device mesh (axis "d") shards every packed momentum
+    tensor (amplitudes, integral slabs, W intermediates, residual) over
+    its leading k axis via sharding constraints — GSPMD turns the
+    kconserv gathers into ICI collectives, and per-device HBM scales as
+    nk^3/ndev blocks.  N-vs-1-device agreement is gated on the 8-way CPU
+    mesh (tests/test_parallel.py).
     """
     o, v = slice(0, nocc), slice(nocc, nocc + nvir)
     KP = np.asarray(kp3)
@@ -420,28 +427,40 @@ def _equations_packed(nk, nocc, nvir, kp3):
     KPxyw4 = KP[X4, Y4, W4]                 # kp(x, y, w) on 4-axis grids
     KPxwz4 = KP[X4, W4, Z4]                 # kp(x, w, z)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _sh = NamedSharding(mesh, PartitionSpec("d"))
+
+        def cst(x):
+            return jax.lax.with_sharding_constraint(x, _sh)
+    else:
+        def cst(x):
+            return x
+
     def resid(t1, t2, f, U):
         foo = jnp.stack(list(f[0]))
         fov = jnp.stack(list(f[1]))
         fvo = jnp.stack(list(f[2]))
         fvv = jnp.stack(list(f[3]))
-        T2 = jnp.stack([jnp.stack([jnp.stack(
+        T2 = cst(jnp.stack([jnp.stack([jnp.stack(
             [t2[a, b, c] for c in range(nk)]) for b in range(nk)])
-            for a in range(nk)])
+            for a in range(nk)]))
         ein = jnp.einsum
 
         # pre-sliced integral slabs
-        Uoooo = U[..., o, o, o, o]
-        Uooov = U[..., o, o, o, v]
-        Uoovo = U[..., o, o, v, o]
-        Uoovv = U[..., o, o, v, v]
-        Uovov = U[..., o, v, o, v]
-        Uovvo = U[..., o, v, v, o]
-        Uovoo = U[..., o, v, o, o]
-        Uovvv = U[..., o, v, v, v]
-        Uvovv = U[..., v, o, v, v]
-        Uvvvo = U[..., v, v, v, o]
-        Uvvvv = U[..., v, v, v, v]
+        U = cst(U)
+        Uoooo = cst(U[..., o, o, o, o])
+        Uooov = cst(U[..., o, o, o, v])
+        Uoovo = cst(U[..., o, o, v, o])
+        Uoovv = cst(U[..., o, o, v, v])
+        Uovov = cst(U[..., o, v, o, v])
+        Uovvo = cst(U[..., o, v, v, o])
+        Uovoo = cst(U[..., o, v, o, o])
+        Uovvv = cst(U[..., o, v, v, v])
+        Uvovv = cst(U[..., v, o, v, v])
+        Uvvvo = cst(U[..., v, v, v, o])
+        Uvvvv = cst(U[..., v, v, v, v])
 
         # ---- tau (t1 parts are momentum-diagonal: scatter-add) ----
         t1t1 = ein("kia,ljb->klijab", t1, t1)
@@ -449,8 +468,8 @@ def _equations_packed(nk, nocc, nvir, kp3):
         tadd = jnp.zeros_like(T2)
         tadd = tadd.at[X2, Y2, X2].add(t1t1)
         tadd = tadd.at[X2, Y2, Y2].add(-t1t1x)
-        tau = T2 + tadd
-        tau_t = T2 + 0.5 * tadd
+        tau = cst(T2 + tadd)
+        tau_t = cst(T2 + 0.5 * tadd)
 
         # ---- F intermediates (k-diagonal, shape (nk, ...)) ----
         f_ae = (fvv - 0.5 * ein("kma,kme->kae", t1, fov)
@@ -476,28 +495,31 @@ def _equations_packed(nk, nocc, nvir, kp3):
         kj_b = KPxyz
         t1_g = t1[kj_b]
         raw_o = ein("xyzje,xyzmnie->xyzmnij", t1_g, Uooov)
-        w_oooo = (Uoooo + raw_o
-                  - raw_o[X3, Y3, kj_b].transpose(0, 1, 2, 3, 4, 6, 5)
-                  + 0.25 * ein("xyzwijef,xywmnef->xyzmnij",
-                               tau[Z4, kj_b[:, :, :, None], W4], Uoovv))
+        w_oooo = cst(Uoooo + raw_o
+                     - raw_o[X3, Y3, kj_b].transpose(0, 1, 2, 3, 4, 6, 5)
+                     + 0.25 * ein("xyzwijef,xywmnef->xyzmnij",
+                                  tau[Z4, kj_b[:, :, :, None], W4],
+                                  Uoovv))
 
         # ---- W_abef, blocks [x=ka, y=kb, z=ke] ----
         raw_v = ein("ymb,xyzamef->xyzabef", t1, Uvovv)
-        w_vvvv = (Uvvvv - raw_v
-                  + jnp.swapaxes(raw_v, 0, 1).transpose(0, 1, 2, 4, 3,
-                                                        5, 6)
-                  + 0.25 * ein("xywmnab,xyzwmnef->xyzabef",
-                               tau[Z3, KPxyz, X3],
-                               Uoovv[W4, KPxyw4, Z4]))
+        w_vvvv = cst(Uvvvv - raw_v
+                     + jnp.swapaxes(raw_v, 0, 1).transpose(0, 1, 2, 4, 3,
+                                                           5, 6)
+                     + 0.25 * ein("xywmnab,xyzwmnef->xyzabef",
+                                  tau[Z3, KPxyz, X3],
+                                  Uoovv[W4, KPxyw4, Z4]))
 
         # ---- W_mbej, blocks [x=km, y=kb, z=ke] (kj = kp(x,y,z)) ----
         kf_g = KP[kj_b[:, :, :, None], W4, Y4]
-        w_ovvo = (Uovvo
-                  + ein("xyzjf,xyzmbef->xyzmbej", t1_g, Uovvv)
-                  - ein("ynb,xyzmnej->xyzmbej", t1, Uoovo)
-                  - ein("xyzjf,ynb,xyzmnef->xyzmbej", t1_g, t1, Uoovv)
-                  - 0.5 * ein("xyzwjnfb,xwzmnef->xyzmbej",
-                              T2[kj_b[:, :, :, None], W4, kf_g], Uoovv))
+        w_ovvo = cst(Uovvo
+                     + ein("xyzjf,xyzmbef->xyzmbej", t1_g, Uovvv)
+                     - ein("ynb,xyzmnej->xyzmbej", t1, Uoovo)
+                     - ein("xyzjf,ynb,xyzmnef->xyzmbej", t1_g, t1,
+                           Uoovv)
+                     - 0.5 * ein("xyzwjnfb,xwzmnef->xyzmbej",
+                                 T2[kj_b[:, :, :, None], W4, kf_g],
+                                 Uoovv))
 
         # ---- T2 residual, blocks [x=ki, y=kj, z=ka] (kb = kp(x,y,z)) --
         kb_b = KPxyz
@@ -514,7 +536,7 @@ def _equations_packed(nk, nocc, nvir, kp3):
                  + ein("xwzimae,xyzwmbej->xyzijab", T2,
                        w_ovvo[W4, kb_b[:, :, :, None], KPxwz4]))
 
-        r2 = Uoovv.conj()
+        r2 = cst(Uoovv.conj())
         r2 = r2 + (raw_ab
                    - raw_ab[X3, Y3, kb_b].transpose(0, 1, 2, 3, 4, 6, 5))
         r2 = r2 + (raw_ij
@@ -572,7 +594,7 @@ def _hf_fock_so(df, mf):
     return f_so, nocc
 
 
-def make_step(nk, nocc, nvir, kp3, eo, ev, f_so=None):
+def make_step(nk, nocc, nvir, kp3, eo, ev, f_so=None, mesh=None):
     """Build the jitted CCSD update ``step(t1, t2, U) -> (t1, t2, e)``.
 
     kp3[a,b,c] = index of k_a + k_b - k_c.  ``e`` is the supercell
@@ -604,7 +626,7 @@ def make_step(nk, nocc, nvir, kp3, eo, ev, f_so=None):
                     - ev[ka][None, None, :, None]
                     - ev[kb][None, None, None, :])
 
-    resid = _equations_packed(nk, nocc, nvir, kp3)
+    resid = _equations_packed(nk, nocc, nvir, kp3, mesh=mesh)
 
     def step(t1, t2, U):
         cplx = U.dtype
@@ -662,7 +684,7 @@ def _unpack_dev(vec, nk, nocc, nvir):
 
 
 def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0,
-          return_amps=False, reference="auto"):
+          return_amps=False, reference="auto", dev_mesh=None):
     """CCSD correlation energy per cell from a converged ``mf`` on the
     ISDF factorization ``df``.  Returns (e_corr, info).
 
@@ -678,6 +700,9 @@ def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0,
     relative to the HF energy *functional at the reference determinant*
     (not the KS total energy); for a 2-electron system
     E_det(ref) + E_corr is reference-independent (= FCI) — gated.
+
+    ``dev_mesh``: a 1D device mesh (axis "d") shards the packed momentum
+    tensors over devices (GSPMD; see _equations_packed).
     """
     from fftisdf_tpu.scf.hf import DIIS
 
@@ -704,12 +729,18 @@ def kccsd(df, mf, conv_tol=1e-7, max_cycle=60, diis_space=8, verbose=0,
             for c in range(nk):
                 kp3[a, b, c] = k3c[a, c, b]
 
-    step = make_step(nk, nocc, nvir, kp3, eo, ev, f_so=f_so)
+    step = make_step(nk, nocc, nvir, kp3, eo, ev, f_so=f_so,
+                     mesh=dev_mesh)
 
     cdt = (jnp.complex128 if df.x_k.dtype == jnp.complex128
            else jnp.complex64)
     # supercell normalization + MP2 guess, all on device
     U_dev = jax.jit(lambda u: u.astype(cdt) / nk)(U)
+    if dev_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        U_dev = jax.device_put(
+            U_dev, NamedSharding(dev_mesh, PartitionSpec("d")))
     t1 = jnp.zeros((nk, nocc, nvir), cdt)
 
     @jax.jit
