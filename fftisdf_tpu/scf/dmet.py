@@ -84,8 +84,7 @@ def build_embedding(mf, frag_ao, tol=1e-7):
 
     # k components: v_k[nu] = sum_R phase[R,k]^* v[(R,nu)]
     bath_k = np.einsum("Rk,bRv->kvb", phase.conj(),
-                       bath_sc.reshape(nbath, nk, nao)
-                       .transpose(0, 1, 2))
+                       bath_sc.reshape(nbath, nk, nao))
     nemb = nfrag + nbath
     c_oao = np.zeros((nk, nao, nemb), dtype=complex)
     for i, f in enumerate(frag):

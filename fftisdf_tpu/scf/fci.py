@@ -34,23 +34,29 @@ import numpy as np
 _MAX_ORB = 8
 
 
-def _popcount_below(state, mode):
-    return bin(state & ((1 << mode) - 1)).count("1")
+def _popcount64(x):
+    """Vectorized popcount for int64 arrays."""
+    x = x - ((x >> 1) & 0x5555555555555555)
+    x = (x & 0x3333333333333333) + ((x >> 2) & 0x3333333333333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F0F0F0F0F
+    return (x * 0x0101010101010101) >> 56
 
 
-def _apply_string(ops, state):
-    """Apply a right-to-left string of (mode, create) to a bitmask.
-    Returns (state', sign) or (None, 0) if annihilated."""
-    sign = 1
+def _apply_string_vec(ops, states):
+    """Apply a right-to-left string of (mode, create) to an int64 state
+    array.  Returns (new_states, sign (+-1), valid mask) — vectorized
+    over the determinant basis."""
+    st = states.copy()
+    sign = np.ones(len(states), dtype=np.int64)
+    valid = np.ones(len(states), dtype=bool)
     for mode, create in reversed(ops):
-        bit = 1 << mode
-        occupied = state & bit
-        if (create and occupied) or (not create and not occupied):
-            return None, 0
-        if _popcount_below(state, mode) & 1:
-            sign = -sign
-        state ^= bit
-    return state, sign
+        bit = np.int64(1 << mode)
+        occupied = (st & bit) != 0
+        valid &= (~occupied if create else occupied)
+        parity = _popcount64(st & np.int64(bit - 1)) & 1
+        sign = np.where(parity == 1, -sign, sign)
+        st = st ^ bit
+    return st, sign, valid
 
 
 def _sector_basis(n, na, nb):
@@ -82,63 +88,68 @@ def fci_ground(h1, eri, nelec):
     else:
         nb = int(nelec) // 2
         na = int(nelec) - nb
-    states = _sector_basis(n, na, nb)
-    index = {s: i for i, s in enumerate(states)}
+    states = np.array(_sector_basis(n, na, nb), dtype=np.int64)
     dim = len(states)
+    order = np.argsort(states)
+    sorted_states = states[order]
 
-    terms1 = [(h1[p, q], p, q) for p in range(n) for q in range(n)
-              if abs(h1[p, q]) > 1e-14]
-    terms2 = [(eri[p, q, r, s], p, q, r, s)
-              for p in range(n) for q in range(n)
-              for r in range(n) for s in range(n)
-              if abs(eri[p, q, r, s]) > 1e-14]
+    def rows_of(new_states):
+        pos = np.searchsorted(sorted_states, new_states)
+        pos = np.clip(pos, 0, dim - 1)
+        # spin-sector conservation guarantees membership; verify anyway
+        assert np.array_equal(sorted_states[pos], new_states)
+        return order[pos]
+
+    cols = np.arange(dim)
+
+    def accumulate(mat, ops, val):
+        st2, sg, ok = _apply_string_vec(ops, states)
+        if not ok.any():
+            return
+        rows = rows_of(st2[ok])
+        np.add.at(mat, (rows, cols[ok]), val * sg[ok])
 
     H = np.zeros((dim, dim), dtype=complex)
-    for j, st in enumerate(states):
-        for val, p, q in terms1:
-            for sp in (0, n):
-                st2, sg = _apply_string(
-                    [(p + sp, True), (q + sp, False)], st)
-                if st2 is not None:
-                    H[index[st2], j] += sg * val
-        for val, p, q, r, s in terms2:
-            for s1 in (0, n):
-                for s2 in (0, n):
-                    st2, sg = _apply_string(
-                        [(p + s1, True), (r + s2, True),
-                         (s + s2, False), (q + s1, False)], st)
-                    if st2 is not None:
-                        H[index[st2], j] += 0.5 * sg * val
+    for p in range(n):
+        for q in range(n):
+            if abs(h1[p, q]) > 1e-14:
+                for sp in (0, n):
+                    accumulate(H, [(p + sp, True), (q + sp, False)],
+                               h1[p, q])
+            for r in range(n):
+                for s in range(n):
+                    val = eri[p, q, r, s]
+                    if abs(val) > 1e-14:
+                        for s1 in (0, n):
+                            for s2 in (0, n):
+                                accumulate(
+                                    H, [(p + s1, True), (r + s2, True),
+                                        (s + s2, False),
+                                        (q + s1, False)], 0.5 * val)
     w, vecs = np.linalg.eigh(H)
     e0 = float(w[0])
     v = vecs[:, 0]
 
+    def expval(ops):
+        st2, sg, ok = _apply_string_vec(ops, states)
+        if not ok.any():
+            return 0.0
+        rows = rows_of(st2[ok])
+        return np.sum(np.conj(v[rows]) * sg[ok] * v[cols[ok]])
+
     gamma = np.zeros((n, n), dtype=complex)
     Gam = np.zeros((n,) * 4, dtype=complex)
-    for j, st in enumerate(states):
-        if abs(v[j]) < 1e-14:
-            continue
-        for p in range(n):
-            for q in range(n):
-                for sp in (0, n):
-                    st2, sg = _apply_string(
-                        [(p + sp, True), (q + sp, False)], st)
-                    if st2 is not None:
-                        gamma[p, q] += np.conj(v[index[st2]]) * sg * v[j]
-        for p in range(n):
-            for q in range(n):
-                for r in range(n):
-                    for s in range(n):
-                        for s1 in (0, n):
-                            for s2 in (0, n):
-                                st2, sg = _apply_string(
-                                    [(p + s1, True), (r + s2, True),
-                                     (s + s2, False), (q + s1, False)],
-                                    st)
-                                if st2 is not None:
-                                    Gam[p, q, r, s] += (
-                                        np.conj(v[index[st2]]) * sg
-                                        * v[j])
+    for p in range(n):
+        for q in range(n):
+            for sp in (0, n):
+                gamma[p, q] += expval([(p + sp, True), (q + sp, False)])
+            for r in range(n):
+                for s in range(n):
+                    for s1 in (0, n):
+                        for s2 in (0, n):
+                            Gam[p, q, r, s] += expval(
+                                [(p + s1, True), (r + s2, True),
+                                 (s + s2, False), (q + s1, False)])
     e_check = (np.einsum("pq,pq->", h1, gamma)
                + 0.5 * np.einsum("pqrs,pqrs->", eri, Gam))
     assert abs(e_check - e0) < 1e-8 * max(1.0, abs(e0)), (e_check, e0)
