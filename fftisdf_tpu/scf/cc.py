@@ -391,7 +391,8 @@ def _equations(nk, nocc, nvir, kp3):
     return resid
 
 
-def _equations_packed(nk, nocc, nvir, kp3, mesh=None):
+def _equations_packed(nk, nocc, nvir, kp3, mesh=None,
+                      include_drive=True):
     """Batched-gather formulation of ``_equations`` — identical math,
     TPU-first shape.
 
@@ -413,6 +414,11 @@ def _equations_packed(nk, nocc, nvir, kp3, mesh=None):
     kconserv gathers into ICI collectives, and per-device HBM scales as
     nk^3/ndev blocks.  N-vs-1-device agreement is gated on the 8-way CPU
     mesh (tests/test_parallel.py).
+   
+    ``include_drive=False`` drops the T2 driving term conj(<ij||ab>) —
+    the ONE conj(U) in the residual — so the returned function is
+    holomorphic in U; the 2-RDM machinery (lambda_rdm2) adds the
+    driving's density contribution analytically.
     """
     o, v = slice(0, nocc), slice(nocc, nocc + nvir)
     KP = np.asarray(kp3)
@@ -536,7 +542,8 @@ def _equations_packed(nk, nocc, nvir, kp3, mesh=None):
                  + ein("xwzimae,xyzwmbej->xyzijab", T2,
                        w_ovvo[W4, kb_b[:, :, :, None], KPxwz4]))
 
-        r2 = cst(Uoovv.conj())
+        r2 = (cst(Uoovv.conj()) if include_drive
+              else jnp.zeros_like(Uoovv))
         r2 = r2 + (raw_ab
                    - raw_ab[X3, Y3, kb_b].transpose(0, 1, 2, 3, 4, 6, 5))
         r2 = r2 + (raw_ij
@@ -1152,6 +1159,253 @@ def lambda_rdm(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
     gvo = [to_host(grads[2][k]) for k in range(nk)]
     gvv = [to_host(grads[3][k]) for k in range(nk)]
     return (goo, gov, gvo, gvv), to_host(lam)
+
+
+def lambda_rdm2(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev,
+                lam=None):
+    """Unrelaxed CCSD two-particle density, antisymmetrized spin-orbital
+    pairing:  Gamma_as[k1,k2,k3][p,q,r,s] = <(1+Lambda) e^-T p+ q+ s r
+    e^T>  (the density paired with <pq||rs> in  E2 = 1/4 sum u Gamma).
+
+    Autodiff route: U enters the Lagrangian linearly and holomorphically
+    except the single T2 driving term conj(U_oovv), so
+    Gamma = 4 * dL/dU (include_drive=False) plus the driving's analytic
+    contribution — lambda2 mapped through the integral Hermiticity
+    conj(U[k1,k2,k3][ijab]) = U[k3,k4,k1][abij] onto the vvoo slots.
+    Gate: literal determinant-space <(1+L) e^-T p+q+sr e^T| at a random
+    converged system (tests/test_cc.py).
+
+    Returns Gamma_as as a host (nk,nk,nk,nso,nso,nso,nso) array in the
+    same (supercell-normalized-U) units the Lagrangian uses.
+    """
+    gam1, lam2_ = lambda_rdm(nk, nocc, nvir, kp3, eo_, ev_, t1_conv,
+                             t2_conv, U_dev)
+    if lam is None:
+        lam = lam2_
+    resid_nd = _equations_packed(nk, nocc, nvir, kp3,
+                                 include_drive=False)
+    cdt = U_dev.dtype
+    n1 = nk * nocc * nvir
+    blk = nocc * nocc * nvir * nvir
+    f0 = ([jnp.asarray(np.diag(eo_[k])).astype(cdt) for k in range(nk)],
+          [jnp.zeros((nocc, nvir), cdt) for _ in range(nk)],
+          [jnp.zeros((nvir, nocc), cdt) for _ in range(nk)],
+          [jnp.asarray(np.diag(ev_[k])).astype(cdt) for k in range(nk)])
+    lam_dev = to_device(lam, dtype=cdt)
+
+    def unpack(vec):
+        t1 = vec[:n1].reshape(nk, nocc, nvir)
+        t2 = {}
+        off = n1
+        for ki in range(nk):
+            for kj in range(nk):
+                for ka in range(nk):
+                    t2[ki, kj, ka] = vec[off:off + blk].reshape(
+                        nocc, nocc, nvir, nvir)
+                    off += blk
+        return t1, t2
+
+    tvec = _pack_dev(t1_conv, t2_conv, nk).astype(cdt)
+
+    def lagr_u(up):
+        t1_, t2_ = unpack(tvec)
+        r1, r2, e = resid_nd(t1_, t2_, f0, up)
+        return e + jnp.sum(lam_dev * _pack_dev(jnp.stack(r1), r2, nk))
+
+    g = to_host(jax.grad(lagr_u, holomorphic=True)(U_dev))
+    gam2 = 4.0 * g
+    # analytic driving part: sum lam2[k1,k2,k3][ijab] d conj(U_oovv)
+    #                      = sum lam2[k1,k2,k3][ijab] dU[k3,k4,k1][abij]
+    lam2 = np.asarray(lam[n1:]).reshape((nk,) * 3 + (nocc, nocc,
+                                                     nvir, nvir))
+    kp3 = np.asarray(kp3)
+    for k1 in range(nk):
+        for k2 in range(nk):
+            for k3 in range(nk):
+                k4 = int(kp3[k1, k2, k3])
+                gam2[k3, k4, k1, nocc:, nocc:, :nocc, :nocc] += (
+                    4.0 * lam2[k1, k2, k3].transpose(2, 3, 0, 1))
+    # project onto the exact operator antisymmetries (the derivative may
+    # split weight unevenly over redundant slots; u carries these
+    # symmetries exactly, so contractions are unchanged and the result
+    # is the canonical — literal — representative).  NB: do NOT
+    # hermitize — the unrelaxed CC density is genuinely non-Hermitian
+    # away from the exactness limit (gated at 3 electrons).
+    ar = np.arange(nk)
+    X3, Y3, Z3 = ar[:, None, None], ar[None, :, None], ar[None, None, :]
+    k4_b = kp3[X3, Y3, Z3]
+    # bra antisymmetry (p<->q, k1<->k2)
+    gam2 = 0.5 * (gam2 - gam2.transpose(1, 0, 2, 4, 3, 5, 6))
+    # ket antisymmetry (r<->s, k3<->k4)
+    gam2 = 0.5 * (gam2 - gam2[X3, Y3, k4_b].transpose(0, 1, 2, 3, 4,
+                                                      6, 5))
+    # The Lagrangian holds the fock fixed and omits E_ref, but a
+    # physical du both moves the fock (by its occupied trace, paired
+    # with gamma_corr) and shifts the determinant energy (paired with
+    # the reference 2-RDM).  Add both in canonical (already projected)
+    # form:  Gamma_ref = delta delta - exchange, and the antisymmetrized
+    # gamma_corr x delta_occ cross product.
+    nso = nocc + nvir
+    goo, gov, gvo, gvv = gam1
+    gc = np.zeros((nk, nso, nso), dtype=complex)
+    for k in range(nk):
+        gc[k, :nocc, :nocc] = goo[k] - np.eye(nocc)   # correlation only
+        gc[k, :nocc, nocc:] = gov[k]
+        gc[k, nocc:, :nocc] = gvo[k]
+        gc[k, nocc:, nocc:] = gvv[k]
+    d_occ = np.zeros((nso, nso))
+    d_occ[:nocc, :nocc] = np.eye(nocc)
+    eye_o = np.eye(nocc)
+    for k1 in range(nk):
+        for k2 in range(nk):
+            # blocks [k1, k2, k1]: delta_pr-type pairings
+            blk13 = gam2[k1, k2, k1]
+            blk13[:nocc, :nocc, :nocc, :nocc] += np.einsum(
+                "pr,qs->pqrs", eye_o, eye_o)
+            blk13 += (np.einsum("pr,qs->pqrs", gc[k1], d_occ)
+                      + np.einsum("pr,qs->pqrs", d_occ, gc[k2]))
+            # blocks [k1, k2, k2]: delta_ps-type (exchange) pairings
+            blk14 = gam2[k1, k2, k2]
+            blk14[:nocc, :nocc, :nocc, :nocc] -= np.einsum(
+                "ps,qr->pqrs", eye_o, eye_o)
+            blk14 -= (np.einsum("ps,qr->pqrs", gc[k1], d_occ)
+                      + np.einsum("ps,qr->pqrs", d_occ, gc[k2]))
+    return gam2
+
+
+def ccsd_solver(h1, eri, nelec, conv_tol=1e-9, max_cycle=100,
+                diis_space=8):
+    """Molecular-style CCSD solver with RDMs: (h1, eri, nelec) ->
+    (e_elec, gamma, Gamma) in scf.fci conventions — a drop-in impurity
+    solver for scf.dmet beyond exact-diagonalization reach.
+
+    h1 (n, n) complex Hermitian; eri chemists' (pq|rs); closed-shell
+    nelec.  Internally: a small RHF solve fixes the reference
+    determinant, the spin-orbital CC machinery (make_step at nk=1) runs
+    in the canonical MO basis, and the unrelaxed CC RDMs come from the
+    Lambda/Lagrangian machinery (lambda_rdm / lambda_rdm2), mapped back
+    to the input basis.  Gates: equals FCI exactly for 2 electrons, and
+    tracks it closely on 4-electron embeddings (tests/test_dmet.py).
+    """
+    from fftisdf_tpu.scf.hf import DIIS
+
+    h1 = np.asarray(h1, dtype=complex)
+    eri = np.asarray(eri, dtype=complex)
+    n = h1.shape[0]
+    nelec = int(nelec) if not isinstance(nelec, (tuple, list)) \
+        else int(sum(nelec))
+    assert nelec % 2 == 0, "closed-shell solver"
+    no = nelec // 2
+    nv = n - no
+
+    # small dense RHF (fci gamma convention: gamma[p,q] = <p+ q>)
+    gamma = np.zeros((n, n), dtype=complex)
+    gamma[:no, :no] = 2.0 * np.eye(no)
+    c_mo = np.eye(n, dtype=complex)
+    diis = DIIS(space=8)
+    for it in range(200):
+        f = h1 + _vhf_chem(eri, gamma)
+        err = f @ gamma.T - gamma.T @ f
+        f = diis.update(f.ravel(), err.ravel()).reshape(n, n)
+        w, c_mo = np.linalg.eigh(0.5 * (f + f.conj().T))
+        gamma_new = 2.0 * (c_mo[:, :no] @ c_mo[:, :no].conj().T).T
+        dg = float(np.max(np.abs(gamma_new - gamma)))
+        gamma = gamma_new
+        if dg < 1e-11:
+            break
+    assert dg < 1e-9, f"embedded RHF did not converge (|dD|={dg:.1e})"
+    e_hf = (np.einsum("pq,pq->", h1, gamma)
+            + 0.5 * np.einsum("pq,pq->", _vhf_chem(eri, gamma), gamma))
+
+    # MO-basis integrals; spin-orbital order [occ_a, occ_b, vir_a, vir_b]
+    eri_mo = np.einsum("pm,qn,rk,sl,pqrs->mnkl", c_mo.conj(), c_mo,
+                       c_mo.conj(), c_mo, eri, optimize=True)
+    spat = np.array([*range(no), *range(no), *range(no, n),
+                     *range(no, n)])
+    spin = np.array([0] * no + [1] * no + [0] * nv + [1] * nv)
+    nso = 2 * n
+    phys = eri_mo.transpose(0, 2, 1, 3)        # <pq|rs> = (pr|qs)
+    d = (phys[np.ix_(spat, spat, spat, spat)]
+         * ((spin[:, None, None, None] == spin[None, None, :, None])
+            & (spin[None, :, None, None] == spin[None, None, None, :])))
+    x = (phys.transpose(0, 1, 3, 2)[np.ix_(spat, spat, spat, spat)]
+         * ((spin[:, None, None, None] == spin[None, None, None, :])
+            & (spin[None, :, None, None] == spin[None, None, :, None])))
+    U = (d - x)[None, None, None]
+    e_so = np.concatenate([w[:no], w[:no], w[no:], w[no:]])
+    # fock diag in the canonical MO basis is w
+    eo = e_so[None, :2 * no]
+    ev = e_so[None, 2 * no:]
+    kp3 = np.zeros((1, 1, 1), dtype=np.int64)
+    nocc_so, nvir_so = 2 * no, 2 * nv
+    step = make_step(1, nocc_so, nvir_so, kp3, eo, ev)
+    U_dev = to_device(U)
+    d2 = (eo[0][:, None, None, None] + eo[0][None, :, None, None]
+          - ev[0][None, None, :, None] - ev[0][None, None, None, :])
+    t1 = jnp.zeros((1, nocc_so, nvir_so), jnp.complex128)
+    t2 = {(0, 0, 0): to_device(
+        np.conj(U[0, 0, 0, :nocc_so, :nocc_so, nocc_so:, nocc_so:])
+        / d2)}
+    adiis = DIIS(space=diis_space)
+    vec_old = _pack(t1, t2, 1)
+    conv = False
+    for it in range(max_cycle):
+        t1n, t2n, e_dev = step(t1, t2, U_dev)
+        vec_new = _pack(t1n, t2n, 1)
+        err = vec_new - vec_old
+        dt = float(np.linalg.norm(err) / np.sqrt(err.size))
+        vec_old = adiis.update(vec_new, err)
+        t1, t2 = jax.jit(_unpack_dev, static_argnums=(1, 2, 3))(
+            to_device(vec_old), 1, nocc_so, nvir_so)
+        if dt < conv_tol:
+            conv = True
+            break
+    assert conv, "embedded CCSD did not converge"
+    _, _, e_dev = step(t1, t2, U_dev)
+    e_corr = complex(to_host(e_dev))
+
+    gam_blocks, lam = lambda_rdm(1, nocc_so, nvir_so, kp3, eo, ev,
+                                 t1, t2, U_dev)
+    gam2_so = lambda_rdm2(1, nocc_so, nvir_so, kp3, eo, ev, t1, t2,
+                          U_dev, lam=lam)[0, 0, 0]
+    goo, gov, gvo, gvv = gam_blocks
+    g_so = np.block([[goo[0], gov[0]], [gvo[0], gvv[0]]])
+    # spin-orbital -> spatial MO (fci conventions):
+    #   gamma[m,n]      = sum_s <m_s+ n_s>
+    #   Gamma[m,n,k,l]  = sum_st <m_s+ k_t+ l_t n_s> = Gamma_as[m,k,n,l]
+    g_mo = np.zeros((n, n), dtype=complex)
+    g2_mo = np.zeros((n,) * 4, dtype=complex)
+    for s1 in range(2):
+        sel1 = np.where(spin == s1)[0]
+        m1 = spat[sel1]
+        g_mo[np.ix_(m1, m1)] += g_so[np.ix_(sel1, sel1)]
+        for s2 in range(2):
+            sel2 = np.where(spin == s2)[0]
+            m2 = spat[sel2]
+            g2_mo[np.ix_(m1, m1, m2, m2)] += gam2_so[
+                np.ix_(sel1, sel2, sel1, sel2)].transpose(0, 2, 1, 3)
+    # back to the input basis: a_p+ = sum_m conj(C[p,m]) a_m+
+    g_out = np.einsum("pm,mn,qn->pq", c_mo.conj(), g_mo, c_mo)
+    g2_out = np.einsum("pm,qn,rk,sl,mnkl->pqrs", c_mo.conj(), c_mo,
+                       c_mo.conj(), c_mo, g2_mo, optimize=True)
+    # NB: truncated CC energies on complex Hermitian integrals carry a
+    # genuine (small) imaginary part unless symmetry forces reality —
+    # the density reconstruction must match it exactly, and the solver
+    # returns the real part.
+    e_elec = e_hf + e_corr
+    e_check = (np.einsum("pq,pq->", h1, g_out)
+               + 0.5 * np.einsum("pqrs,pqrs->", eri, g2_out))
+    assert abs(e_check - e_elec) < 1e-7 * max(1.0, abs(e_elec)), \
+        (e_check, e_elec)
+    return float(np.real(e_elec)), g_out, g2_out
+
+
+def _vhf_chem(eri, gamma):
+    """Closed-shell HF potential for chemists' (pq|rs) and
+    gamma[p,q] = <p+ q> (spin-summed)."""
+    j = np.einsum("pqrs,rs->pq", eri, gamma)
+    k = np.einsum("plrq,rl->pq", eri, gamma)
+    return j - 0.5 * k
 
 
 def onerdm(df, mf, conv_tol=1e-8, max_cycle=80, verbose=0):

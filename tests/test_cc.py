@@ -450,6 +450,71 @@ def test_onerdm_matches_determinant_oracle():
     np.testing.assert_allclose(np.trace(g_tensor).real, no, atol=1e-9)
 
 
+@pytest.mark.parametrize("no,nv", [(2, 3), (3, 2)])
+def test_rdm2_matches_determinant_oracle(no, nv):
+    """lambda_rdm2 (autodiff Lagrangian + analytic driving part) vs the
+    literal <(1+Lambda) e^-T p+ q+ s r e^T> with the determinant-space
+    Lambda — and the energy rebuilt from (gamma, Gamma).  The (3, 2)
+    case has 3 electrons (CCSD inexact), pinning the genuinely
+    non-Hermitian parts of the unrelaxed density."""
+    rng = np.random.default_rng(37)
+    n = no + nv
+    u = 0.1 * _random_u(n, rng)
+    e = np.concatenate([-1.0 - rng.random(no), 1.0 + rng.random(nv)])
+    t1, t2, U, kp3 = _converge_random(no, nv, u, e)
+
+    gam1_blocks, lam = cc_mod.lambda_rdm(
+        1, no, nv, kp3, e[None, :no], e[None, no:], t1, t2, U)
+    gam2 = cc_mod.lambda_rdm2(1, no, nv, kp3, e[None, :no],
+                              e[None, no:], t1, t2, U, lam=lam)[0, 0, 0]
+
+    # oracle Lambda (independent solve) + literal 2-density
+    oracle = Oracle(u, e, no)
+    labels, bmat = cc_mod._amp_basis(1, no, nv, kp3)
+    n1 = no * nv
+    ops = [oracle.t_matrix(col[:n1].reshape(no, nv),
+                           col[n1:].reshape(no, no, nv, nv))
+           for col in bmat.T]
+    T = oracle.t_matrix(np.asarray(t1[0]), np.asarray(t2[0, 0, 0]))
+    expT, expmT = _expm_nilpotent(T), _expm_nilpotent(-T)
+    hbar = expmT @ oracle.H @ expT
+    m = len(ops)
+    b = np.array([np.vdot(oracle.psi0, hbar @ op @ oracle.psi0)
+                  for op in ops])
+    A = np.empty((m, m), dtype=complex)
+    for nu, opn in enumerate(ops):
+        comm = hbar @ opn - opn @ hbar
+        for mu, opm in enumerate(ops):
+            A[nu, mu] = np.vdot(oracle.psi0, opm.T @ comm @ oracle.psi0)
+    lam_o = np.linalg.solve(A, -b)
+    lam_mat = sum(lam_o[mu] * ops[mu].T for mu in range(m))
+    left = (np.eye(hbar.shape[0]) + lam_mat).conj().T @ oracle.psi0
+
+    c, cd = oracle.c, oracle.cd
+    g2_o = np.empty((n,) * 4, dtype=complex)
+    base = expT @ oracle.psi0
+    for p in range(n):
+        for q in range(n):
+            for r in range(n):
+                for s in range(n):
+                    v = cd[p] @ (cd[q] @ (c[s] @ (c[r] @ base)))
+                    g2_o[p, q, r, s] = np.vdot(left, expmT @ v)
+    np.testing.assert_allclose(gam2, g2_o, atol=1e-9)
+
+    # energy rebuilt from the densities == E_HF-det + E_corr
+    goo, gov, gvo, gvv = gam1_blocks
+    g1 = np.block([[goo[0], gov[0]], [gvo[0], gvv[0]]])
+    h1 = np.diag(e).astype(complex)
+    h1 -= np.einsum("piqi->pq", u[:, :no, :, :no])
+    e_tot = (np.einsum("pq,pq->", h1, g1)
+             + 0.25 * np.einsum("pqrs,pqrs->", u, gam2))
+    e_ref = np.vdot(oracle.psi0, oracle.H @ oracle.psi0)
+    _, _, e_corr_dev = cc_mod.make_step(
+        1, no, nv, kp3, e[None, :no], e[None, no:])(t1, t2, U)
+    np.testing.assert_allclose(e_tot, e_ref + complex(e_corr_dev),
+                               atol=1e-9)
+
+
 def _random_u(n, rng):
     """Random antisymmetrized integrals with physical symmetries:
     v[pqrs]=v[qpsr] (exchange), v[pqrs]=conj(v[rspq]) (hermitian);
