@@ -1162,7 +1162,7 @@ def lambda_rdm(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev):
 
 
 def lambda_rdm2(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev,
-                lam=None):
+                lam=None, gam1=None):
     """Unrelaxed CCSD two-particle density, antisymmetrized spin-orbital
     pairing:  Gamma_as[k1,k2,k3][p,q,r,s] = <(1+Lambda) e^-T p+ q+ s r
     e^T>  (the density paired with <pq||rs> in  E2 = 1/4 sum u Gamma).
@@ -1178,10 +1178,9 @@ def lambda_rdm2(nk, nocc, nvir, kp3, eo_, ev_, t1_conv, t2_conv, U_dev,
     Returns Gamma_as as a host (nk,nk,nk,nso,nso,nso,nso) array in the
     same (supercell-normalized-U) units the Lagrangian uses.
     """
-    gam1, lam2_ = lambda_rdm(nk, nocc, nvir, kp3, eo_, ev_, t1_conv,
-                             t2_conv, U_dev)
-    if lam is None:
-        lam = lam2_
+    if lam is None or gam1 is None:
+        gam1, lam = lambda_rdm(nk, nocc, nvir, kp3, eo_, ev_, t1_conv,
+                               t2_conv, U_dev)
     resid_nd = _equations_packed(nk, nocc, nvir, kp3,
                                  include_drive=False)
     cdt = U_dev.dtype
@@ -1367,7 +1366,7 @@ def ccsd_solver(h1, eri, nelec, conv_tol=1e-9, max_cycle=100,
     gam_blocks, lam = lambda_rdm(1, nocc_so, nvir_so, kp3, eo, ev,
                                  t1, t2, U_dev)
     gam2_so = lambda_rdm2(1, nocc_so, nvir_so, kp3, eo, ev, t1, t2,
-                          U_dev, lam=lam)[0, 0, 0]
+                          U_dev, lam=lam, gam1=gam_blocks)[0, 0, 0]
     goo, gov, gvo, gvv = gam_blocks
     g_so = np.block([[goo[0], gov[0]], [gvo[0], gvv[0]]])
     # spin-orbital -> spatial MO (fci conventions):
