@@ -94,6 +94,19 @@ def main():
         lumo = ea_k if lumo is None else min(lumo, ea_k)
     print(f"correlated fundamental gap  IP+EA = {homo + lumo:+.4f} Ha")
 
+    from fftisdf_tpu.scf.gw import g0w0
+
+    t0 = time.perf_counter()
+    e_qp, gw_info = g0w0(df, mf, nw=32)
+    print(f"G0W0 quasiparticles ({time.perf_counter()-t0:.1f}s):")
+    for k in range(len(kpts)):
+        z = gw_info["z"][k]
+        print(f"  k{k}:  HOMO = {e_qp[k, 0]:+.4f} (Z={z[0]:.2f})   "
+              f"LUMO = {e_qp[k, 1]:+.4f} (Z={z[1]:.2f})")
+    gw_gap = e_qp[:, 1].min() - e_qp[:, 0].max()
+    print(f"G0W0 fundamental gap = {gw_gap:+.4f} Ha "
+          f"(EOM-CC {homo + lumo:+.4f})")
+
 
 if __name__ == "__main__":
     main()
