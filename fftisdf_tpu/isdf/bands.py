@@ -56,7 +56,7 @@ import jax.numpy as jnp
 
 from fftisdf_tpu.basis.eval import make_evaluator
 from fftisdf_tpu.isdf.kpoint import _sector_wq
-from fftisdf_tpu.utils.device import to_device
+from fftisdf_tpu.utils.device import to_device, czeros
 
 
 def _band_coulG(cell, q, gv, dmin2):
@@ -184,7 +184,7 @@ def get_jk_bands(df, dm_kpts, kpts_band, with_j=True, with_k=True):
     nset, _, nao, _ = dmset.shape
     vk_parts = []
     for b in range(nb):
-        acc = jnp.zeros((nset, nao, nao), dtype=cdtype)
+        acc = czeros((nset, nao, nao), cdtype)
         for k2 in range(nk):
             a, b_rhs = _pair_fx(f_b[b], x_b[b], f_k[k2], df.x_k[k2])
             q = kpts_np[k2] - kpts_band[b]

@@ -41,7 +41,7 @@ from fftisdf_tpu.linalg.solvers import (
 from fftisdf_tpu.linalg.fft import fft3
 from fftisdf_tpu.linalg.coulomb import get_coulG_batched
 from fftisdf_tpu.utils.logging import Logger
-from fftisdf_tpu.utils.device import to_device, jit_take
+from fftisdf_tpu.utils.device import to_device, jit_take, czeros
 
 
 def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
@@ -664,7 +664,7 @@ class FFTISDF:
         del coulG, eiqr
         kind = "ridge" if self.solver == "ridge" else "eigh"
         sqk_sel = _sqrt_kernel(coulG_sel, vol / ngrid**2)
-        wq_sel = jnp.zeros((nsec, nip, nip), cdtype)
+        wq_sel = czeros((nsec, nip, nip), cdtype)
         rank_parts = []
         for q0 in range(0, nsec, qchunk):
             q1 = min(q0 + qchunk, nsec)

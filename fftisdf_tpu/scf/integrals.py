@@ -190,7 +190,10 @@ def get_vnl(cell, ao_kpts, kpts, dtype=jnp.float64, return_projections=False):
     shells, hmat = _projector_shells(cell)
     nk, ng, nao = ao_kpts.shape
     if not shells:
-        z = jnp.zeros((nk, nao, nao), dtype=ao_kpts.dtype)
+        # under jit: eager complex constants fail on complex-hostile
+        # transports (axon tunnel) — only jit-compiled complex ops work
+        z = jax.jit(lambda: jnp.zeros((nk, nao, nao),
+                                      dtype=ao_kpts.dtype))()
         return (z, None) if return_projections else z
     coords = cell.gen_uniform_grids()
     fn = make_evaluator(cell, kpts=kpts, dtype=dtype, shells=shells)

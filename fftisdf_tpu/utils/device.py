@@ -28,6 +28,14 @@ def _combine(re, im, cdtype):
     return (re + 1j * im).astype(cdtype)
 
 
+@partial(jax.jit, static_argnames=("shape", "dtype"))
+def czeros(shape, dtype):
+    """Complex (or any-dtype) zeros allocated ON DEVICE under jit — an
+    eager ``jnp.zeros`` with a complex dtype broadcasts a complex host
+    constant, which complex-hostile transports reject (UNIMPLEMENTED)."""
+    return jnp.zeros(shape, dtype=dtype)
+
+
 @jax.jit
 def _real(x):
     return jnp.real(x)
