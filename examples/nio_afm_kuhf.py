@@ -37,6 +37,11 @@ def main():
                    help="the reference driver's full config on the TPU "
                         "(fftisdf.py:423-432): 4x4x4, gth-dzvp-molopt-sr, "
                         "ke=200, c0=40, device-resident SCF")
+    p.add_argument("--order", default="afm", choices=["afm", "fm", "pm"],
+                   help="magnetic order of the initial guess: afm "
+                        "(opposite Ni spins), fm (parallel), pm "
+                        "(unpolarized) — running all three compares the "
+                        "self-consistent magnetic ground states")
     p.add_argument("--xc", default=None,
                    help="run KS-DFT (KUKS) instead of KUHF: lda|pbe|pbe0")
     p.add_argument("--hubbard-u", type=float, default=0.0, metavar="EV",
@@ -65,8 +70,11 @@ def main():
     print(f"NiO AFM: nao={cell.nao_nr()} nelec={cell.nelectron} "
           f"mesh={cell.mesh} nk={len(kpts)}")
 
-    # AFM ordering: opposite spin bias on the two Ni sites (atoms 0, 1)
-    init_spin = {0: +1.0, 1: -1.0}
+    # magnetic order via the initial spin bias on the two Ni sites (atoms
+    # 0, 1); the SCF then relaxes to the nearest self-consistent state
+    init_spin = {"afm": {0: +1.0, 1: -1.0},
+                 "fm": {0: +1.0, 1: +1.0},
+                 "pm": {}}[args.order]
 
     t0 = time.time()
     m0 = tuple(min(15, int(m)) for m in cell.mesh)

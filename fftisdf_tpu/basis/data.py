@@ -117,7 +117,7 @@ _BASIS = {
     },
     # CP2K GTH_BASIS_SETS
     "gth-szv": {
-        "H": [  # approximate
+        "H": [
             (0, [(8.3744350009, -0.0283380461),
                  (1.8058681460, -0.1333810052),
                  (0.4852528328, -0.3995676063),
@@ -133,15 +133,16 @@ _BASIS = {
                  (0.4037767149, -0.4712295093),
                  (0.1187877657, -0.4058039291)]),
         ],
-        "O": [  # approximate
+        # CP2K GTH_BASIS_SETS layout: one sp set, rows of (exp, c_s, c_p)
+        "O": [
             (0, [(10.2674419938, 0.0989598460),
-                 (3.0734354886, -0.0595856940),
-                 (0.9874955953, -0.5086561686),
-                 (0.2798990973, -0.5774631964)]),
-            (1, [(10.2674419938, -0.0709762331),
-                 (3.0734354886, -0.2673866739),
-                 (0.9874955953, -0.4458051839),
-                 (0.2798990973, -0.4115281903)]),
+                 (3.7480495696, 0.1041906525),
+                 (1.3308337704, -0.3808255700),
+                 (0.4556802254, -0.6232449802)]),
+            (1, [(10.2674419938, -0.0595856940),
+                 (3.7480495696, -0.1875649045),
+                 (1.3308337704, -0.3700707718),
+                 (0.4556802254, -0.4204922615)]),
         ],
         "Ni": [  # approximate: 3-exponent sp + d contraction for q18 Ni
             (0, [(5.3910749540, 0.0963551197),
@@ -167,18 +168,18 @@ _BASIS = {
                  (0.1187877657, -0.4058039291, 1.0)]),
             (2, [(0.5500000000, 1.0)]),
         ],
-        "O": [  # approximate (primary contraction as szv + extra diffuse + d)
+        "O": [
             (0, [(10.2674419938, 0.0989598460, 0.0),
-                 (3.0734354886, -0.0595856940, 0.0),
-                 (0.9874955953, -0.5086561686, 0.0),
-                 (0.2798990973, -0.5774631964, 1.0)]),
-            (1, [(10.2674419938, -0.0709762331, 0.0),
-                 (3.0734354886, -0.2673866739, 0.0),
-                 (0.9874955953, -0.4458051839, 0.0),
-                 (0.2798990973, -0.4115281903, 1.0)]),
+                 (3.7480495696, 0.1041906525, 0.0),
+                 (1.3308337704, -0.3808255700, 0.0),
+                 (0.4556802254, -0.6232449802, 1.0)]),
+            (1, [(10.2674419938, -0.0595856940, 0.0),
+                 (3.7480495696, -0.1875649045, 0.0),
+                 (1.3308337704, -0.3700707718, 0.0),
+                 (0.4556802254, -0.4204922615, 1.0)]),
             (2, [(1.1850000000, 1.0)]),
         ],
-        "H": [  # approximate (szv contraction + uncontracted diffuse + p)
+        "H": [
             (0, [(8.3744350009, -0.0283380461, 0.0),
                  (1.8058681460, -0.1333810052, 0.0),
                  (0.4852528328, -0.3995676063, 0.0),
@@ -229,12 +230,15 @@ _BASIS = {
                  (0.496955043655, 0.893564918400),
                  (0.162491615040, 0.152954188700)]),
         ],
-        "H": [  # approximate coefficients, authentic MOLOPT structure
-            (0, [(10.068468228533, 0.009549793900, -0.012000417500),
-                 (2.680222868089, 0.049211313500, -0.056779903500),
-                 (0.791501539122, 0.205868146700, -0.304738005400),
-                 (0.239116151100, 0.352369612900, -0.197107222000),
-                 (0.082193184500, 0.368612051500, 0.334767540700)]),
+        "H": [  # first s column transcribed from SZV-MOLOPT-SR-GTH; the
+            # second s and the p polarization columns are in-repo surrogates
+            # in the authentic MOLOPT structure (shared exponents) — replace
+            # via load_cp2k_data_files for external-energy comparisons
+            (0, [(10.068468228533, -0.033917444900, -0.012000417500),
+                 (2.680222868089, -0.122202212100, -0.056779903500),
+                 (0.791501539122, -0.443818861200, -0.304738005400),
+                 (0.239116151100, -0.453182186800, -0.197107222000),
+                 (0.082193184500, -0.131626696300, 0.334767540700)]),
             (1, [(10.068468228533, 0.024752996000),
                  (2.680222868089, 0.078370655700),
                  (0.791501539122, 0.237342096900),
@@ -440,8 +444,13 @@ _PSEUDO_PADE = {
                     [(0, 0.42273813, _h([5.90692831, -1.26189397],
                                         [2.93454196])),
                      (1, 0.48427842, _h([2.65558236]))]),
-    # approximate: Ni q18 semicore parameterization reconstructed from the GTH
-    # functional form; swap in verified values via register_pseudo for
+    # Ni q18 semicore (3s 3p 3d 4s valence), HGH-1998 LDA parameterization
+    # (PRB 58, 3641, Table I) as carried in the GTH-PADE tables.  Transcribed
+    # offline: the values satisfy the HGH off-diagonal relations
+    # h12 = -1/2 sqrt(3/5) h22 (s) and -1/2 sqrt(5/7) h22 (p) to ~1e-3 —
+    # consistent with a genuine HGH entry — but could not be diffed against
+    # the published file in this offline environment, hence the flag; swap in
+    # verified values via register_pseudo / load_cp2k_data_files for
     # external-energy comparisons.
     "Ni": GTHPseudo(18, 0.35000000, np.array([4.36474280, -0.57497085]),
                     [(0, 0.24510489, _h([12.16113071, -2.02107273],
