@@ -28,6 +28,7 @@ for the big streamed tensors give a bandwidth utilization bound (819 GB/s).
 import argparse
 import json
 import time
+from functools import partial
 
 import numpy as np
 import jax
@@ -49,15 +50,16 @@ def _fft(rows, n):
 
 
 def jk_flops(nk, nao, nip, nimg):
-    """Counted FLOPs of one ISDF J+K serve (isdf.jk einsums)."""
+    """Counted FLOPs of one ISDF J+K serve (isdf.jk FFT serve path:
+    precomputed image-space metric ws, k-axis FFTs for the two per-density
+    transforms — the O(nk^2 nip^2) phase gemms are gone)."""
     j = (_gemm(nk * nip, 1, nao * nao)      # rho: kIm,kIn,xkmn -> xI
          + _gemm(nip, 1, nip)               # w0 @ rho
          + _gemm(nk * nip, nao * nao, 1))   # back-transform
-    k = (_gemm(nimg, nip * nip, nk)         # ws: Rq,qIJ -> RIJ
-         + _gemm(nk, nip * nao, nao) + _gemm(nk, nip * nip, nao)  # rhok
-         + _gemm(nimg, nip * nip, nk)       # rhos
+    k = (_gemm(nk, nip * nao, nao) + _gemm(nk, nip * nip, nao)  # rhok
+         + _fft(nip * nip, nk)              # rhos: k-axis FFT
          + 2.0 * nimg * nip * nip           # elementwise vs
-         + _gemm(nk, nip * nip, nimg)       # back to k
+         + _fft(nip * nip, nk)              # back to k
          + _gemm(nk, nip * nao, nip) + _gemm(nk, nao * nao, nip))  # sandwich
     return j + k
 
@@ -114,8 +116,10 @@ def main():
     p.add_argument("--system", default="nio", choices=["diamond", "nio"])
     # c0=40 is the reference driver's accuracy point (fftisdf.py:461); the
     # flagless run therefore reports vj/vk errors in the production
-    # compression regime (round-1 verdict weak #4)
-    p.add_argument("--c0", type=float, default=40.0)
+    # compression regime (round-1 verdict weak #4).  --quick drops to the
+    # c0=20 default (c0=40 on the coarse quick parent grid m0=13 is a
+    # pathological fit nobody runs: over-complete selection, f32-hostile)
+    p.add_argument("--c0", type=float, default=None)
     p.add_argument("--ke", type=float, default=None)
     p.add_argument("--kmesh", type=int, nargs=3, default=None)
     p.add_argument("--basis", default=None)
@@ -169,6 +173,8 @@ def run(args):
         args.ke = 200.0
         args.kmesh = [4, 4, 4]
         args.basis = args.basis or "gth-dzvp-molopt-sr"
+    if args.c0 is None:
+        args.c0 = 20.0 if args.quick else 40.0
 
     from fftisdf_tpu.lattice import structure
     from fftisdf_tpu.basis.eval import make_evaluator
@@ -279,22 +285,23 @@ def run(args):
     if df.nip != nip_first:  # shape change would retrigger compiles
         t_build = float("nan")
 
-    phase = to_device(df.phase, dtype=df.wq.dtype)
+    kmesh_t = tuple(int(m) for m in df.kmesh)
+    ws = df.get_ws()   # density-independent image-space serve metric
 
     # NB: complex device arrays must be jit *arguments*, not closures —
     # closure constants are embedded via a host round-trip that complex-
     # hostile transports reject.
-    @jax.jit
-    def isdf_jk(x_k, wq, ph, dm):
-        vj = jk_mod.get_j_kpts(x_k, wq[0], dm[None])[0]
-        vk = jk_mod.get_k_kpts(x_k, wq, ph, dm[None])[0]
+    @partial(jax.jit, static_argnames=("kmesh",))
+    def isdf_jk(x_k, w0, ws, dm, kmesh):
+        vj = jk_mod.get_j_kpts(x_k, w0, dm[None])[0]
+        vk = jk_mod.get_k_kpts_img(x_k, ws, dm[None], kmesh)[0]
         return vj, vk
 
-    args_i = (df.x_k, df.wq, phase, dm_dev)
-    vj_i, vk_i = isdf_jk(*args_i)  # compile
+    args_i = (df.x_k, df.wq[0], ws, dm_dev)
+    vj_i, vk_i = isdf_jk(*args_i, kmesh=kmesh_t)  # compile
     float(_sync(vj_i, vk_i))
     t0 = time.perf_counter()
-    vj_i, vk_i = isdf_jk(*args_i)
+    vj_i, vk_i = isdf_jk(*args_i, kmesh=kmesh_t)
     float(_sync(vj_i, vk_i))
     t_isdf_jk = time.perf_counter() - t0
 

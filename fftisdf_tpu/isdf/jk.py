@@ -18,6 +18,8 @@ K:  the k2-sum  vk[k1] = (1/nk) sum_{k2} w^{k2-k1} (.) (x dm x^H)_{k2}
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -52,6 +54,48 @@ def get_k_kpts(x_k, wq, phase, dms):
         rhos = jnp.einsum("Rk,kIJ->RIJ", phase, rhok).real
         vs = ws * jnp.transpose(rhos, (0, 2, 1))
         vk_q = jnp.einsum("Rk,RIJ->kIJ", phase, vs.astype(phase.dtype))
+        return jnp.einsum("kIm,kIJ,kJn->kmn", x_k.conj(), vk_q, x_k)
+
+    return jax.vmap(per_dm)(dms)
+
+
+# ---------------------------------------------------------------------
+# serving-optimized K path: the image-space metric ws = Re(phase @ wq) is
+# density-INdependent, so SCF drivers precompute it once per build (real:
+# half the bytes of wq) and each iteration pays only the density-side
+# transforms, done as k-axis FFTs — the k-grid enumeration is C-ordered
+# (lattice.kpoints), so the (nimg, nk) phase contraction IS a 3D DFT over
+# the mesh axes: O(nk log nk) instead of O(nk^2) per matrix element.
+# ---------------------------------------------------------------------
+
+def _ifftk(a_k, kmesh):
+    """sum_q phase[R, q] a[q] == sqrt(nk) * ifftn over the C-ordered k axis."""
+    nk = a_k.shape[0]
+    a = a_k.reshape(*kmesh, *a_k.shape[1:])
+    out = jnp.fft.ifftn(a, axes=(0, 1, 2)) * jnp.sqrt(1.0 * nk)
+    return out.reshape(nk, *a_k.shape[1:])
+
+
+@partial(jax.jit, static_argnames=("kmesh",))
+def wq_to_ws(wq, kmesh):
+    """Image-space Coulomb metric: ws[R] = Re(phase @ wq)[R] * sqrt(nk).
+    Real (nimg, nip, nip) — the K serve's per-iteration state."""
+    return _ifftk(wq, kmesh).real * jnp.sqrt(1.0 * wq.shape[0])
+
+
+@partial(jax.jit, static_argnames=("kmesh",))
+def get_k_kpts_img(x_k, ws, dms, kmesh):
+    """vk from the precomputed image-space metric (see :func:`wq_to_ws`);
+    identical algebra to :func:`get_k_kpts` (gated in tests), with the two
+    per-density phase contractions done as k-axis FFTs."""
+    nk = x_k.shape[0]
+    cdtype = x_k.dtype
+
+    def per_dm(dm):
+        rhok = jnp.einsum("kIm,kmn,kJn->kIJ", x_k, dm, x_k.conj()) / nk
+        rhos = _ifftk(rhok, kmesh).real
+        vs = ws * jnp.transpose(rhos, (0, 2, 1))
+        vk_q = _ifftk(vs.astype(cdtype), kmesh)
         return jnp.einsum("kIm,kIJ,kJn->kmn", x_k.conj(), vk_q, x_k)
 
     return jax.vmap(per_dm)(dms)

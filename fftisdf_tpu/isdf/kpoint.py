@@ -717,6 +717,7 @@ class FFTISDF:
 
         self.x_k = x_k
         self.wq = wq
+        self._ws = None     # image-space serve metric: recomputed lazily
         log.info("build: total %.2fs", time.perf_counter() - t_all)
         return self
 
@@ -750,23 +751,26 @@ class FFTISDF:
         single = _np.asarray(dm_kpts).ndim == 3 if not isinstance(
             dm_kpts, jnp.ndarray) else dm_kpts.ndim == 3
         dm = to_device(dm_kpts, dtype=self.wq.dtype)
-        phase = to_device(self.phase, dtype=self.wq.dtype)
+        kmesh = tuple(int(m) for m in self.kmesh)
 
         # everything complex stays under jit (eager complex dispatch is
         # broken on some TPU transports; see utils.device)
-        @partial(jax.jit, static_argnames=("with_j", "with_k", "single"))
-        def _kernel(x_k, wq, phase, dm, with_j, with_k, single):
+        @partial(jax.jit, static_argnames=("with_j", "with_k", "single",
+                                           "kmesh"))
+        def _kernel(x_k, w0, ws, dm, with_j, with_k, single, kmesh):
             if single:
                 dm = dm[None]
-            vj = jk_mod.get_j_kpts(x_k, wq[0], dm) if with_j else None
-            vk = jk_mod.get_k_kpts(x_k, wq, phase, dm) if with_k else None
+            vj = jk_mod.get_j_kpts(x_k, w0, dm) if with_j else None
+            vk = (jk_mod.get_k_kpts_img(x_k, ws, dm, kmesh)
+                  if with_k else None)
             if single:
                 vj = None if vj is None else vj[0]
                 vk = None if vk is None else vk[0]
             return vj, vk
 
-        vj, vk = _kernel(self.x_k, self.wq, phase, dm,
-                         with_j=with_j, with_k=with_k, single=single)
+        vj, vk = _kernel(self.x_k, self.wq[0], self.get_ws(), dm,
+                         with_j=with_j, with_k=with_k, single=single,
+                         kmesh=kmesh)
         if exxdiv == "ewald" and with_k:
             # get_ovlp_kpts builds in self.dtype, so s1e already matches the
             # wq complex dtype (no eager cast needed)
@@ -774,7 +778,18 @@ class FFTISDF:
                                       self.madelung())
         return vj, vk
 
-    def madelung(self) -> float:
+    def get_ws(self):
+        """Image-space Coulomb metric ws = Re(phase @ wq) sqrt(nk), cached.
+
+        Density-independent serve state: real (nimg, nip, nip) — half the
+        bytes of wq — computed once per build so each SCF iteration's K pays
+        only the two density-side k-axis FFTs (isdf.jk.get_k_kpts_img)."""
+        if getattr(self, "_ws", None) is None:
+            from fftisdf_tpu.isdf import jk as jk_mod
+
+            self._ws = jk_mod.wq_to_ws(
+                self.wq, tuple(int(m) for m in self.kmesh))
+        return self._ws
         """Probe-charge Madelung constant of the BvK supercell (cached)."""
         if getattr(self, "_madelung", None) is None:
             from fftisdf_tpu.scf.integrals import madelung as _mad

@@ -109,11 +109,13 @@ class DeviceKUHF(KUHF):
         complex-hostile transports)."""
         return ()
 
-    def _trace_veff(self, dm, x_k, wq, phase, h1e):
-        """(fock (2, nk, nao, nao), e_elec) under trace.  UHF functional."""
+    def _trace_veff(self, dm, x_k, wq, ws, h1e):
+        """(fock (2, nk, nao, nao), e_elec) under trace.  UHF functional.
+        ``ws`` is the precomputed image-space metric (df.get_ws()); K runs
+        the FFT serve path (isdf.jk.get_k_kpts_img)."""
         nk = h1e.shape[0]
         vj = jk_mod.get_j_kpts(x_k, wq[0], dm)
-        vk = jk_mod.get_k_kpts(x_k, wq, phase, dm)
+        vk = jk_mod.get_k_kpts_img(x_k, ws, dm, self._kmesh_t)
         vj_tot = vj[0] + vj[1]
         fock = jnp.stack([h1e + vj_tot - vk[0], h1e + vj_tot - vk[1]])
         e1 = jnp.einsum("skmn,knm->", dm, h1e).real / nk
@@ -140,10 +142,9 @@ class DeviceKUHF(KUHF):
         assert hasattr(df, "x_k") and df.x_k is not None, (
             "DeviceKUHF needs a built FFTISDF J/K provider")
         from fftisdf_tpu.lattice import kpoints as kpt_mod
-        phase = to_device(
-            kpt_mod.get_phase(self.cell, self.kpts,
-                              kpt_mod.kpts_to_kmesh(self.cell, self.kpts)),
-            dtype=cdtype)
+        self._kmesh_t = tuple(
+            int(m) for m in kpt_mod.kpts_to_kmesh(self.cell, self.kpts))
+        ws = df.get_ws()   # image-space serve metric, built once
 
         # AFM on-site bias matrix (host, once)
         bias_np = np.zeros((2, nk, nao, nao), dtype=np.complex128)
@@ -180,8 +181,8 @@ class DeviceKUHF(KUHF):
 
         @partial(jax.jit, static_argnames=())
         def step(dm, errs, focks, n, it, x_k, wq, h1e, s1e, xo, pen, bias,
-                 phase, *veff_extra):
-            fock, e_elec = self._trace_veff(dm, x_k, wq, phase, h1e,
+                 ws, *veff_extra):
+            fock, e_elec = self._trace_veff(dm, x_k, wq, ws, h1e,
                                             *veff_extra)
             e_tot = e_elec + e_nuc
 
@@ -224,7 +225,7 @@ class DeviceKUHF(KUHF):
             dm, errs, focks, n, stats = step(
                 dm, errs, focks, n, jnp.asarray(it, jnp.int32),
                 df.x_k, df.wq, consts["h1e"], consts["s1e"], consts["xo"],
-                consts["pen"], bias, phase, *veff_extra)
+                consts["pen"], bias, ws, *veff_extra)
             e_tot, ddm, ent = [float(v) for v in to_host(stats)]
             de = abs(e_tot - e_last)
             log.info("dSCF it %2d  E = %.10f  dE = %.2e  |ddm| = %.2e (%.2fs)",

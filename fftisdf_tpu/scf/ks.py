@@ -269,7 +269,7 @@ class _DeviceKSVeff:
             extra = extra + (to_device(self._shalf, dtype=self._ao.dtype),)
         return extra
 
-    def _trace_veff(self, dm, x_k, wq, phase, h1e, ao, gv, shalf=None):
+    def _trace_veff(self, dm, x_k, wq, ws, h1e, ao, gv, shalf=None):
         from fftisdf_tpu.isdf import jk as jk_mod
 
         nk = h1e.shape[0]
@@ -283,7 +283,7 @@ class _DeviceKSVeff:
         e1 = jnp.einsum("skmn,knm->", dm, h1e).real / nk
         ecoul = jnp.einsum("skmn,knm->", dm, vj_tot).real / (2 * nk)
         if hyb:
-            vk = jk_mod.get_k_kpts(x_k, wq, phase, dm)
+            vk = jk_mod.get_k_kpts_img(x_k, ws, dm, self._kmesh_t)
             exx = -0.5 * hyb * jnp.einsum("skmn,sknm->", dm,
                                           vk).real / nk
             fock = jnp.stack([h1e + vj_tot + vxc[0] - hyb * vk[0],

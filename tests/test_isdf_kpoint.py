@@ -200,6 +200,31 @@ def test_chunked_build_matches_monolithic(he2):
     np.testing.assert_allclose(np.asarray(vk1), np.asarray(vk2), atol=1e-8)
 
 
+def test_k_serve_fft_matches_phase(he2):
+    """The FFT serve path (precomputed image-space metric ws + k-axis FFT
+    transforms, isdf.jk.get_k_kpts_img) is algebraically identical to the
+    dense phase-matrix contraction (get_k_kpts), on a non-trivial 3D k-mesh
+    (1x3x2: two FFT axes, odd length on one)."""
+    import jax
+    from fftisdf_tpu.isdf import jk as jk_mod
+
+    cell, kpts, coords, ao = he2
+    kpts6 = cell.get_kpts([1, 3, 2])
+    df = FFTISDF(cell, kpts6, c0=8.0, m0=(9, 9, 13), verbose=0).build()
+    dm = jnp.asarray(trs_dm(cell, kpts6, df.x_k.shape[2], nset=2))
+    phase = jnp.asarray(df.phase, dtype=df.wq.dtype)
+    vk_phase = jk_mod.get_k_kpts(df.x_k, df.wq, phase, dm)
+    kmesh = tuple(int(m) for m in df.kmesh)
+    ws = jk_mod.wq_to_ws(df.wq, kmesh)
+    # ws is exactly the real part of the phase contraction
+    ws_ref = np.einsum("Rq,qIJ->RIJ", np.asarray(df.phase),
+                       np.asarray(df.wq)).real * np.sqrt(len(kpts6))
+    np.testing.assert_allclose(np.asarray(ws), ws_ref, atol=1e-10)
+    vk_fft = jk_mod.get_k_kpts_img(df.x_k, ws, dm, kmesh)
+    np.testing.assert_allclose(np.asarray(vk_fft), np.asarray(vk_phase),
+                               atol=1e-10)
+
+
 def test_trs_sector_mirroring(he2):
     """Builds with and without the w_{-q} = conj(w_q) shortcut agree; needs a
     k-mesh with non-self-conjugate sectors (1x1x3: q=1,2 mirror)."""
