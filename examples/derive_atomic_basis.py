@@ -1,0 +1,166 @@
+"""Derive GTH contraction coefficients from the framework's own pseudo-atom
+SCF — the offline replacement for unverifiable MOLOPT table columns.
+
+The CP2K basis families are (molecularly/atomically) optimized contractions
+for the GTH pseudo-atoms.  Where this repo cannot verify a published column
+digit-by-digit (no network: see basis/data.py provenance notes), this driver
+re-derives defensible columns from first principles IN-REPO: run the
+spin-polarized pseudo-atom in a box with the shared MOLOPT exponent set
+UNCONTRACTED, build per-angular-momentum radial natural orbitals from the
+converged (occupied + low-virtual) states, and print/register the leading
+radial vectors as contraction columns.  The result is reproducible from the
+code alone and variationally tied to the actual GTH-PADE potential the
+framework ships.
+
+Usage:
+    python examples/derive_atomic_basis.py --elem H  [--register --check]
+    python examples/derive_atomic_basis.py --elem Ni --tpu --ke 240
+
+Ref context: the reference reaches molopt-sr data through PySCF
+(``/root/reference/fftisdf.py:423``); this is the native-path equivalent.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+# shared exponent sets (the embedded molopt-sr structure, basis/data.py)
+EXPONENTS = {
+    "H": [10.068468228533, 2.680222868089, 0.791501539122,
+          0.239116151100, 0.082193184500],
+    "Ni": [9.6538632696, 3.9744501290, 1.6213478542,
+           0.6447664764, 0.2513317635, 0.0971124480],
+}
+# (l, n_contractions) per element: the DZVP-MOLOPT-SR shell structure
+SHELLS = {"H": [(0, 2), (1, 1)], "Ni": [(0, 2), (1, 2), (2, 2)]}
+# spin polarization of the atomic ground state (na - nb)
+SPIN = {"H": 1, "Ni": 2}     # Ni: 3d8 4s2 -> S=1 (Hund)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--elem", default="H", choices=sorted(EXPONENTS))
+    p.add_argument("--box", type=float, default=12.0, help="cube edge, Bohr")
+    p.add_argument("--ke", type=float, default=None)
+    p.add_argument("--tpu", action="store_true")
+    p.add_argument("--nvirt", type=int, default=3,
+                   help="low-virtual states per l mixed (weight 0.05) into "
+                        "the radial natural orbitals for the split columns")
+    p.add_argument("--register", action="store_true",
+                   help="register the derived columns over the in-repo "
+                        "surrogate entries (gth-dzvp-molopt-sr)")
+    p.add_argument("--check", action="store_true",
+                   help="re-run the atom with the derived CONTRACTED basis "
+                        "and report the variational gap vs uncontracted")
+    args = p.parse_args()
+
+    import jax
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from fftisdf_tpu.lattice.cell import Cell, Shell
+    from fftisdf_tpu.scf import KUHF
+
+    elem = args.elem
+    exps = np.asarray(EXPONENTS[elem])
+    lmax = max(l for l, _ in SHELLS[elem])
+    ke = args.ke or (60.0 if elem == "H" else 240.0)
+    dtype = jnp.float64 if not args.tpu else jnp.float32
+
+    # every (l, exponent) as its own primitive shell
+    shells = [Shell(l=l, exps=np.array([e]), coeffs=np.array([[1.0]]))
+              for l in range(lmax + 1) for e in exps]
+    c = args.box / 2.0
+    cell = Cell(a=np.diag([args.box] * 3), atom=[(elem, (c, c, c))],
+                basis={elem: shells}, pseudo="gth-pade", ke_cutoff=ke,
+                spin=SPIN[elem], unit="bohr").build()
+    kpts = cell.get_kpts([1, 1, 1])
+    nao = cell.nao_nr()
+    print(f"{elem} pseudo-atom: nao={nao} (uncontracted), mesh={cell.mesh}, "
+          f"nelec={cell.nelectron}, 2S={SPIN[elem]}")
+
+    mf = KUHF(cell, kpts, verbose=0, conv_tol=1e-7, max_cycle=120,
+              smearing=2e-3, dtype=dtype)
+    e_unc = mf.kernel()
+    print(f"uncontracted KUHF E = {e_unc:.6f} Ha (conv={mf.converged})")
+
+    # AO index map: shells were registered l-major, exponent-minor; each
+    # shell contributes (2l+1) functions
+    ao_l, ao_iexp, ao_m = [], [], []
+    for l in range(lmax + 1):
+        for i in range(len(exps)):
+            for m in range(2 * l + 1):
+                ao_l.append(l); ao_iexp.append(i); ao_m.append(m)
+    ao_l, ao_iexp = np.asarray(ao_l), np.asarray(ao_iexp)
+
+    # KUHF attributes carry a k axis: (2, nk=1, ...) -> drop it
+    mo_c = np.asarray(mf.mo_coeff)[:, 0]
+    mo_o = np.asarray(mf.mo_occ)[:, 0]
+    mo_e = np.asarray(mf.mo_energy)[:, 0]
+    tables = {}
+    for l, ncol in SHELLS[elem]:
+        sel = ao_l == l
+        radial = _radial_naturals(mo_c, mo_o, mo_e, sel, ao_iexp[sel],
+                                  len(exps), 2 * l + 1, nvirt=args.nvirt)
+        cols = radial[:, :ncol]
+        # sign convention: make the largest-|.| entry positive is arbitrary;
+        # CP2K tables lead with the diffuse tail — fix sign by the last row
+        cols = cols * np.where(cols[np.argmax(np.abs(cols), axis=0),
+                                    np.arange(ncol)] < 0, -1.0, 1.0)
+        tables[l] = cols
+        print(f"l={l} derived columns (rows = exponents):")
+        for i, e in enumerate(exps):
+            print("   %16.9f " % e + " ".join("%15.9f" % v
+                                              for v in cols[i]))
+
+    if args.register or args.check:
+        from fftisdf_tpu.basis import data as bdata
+
+        new_shells = [(l, [(float(exps[i]),
+                            *[float(v) for v in tables[l][i]])
+                           for i in range(len(exps))])
+                      for l, _ in SHELLS[elem]]
+        bdata.register_basis("gth-dzvp-molopt-sr", elem, new_shells)
+        print(f"registered derived {elem} columns under gth-dzvp-molopt-sr")
+
+    if args.check:
+        cell2 = cell.copy(basis="gth-dzvp-molopt-sr").build()
+        mf2 = KUHF(cell2, kpts, verbose=0, conv_tol=1e-7, max_cycle=120,
+                   smearing=2e-3, dtype=dtype)
+        e_con = mf2.kernel()
+        print(f"contracted ({cell2.nao_nr()} AOs) KUHF E = {e_con:.6f} Ha "
+              f"(conv={mf2.converged}); variational gap = "
+              f"{(e_con - e_unc) * 1000:.3f} mHa")
+
+
+def _radial_naturals(mo_coeff, mo_occ, mo_energy, sel, iexp, nexp, nm,
+                     nvirt=3, wvirt=0.05):
+    """Per-l radial natural orbitals: eigenvectors of the m-averaged,
+    occupation-weighted radial density, plus a small low-virtual admixture so
+    split-valence columns exist beyond the occupied count.  Returns
+    (nexp, nexp) columns sorted by weight."""
+    dens = np.zeros((nexp, nexp))
+    for s in range(mo_coeff.shape[0]):
+        occ = mo_occ[s]
+        # low virtuals per spin: smallest-energy states with ~zero occupation
+        virt = np.argsort(np.where(occ < 0.5, mo_energy[s], np.inf))[:nvirt]
+        w = occ.copy()
+        w[virt] = np.maximum(w[virt], wvirt)
+        for p in np.nonzero(w > 1e-6)[0]:
+            blk = mo_coeff[s][sel, p]
+            r = np.zeros((nexp, nm), dtype=blk.dtype)
+            r[iexp, :] = blk.reshape(nexp, nm)
+            dens += w[p] * np.real(r @ r.conj().T)
+    ww, vv = np.linalg.eigh(dens)
+    order = np.argsort(ww)[::-1]
+    return vv[:, order]
+
+
+if __name__ == "__main__":
+    main()

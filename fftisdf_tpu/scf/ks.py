@@ -260,6 +260,9 @@ class _DeviceKSVeff:
     pure functionals never build K, which removes the most expensive
     serve-side kernel from every DFT SCF iteration."""
 
+    def _needs_exx(self):
+        return bool(self._spec.hyb)
+
     def _veff_args(self):
         extra = (self._ao, self._gv)
         if self._hub_sites is not None:
