@@ -106,7 +106,7 @@ def main():
     tables = {}
     for l, ncol in SHELLS[elem]:
         sel = ao_l == l
-        radial = _radial_naturals(mo_c, mo_o, mo_e, sel, ao_iexp[sel],
+        radial = _radial_naturals(mo_c, mo_o, mo_e, sel,
                                   len(exps), 2 * l + 1, nvirt=args.nvirt)
         cols = radial[:, :ncol]
         # sign convention: make the largest-|.| entry positive is arbitrary;
@@ -139,7 +139,7 @@ def main():
               f"{(e_con - e_unc) * 1000:.3f} mHa")
 
 
-def _radial_naturals(mo_coeff, mo_occ, mo_energy, sel, iexp, nexp, nm,
+def _radial_naturals(mo_coeff, mo_occ, mo_energy, sel, nexp, nm,
                      nvirt=3, wvirt=0.05):
     """Per-l radial natural orbitals: eigenvectors of the m-averaged,
     occupation-weighted radial density, plus a small low-virtual admixture so
@@ -153,9 +153,8 @@ def _radial_naturals(mo_coeff, mo_occ, mo_energy, sel, iexp, nexp, nm,
         w = occ.copy()
         w[virt] = np.maximum(w[virt], wvirt)
         for p in np.nonzero(w > 1e-6)[0]:
-            blk = mo_coeff[s][sel, p]
-            r = np.zeros((nexp, nm), dtype=blk.dtype)
-            r[iexp, :] = blk.reshape(nexp, nm)
+            # within the l block AOs are (exponent major, m minor)
+            r = mo_coeff[s][sel, p].reshape(nexp, nm)
             dens += w[p] * np.real(r @ r.conj().T)
     ww, vv = np.linalg.eigh(dens)
     order = np.argsort(ww)[::-1]
