@@ -791,6 +791,8 @@ class FFTISDF:
             self._ws = jk_mod.wq_to_ws(
                 self.wq, tuple(int(m) for m in self.kmesh))
         return self._ws
+
+    def madelung(self):
         """Probe-charge Madelung constant of the BvK supercell (cached)."""
         if getattr(self, "_madelung", None) is None:
             from fftisdf_tpu.scf.integrals import madelung as _mad
