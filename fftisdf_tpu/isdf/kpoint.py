@@ -232,6 +232,21 @@ _wq_write = jax.jit(lambda buf, w, i: jax.lax.dynamic_update_slice(
     buf, w[None].astype(buf.dtype), (i, 0, 0)), donate_argnums=(0,))
 
 
+@partial(jax.jit, static_argnames=("with_j", "with_k", "single", "kmesh"))
+def _serve_jk(x_k, w0, ws, dm, *, with_j, with_k, single, kmesh):
+    """J/K from a (w0, ws) metric pair (module-level: stable jit cache)."""
+    from fftisdf_tpu.isdf import jk as jk_mod
+
+    if single:
+        dm = dm[None]
+    vj = jk_mod.get_j_kpts(x_k, w0, dm) if with_j else None
+    vk = jk_mod.get_k_kpts_img(x_k, ws, dm, kmesh) if with_k else None
+    if single:
+        vj = None if vj is None else vj[0]
+        vk = None if vk is None else vk[0]
+    return vj, vk
+
+
 # The build pipeline runs as FOUR separate executables per sector chunk
 # (factors -> grid sweep -> in-place spectral transform -> per-sector
 # gram) rather than one fused jit: XLA's static buffer assignment keeps
@@ -518,15 +533,14 @@ class FFTISDF:
         cell, kpts = self.cell, self.kpts
         log = self._log
         cdtype = jnp.complex128 if self.dtype == jnp.float64 else jnp.complex64
-        itemsize = 16 if self.dtype == jnp.float64 else 8
         t_all = time.perf_counter()
 
         x_k, mask, rank = select_interpolation_points(
             cell, kpts, self.m0, self.c0, dtype=self.dtype,
             select_tol=self.select_tol, log=log,
             host_f64=self.select_host_f64)
-        nk, nip, nao = x_k.shape
         self.mask = mask
+        self.x_k = x_k
 
         phase = to_device(self.phase, dtype=cdtype)
         # (the quartic normal matrices are computed in-pipeline per chunk —
@@ -542,6 +556,31 @@ class FFTISDF:
                 f"stripe reality violated: imag {imag_max:.2e} "
                 "(k-mesh inconsistent with lattice?)")
             log.debug("validate: x2 stripe imag max %.2e", imag_max)
+
+        self.wq = self._metric_pass(omega=0.0)
+        self._ws = None     # image-space serve metric: recomputed lazily
+        self._wq_omega = {}  # screened (range-separated) metric cache
+        log.info("build: total %.2fs", time.perf_counter() - t_all)
+        return self
+
+    def _metric_pass(self, omega=0.0):
+        """One full metric construction over the built interpolation basis:
+        RHS grid sweep + per-sector solve / FFT kernel / gram, chunked to
+        the HBM budget, for the Coulomb kernel selected by ``omega``
+        (0 = full; see linalg.coulomb for the erf/erfc convention).
+
+        ``build()`` calls this with the full kernel to produce ``self.wq``;
+        :meth:`get_wq_omega` re-runs it with a screened kernel, reusing the
+        selection and interpolation vectors (w_q is linear in the kernel, so
+        a screened metric differs ONLY in the spectral scale — the sweep and
+        fit are identical).  Returns the (nk, nip, nip) metric tensor."""
+        cell, kpts = self.cell, self.kpts
+        log = self._log
+        cdtype = jnp.complex128 if self.dtype == jnp.float64 else jnp.complex64
+        itemsize = 16 if self.dtype == jnp.float64 else 8
+        x_k = self.x_k
+        nk, nip, nao = x_k.shape
+        phase = to_device(self.phase, dtype=cdtype)
 
         coords = cell.gen_uniform_grids()
         ngrid = coords.shape[0]
@@ -639,7 +678,8 @@ class FFTISDF:
         # transfer-limited transports.
         gv = jnp.asarray(cell.get_Gv(mesh), dtype=self.dtype)
         kpts_d = jnp.asarray(kpts, dtype=self.dtype)
-        coulG = get_coulG_batched(cell, kpts_d, gv, dtype=self.dtype)
+        coulG = get_coulG_batched(cell, kpts_d, gv, dtype=self.dtype,
+                                  omega=omega)
         coords_d = jnp.asarray(coords, dtype=self.dtype)
         eiqr = _eiqr_kernel(coords_d, kpts_d).astype(cdtype)
         vol = float(cell.vol)
@@ -714,19 +754,26 @@ class FFTISDF:
         log.info("build: %d/%d sectors solved in %d chunk(s), fit ranks %s "
                  "(%.2fs)", len(qsel), nk, self._nchunks, ranks[:8],
                  time.perf_counter() - t0)
-
-        self.x_k = x_k
-        self.wq = wq
-        self._ws = None     # image-space serve metric: recomputed lazily
-        log.info("build: total %.2fs", time.perf_counter() - t_all)
-        return self
+        return wq
 
     # ------------------------------------------------------------------
     def get_jk(self, dm_kpts, with_j=True, with_k=True, exxdiv=None,
                omega=None, kpts_band=None):
-        if omega is not None:
-            raise NotImplementedError("range separation not supported "
-                                      "(matches ref fftisdf.py:392)")
+        if omega is not None and float(omega) != 0.0:
+            # range separation — a guard in the reference
+            # (fftisdf.py:392); here served from a screened metric built
+            # over the SAME interpolation basis (get_wq_omega)
+            if exxdiv is not None:
+                raise NotImplementedError(
+                    "exxdiv with omega: the probe-charge Madelung constant "
+                    "of a screened kernel differs from the bare one — "
+                    "not implemented")
+            if kpts_band is not None:
+                raise NotImplementedError("omega with kpts_band")
+            return self._get_jk_metric(
+                dm_kpts, self.get_wq_omega(omega),
+                self.get_ws_omega(omega) if with_k else None,
+                with_j=with_j, with_k=with_k)
         if exxdiv not in (None, "ewald"):
             # the reference guards ALL exxdiv out (fftisdf.py:395); 'ewald'
             # (probe-charge Madelung correction) is supported beyond it
@@ -744,40 +791,65 @@ class FFTISDF:
             vj_b, vk_b = get_jk_bands(self, dm_kpts, kpts_band,
                                       with_j=with_j, with_k=with_k)
             return vj_b, vk_b
-        from fftisdf_tpu.isdf import jk as jk_mod
+        vj, vk, dm = self._get_jk_metric(
+            dm_kpts, self.wq, self.get_ws() if with_k else None,
+            with_j=with_j, with_k=with_k, _return_dm=True)
+        if exxdiv == "ewald" and with_k:
+            # get_ovlp_kpts builds in self.dtype, so s1e already matches the
+            # wq complex dtype (no eager cast needed)
+            from fftisdf_tpu.isdf import jk as jk_mod
 
+            vk = jk_mod.add_ewald_exx(vk, self.get_ovlp(), dm,
+                                      self.madelung())
+        return vj, vk
+
+    def _get_jk_metric(self, dm_kpts, wq, ws, with_j=True, with_k=True,
+                       _return_dm=False):
+        """J/K serve against an explicit metric pair (wq, ws) — shared by
+        the bare-Coulomb and the range-separated (omega) paths."""
         assert self.x_k is not None, "call build() first"
         import numpy as _np
         single = _np.asarray(dm_kpts).ndim == 3 if not isinstance(
             dm_kpts, jnp.ndarray) else dm_kpts.ndim == 3
-        dm = to_device(dm_kpts, dtype=self.wq.dtype)
+        dm = to_device(dm_kpts, dtype=wq.dtype)
         kmesh = tuple(int(m) for m in self.kmesh)
-
         # everything complex stays under jit (eager complex dispatch is
-        # broken on some TPU transports; see utils.device)
-        @partial(jax.jit, static_argnames=("with_j", "with_k", "single",
-                                           "kmesh"))
-        def _kernel(x_k, w0, ws, dm, with_j, with_k, single, kmesh):
-            if single:
-                dm = dm[None]
-            vj = jk_mod.get_j_kpts(x_k, w0, dm) if with_j else None
-            vk = (jk_mod.get_k_kpts_img(x_k, ws, dm, kmesh)
-                  if with_k else None)
-            if single:
-                vj = None if vj is None else vj[0]
-                vk = None if vk is None else vk[0]
-            return vj, vk
-
-        ws = self.get_ws() if with_k else self.wq[0]  # dummy when K skipped
-        vj, vk = _kernel(self.x_k, self.wq[0], ws, dm,
-                         with_j=with_j, with_k=with_k, single=single,
-                         kmesh=kmesh)
-        if exxdiv == "ewald" and with_k:
-            # get_ovlp_kpts builds in self.dtype, so s1e already matches the
-            # wq complex dtype (no eager cast needed)
-            vk = jk_mod.add_ewald_exx(vk, self.get_ovlp(), dm,
-                                      self.madelung())
+        # broken on some TPU transports; see utils.device); ws is a dummy
+        # when K is skipped (the branch is static, it is never read)
+        vj, vk = _serve_jk(self.x_k, wq[0], ws if ws is not None else wq[0],
+                           dm, with_j=with_j, with_k=with_k, single=single,
+                           kmesh=kmesh)
+        if _return_dm:
+            return vj, vk, dm
         return vj, vk
+
+    def get_wq_omega(self, omega):
+        """Screened (range-separated) Coulomb metric wq^omega over the same
+        interpolation basis, cached per omega.  See linalg.coulomb for the
+        erf (omega>0) / erfc (omega<0) convention; the first call per omega
+        pays one metric pass (the grid sweep + per-sector solve/FFT —
+        selection and x_k are reused)."""
+        key = float(omega)
+        cache = getattr(self, "_wq_omega", None)
+        if cache is None:
+            cache = self._wq_omega = {}
+        if key not in cache:
+            assert self.x_k is not None, "call build() first"
+            self._log.info("building screened metric (omega=%g)", key)
+            cache[key] = {"wq": self._metric_pass(omega=key), "ws": None}
+        return cache[key]["wq"]
+
+    def get_ws_omega(self, omega):
+        """Image-space form of :meth:`get_wq_omega` (cached)."""
+        key = float(omega)
+        wq_o = self.get_wq_omega(omega)
+        entry = self._wq_omega[key]
+        if entry["ws"] is None:
+            from fftisdf_tpu.isdf import jk as jk_mod
+
+            entry["ws"] = jk_mod.wq_to_ws(
+                wq_o, tuple(int(m) for m in self.kmesh))
+        return entry["ws"]
 
     def get_ws(self):
         """Image-space Coulomb metric ws = Re(phase @ wq) sqrt(nk), cached.

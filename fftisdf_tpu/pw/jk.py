@@ -19,19 +19,22 @@ from fftisdf_tpu.linalg.fft import fft3, ifft3
 from fftisdf_tpu.linalg.coulomb import get_coulG
 
 
-def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None):
+def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None, omega=0.0):
     """Hartree matrix vj[k] from AO values ao_kpts (nk, ng, nao).
 
     ``ao_band`` (nb, ng, nao): integrate the Hartree potential of the mesh
     density against band-kpoint AOs instead (returns (nb, nao, nao)); the
-    potential itself is k-independent, so bands need no new Poisson solve."""
+    potential itself is k-independent, so bands need no new Poisson solve.
+
+    ``omega``: range-separated kernel (erf for omega>0, erfc for omega<0;
+    linalg.coulomb convention) — the exact oracle for the ISDF omega path."""
     mesh = cell.mesh if mesh is None else mesh
     fmesh = tuple(int(m) for m in mesh)
     nk, ng, nao = ao_kpts.shape
     dm = jnp.asarray(dm_kpts)
     # no np round-trip: this is traced when a caller (e.g. scf.grad) wraps
     # the whole energy in one jit
-    coulG = jnp.asarray(get_coulG(cell, mesh=mesh),
+    coulG = jnp.asarray(get_coulG(cell, mesh=mesh, omega=omega),
                         dtype=jnp.real(ao_kpts).dtype)
     w = cell.vol / ng
     ao_out = ao_kpts if ao_band is None else ao_band
@@ -48,7 +51,7 @@ def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None):
 
 def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
                pair_chunk=256, ao_band=None, kpts_band=None,
-               g0_thresh=1e-12, g0_argmin_thresh=None):
+               g0_thresh=1e-12, g0_argmin_thresh=None, omega=0.0):
     """Exchange matrix vk[k1] from AO values; exact pairwise Poisson solves.
 
     The nk^2 (k1, k2) pairs run through a compiled ``lax.map`` body
@@ -77,7 +80,13 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
     Wigner-Seitz boundary, where a fixed (dmin/2)^2 *radius* rule excluded
     nothing and flipped the exclusion count 0/1 across the BZ (round-1
     advisor finding).  Argmin selection (not a radius) is what keeps the
-    count at one near Wigner-Seitz corners, where several images tie."""
+    count at one near Wigner-Seitz corners, where several images tie.
+
+    ``omega``: range-separated kernel (erf for omega>0, erfc for omega<0;
+    linalg.coulomb convention).  The SR kernel's q+G=0 sample is the finite
+    limit pi/omega^2, applied at exactly-zero samples (|q+G|^2 <= g0_thresh);
+    the LR divergence is dropped like the bare kernel's."""
+    omega = float(omega)
     mesh = cell.mesh if mesh is None else mesh
     fmesh = tuple(int(m) for m in mesh)
     if coords is None:
@@ -116,6 +125,13 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
         coulG = jnp.where(keep,
                           4.0 * jnp.pi / jnp.where(keep, absg2, 1.0),
                           0.0)
+        if omega > 0:       # long-range (erf); divergence dropped as bare
+            coulG = coulG * jnp.exp(-absg2 / (4.0 * omega * omega))
+        elif omega < 0:     # short-range (erfc); finite pi/omega^2 at q+G=0
+            coulG = jnp.where(
+                absg2 > g0_thresh,
+                coulG * (1.0 - jnp.exp(-absg2 / (4.0 * omega * omega))),
+                jnp.pi / (omega * omega))
         work = fft3((rho * eiqr.conj()[:, None]).T, fmesh) * coulG
         v = (ifft3(work, fmesh) * eiqr[None, :]).T.reshape(ng, nao, nao)
         u = jnp.einsum("ls,gs->gl", dm2, ao2.conj())
@@ -139,8 +155,10 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
 
 
 def get_jk_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
-                with_j=True, with_k=True):
+                with_j=True, with_k=True, omega=0.0):
     """(vj, vk) exact plane-wave build; either may be None if not requested."""
-    vj = get_j_kpts(cell, dm_kpts, ao_kpts, mesh) if with_j else None
-    vk = get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh, coords) if with_k else None
+    vj = (get_j_kpts(cell, dm_kpts, ao_kpts, mesh, omega=omega)
+          if with_j else None)
+    vk = (get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh, coords, omega=omega)
+          if with_k else None)
     return vj, vk
