@@ -56,6 +56,7 @@ import jax.numpy as jnp
 
 from fftisdf_tpu.basis.eval import make_evaluator
 from fftisdf_tpu.isdf.kpoint import _sector_wq
+from fftisdf_tpu.linalg.coulomb import get_coulG
 from fftisdf_tpu.utils.device import to_device, czeros
 
 
@@ -120,10 +121,10 @@ def get_jk_bands(df, dm_kpts, kpts_band, with_j=True, with_k=True):
     vj_b = None
     if with_j:
         from fftisdf_tpu.linalg.fft import fft3, ifft3
-        from fftisdf_tpu.linalg.coulomb import get_coulG
         from fftisdf_tpu.linalg.solvers import fitting_operator
 
-        coulG0 = jnp.asarray(np.asarray(get_coulG(cell, mesh=mesh)),
+        coulG0 = jnp.asarray(np.asarray(get_coulG(cell, mesh=mesh,
+                                                  trunc=df.trunc)),
                              dtype=df.dtype)
         w_quad = vol / ngrid
 
@@ -176,9 +177,12 @@ def get_jk_bands(df, dm_kpts, kpts_band, with_j=True, with_k=True):
     @jax.jit
     def _w_pair(a, b_rhs, cg, tq):
         eiqr = jax.lax.complex(jnp.cos(tq), jnp.sin(tq)).astype(cdtype)
+        # signed metric: off-mesh band shifts make truncated 2D kernels
+        # negative at many samples (isdf.kpoint._sector_wq docstring)
         return _sector_wq(a, b_rhs, cg, eiqr, mesh, vol, ngrid,
                           solver=df.solver, rcond=df.rcond,
-                          refine=df.refine)[0]
+                          refine=df.refine,
+                          signed=df.trunc is not None)[0]
 
     dmset = dm if not single else dm[None]
     nset, _, nao, _ = dmset.shape
@@ -188,8 +192,13 @@ def get_jk_bands(df, dm_kpts, kpts_band, with_j=True, with_k=True):
         for k2 in range(nk):
             a, b_rhs = _pair_fx(f_b[b], x_b[b], f_k[k2], df.x_k[k2])
             q = kpts_np[k2] - kpts_band[b]
-            cg = jnp.asarray(_band_coulG(cell, q, gv, dmin2),
-                             dtype=df.dtype)
+            if df.trunc is not None:
+                # finite everywhere: no divergent-sample exclusion applies
+                cg = jnp.asarray(np.asarray(get_coulG(
+                    cell, q=q, gv=gv, trunc=df.trunc)), dtype=df.dtype)
+            else:
+                cg = jnp.asarray(_band_coulG(cell, q, gv, dmin2),
+                                 dtype=df.dtype)
             tq = jnp.asarray(coords @ q, dtype=df.dtype)
             w = _w_pair(a, b_rhs, cg, tq)
             acc = acc + _pair_vk(x_b[b], w, df.x_k[k2], dmset[:, k2])

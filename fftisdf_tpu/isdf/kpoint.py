@@ -166,7 +166,7 @@ def _rhs_block(f_k, x_k, phase):
 
 
 def _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
-               solver="lstsq", rcond=1e-10, refine=None):
+               solver="lstsq", rcond=1e-10, refine=None, signed=False):
     """One momentum sector: w_q from the fit + FFT Coulomb kernel,
     metric-side form.
 
@@ -189,7 +189,14 @@ def _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
     refinement, final contraction all on the full RHS), at the same
     cond(A)^1 error amplification — forming B K B^H *without* the half
     factor and applying S twice would square the condition number (verified
-    by the 1e-10 full-rank gates in tests/test_isdf_kpoint.py)."""
+    by the 1e-10 full-rank gates in tests/test_isdf_kpoint.py).
+
+    ``signed=True``: the kernel may carry NEGATIVE samples (the 2D-truncated
+    kernel's finite q+G=0 value is -2 pi rc^2, and off-mesh band-point
+    shifts make more samples negative — linalg.coulomb); the metric is then
+    the indefinite split |K|^{1/2} sign(K) |K|^{1/2}, one extra scaled
+    operand in the gram.  Static: the 3D/0D kernels are PSD and keep the
+    cheaper single-operand form."""
     half, finish, rank = fitting_half_operator(x4_q, method=solver,
                                                rcond=rcond, refine=refine)
     g = half(y_q.T)                             # (nip, ngrid) = H B
@@ -200,17 +207,22 @@ def _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
     gf = fft3(g * eiqr.conj()[None, :], mesh)
     # PSD split of the (nonnegative) Coulomb kernel: ONE scaled operand in
     # the gram instead of two live O(nip*ngrid) buffers
-    h = gf * jnp.sqrt(jnp.maximum(coulG_q, 0.0) * (vol / ngrid**2))
-    w_q = finish(h @ h.conj().T)
+    h = gf * jnp.sqrt(jnp.abs(coulG_q) * (vol / ngrid**2))
+    if signed:
+        hs = h * jnp.sign(coulG_q)[None, :]
+        w_q = finish(hs @ h.conj().T)
+    else:
+        w_q = finish(h @ h.conj().T)
     return w_q, rank
 
 
 @partial(jax.jit, static_argnames=("solver", "mesh", "vol", "ngrid",
-                                   "refine"))
+                                   "refine", "signed"))
 def _solve_coulomb_q(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
-                     solver="lstsq", rcond=1e-10, refine=None):
+                     solver="lstsq", rcond=1e-10, refine=None, signed=False):
     return _sector_wq(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
-                      solver=solver, rcond=rcond, refine=refine)
+                      solver=solver, rcond=rcond, refine=refine,
+                      signed=signed)
 
 
 # Module-level jitted build stages: stable function identities keep the
@@ -222,9 +234,11 @@ _take_cols = jax.jit(lambda a, i: a[:, i])
 _mask_rows = jax.jit(lambda a, m: a[:, m, :])
 _scatter_trs = jax.jit(lambda w, o, c: jnp.where(
     c[:, None, None], jnp.conj(w[o]), w[o]))
-# scale = vol/ngrid^2 computed on host (f64): ngrid^2 overflows int32
-_sqrt_kernel = jax.jit(lambda cg, scale: jnp.sqrt(
-    jnp.maximum(cg, 0.0) * scale))
+# scale = vol/ngrid^2 computed on host (f64): ngrid^2 overflows int32.
+# abs, not max(.,0): truncated 2D kernels carry a finite NEGATIVE q+G=0
+# sample whose magnitude must survive the PSD-style split — its sign is
+# restored as a rank-1 gram correction in _sector_gram (neg_cols).
+_sqrt_kernel = jax.jit(lambda cg, scale: jnp.sqrt(jnp.abs(cg) * scale))
 # donated in-place sector write into the preallocated w_q buffer (a
 # python-list + concatenate doubled the w_q footprint right at the end of
 # the build — observed OOM at production sizes)
@@ -360,8 +374,8 @@ def _spectral_inplace(g_re, g_im, eiqr_c, sqk_c, *, mesh, ngrid, rblk):
     return g_re, g_im
 
 
-@partial(jax.jit, static_argnames=("q", "rblk", "kind"))
-def _sector_gram(g_re, g_im, data_q, *, q, rblk, kind):
+@partial(jax.jit, static_argnames=("q", "rblk", "kind", "neg_cols"))
+def _sector_gram(g_re, g_im, data_q, *, q, rblk, kind, neg_cols=()):
     """One momentum sector's w_q from the in-place spectral planes (ref
     HOT LOOP 2, fftisdf.py:97-124): the Coulomb-metric gram
     M_q = h_q h_q^H over the padded grid width (pad columns are zero),
@@ -372,7 +386,14 @@ def _sector_gram(g_re, g_im, data_q, *, q, rblk, kind):
     REAL gemms straight off the f32 planes — no complex slab is ever
     materialized, halving the bytes the bandwidth-bound contraction
     streams.  ``q`` is static: the executable is reused across chunks
-    and every slab read is a static contiguous slice."""
+    and every slab read is a static contiguous slice.
+
+    ``neg_cols``: static grid-column indices where the Coulomb kernel is
+    NEGATIVE (truncated 2D kernels: the finite q+G=0 sample -2 pi rc^2).
+    The planes hold |coulG|^{1/2}-scaled spectra (_sqrt_kernel uses abs),
+    so each such column j contributes +a a^H to the gram where the true
+    metric wants -a a^H; the exact fix is the rank-1 subtraction of
+    2 a a^H per column (linalg.coulomb module docstring)."""
     nq, nip_pad, ngrid_pad = g_re.shape
     nip = data_q[0].shape[-1]
     rblk = min(rblk, nip_pad)
@@ -400,6 +421,9 @@ def _sector_gram(g_re, g_im, data_q, *, q, rblk, kind):
     blk_of = jnp.arange(nip) // rblk
     on_diag = blk_of[:, None] == blk_of[None, :]
     m_q = m_u + m_u.conj().T - jnp.where(on_diag, m_u, 0)
+    for j in neg_cols:
+        a = jax.lax.complex(g_re[q, :nip, j], g_im[q, :nip, j])
+        m_q = m_q - 2.0 * a[:, None] * a.conj()[None, :]
     return finish_apply(kind, data_q, m_q), data_q[-1]
 
 
@@ -449,6 +473,11 @@ class FFTISDF:
     blksize: int = 16384
     max_memory_gb: float = 12.0  # HBM budget driving sector chunking
     use_trs: bool = True       # exploit w_{-q} = conj(w_q) in the build
+    trunc: object = None       # Coulomb truncation for low-dimensional
+                               # systems: None (3D periodic) | "0d" | "2d"
+                               # (auto rc from the cell) | ("0d"|"2d", rc).
+                               # Truncated kernels are even in q+G, so TRS
+                               # halving still applies (linalg.coulomb).
     select_host_f64: bool = None  # force host-f64 selection (slow host path)
     dtype: object = None       # None: f64 on CPU (x64), f32 otherwise.
                                # NB explicit f64 on an f32-only device would
@@ -484,6 +513,10 @@ class FFTISDF:
             # floor (measured: c0=40 J err 5.3e-5 / 1.4e-5 / 5.3e-6 at
             # refine 0/1/2; step 3 gives <1.4x more)
             self.refine = 0 if self.dtype == jnp.float64 else 2
+        if isinstance(self.trunc, str):
+            from fftisdf_tpu.linalg.coulomb import trunc_for_cell
+
+            self.trunc = trunc_for_cell(self.cell, self.trunc)
         self.kpts = np.asarray(self.kpts)
         self.kmesh = np.asarray(kpt_mod.kpts_to_kmesh(self.cell, self.kpts))
         self._log = Logger(self.verbose)
@@ -679,7 +712,7 @@ class FFTISDF:
         gv = jnp.asarray(cell.get_Gv(mesh), dtype=self.dtype)
         kpts_d = jnp.asarray(kpts, dtype=self.dtype)
         coulG = get_coulG_batched(cell, kpts_d, gv, dtype=self.dtype,
-                                  omega=omega)
+                                  omega=omega, trunc=self.trunc)
         coords_d = jnp.asarray(coords, dtype=self.dtype)
         eiqr = _eiqr_kernel(coords_d, kpts_d).astype(cdtype)
         vol = float(cell.vol)
@@ -704,6 +737,17 @@ class FFTISDF:
         del coulG, eiqr
         kind = "ridge" if self.solver == "ridge" else "eigh"
         sqk_sel = _sqrt_kernel(coulG_sel, vol / ngrid**2)
+        # truncated 2D kernels carry a finite negative q+G=0 sample that
+        # the abs-based split strips the sign from; find the affected
+        # columns per canonical sector (host: one tiny count fetch, then
+        # one bool row per affected sector — in practice only q=0)
+        neg_cols_sel = [()] * nsec
+        if self.trunc is not None:
+            nneg = np.asarray(jnp.sum(coulG_sel < 0, axis=1))
+            for i in np.flatnonzero(nneg):
+                neg_cols_sel[i] = tuple(
+                    int(j) for j in
+                    np.flatnonzero(np.asarray(coulG_sel[i] < 0)))
         wq_sel = czeros((nsec, nip, nip), cdtype)
         rank_parts = []
         for q0 in range(0, nsec, qchunk):
@@ -720,7 +764,8 @@ class FFTISDF:
             for iq in range(q1 - q0):
                 data_q = jax.tree_util.tree_map(lambda a: a[iq], data_c)
                 wq_q, rank_q = _sector_gram(
-                    g_re, g_im, data_q, q=iq, rblk=rblk, kind=kind)
+                    g_re, g_im, data_q, q=iq, rblk=rblk, kind=kind,
+                    neg_cols=neg_cols_sel[q0 + iq])
                 wq_sel = _wq_write(wq_sel, wq_q, q0 + iq)
                 rank_parts.append(rank_q)
             del g_re, g_im, data_c
@@ -778,6 +823,11 @@ class FFTISDF:
             # the reference guards ALL exxdiv out (fftisdf.py:395); 'ewald'
             # (probe-charge Madelung correction) is supported beyond it
             raise NotImplementedError(f"exxdiv={exxdiv!r} not supported")
+        if exxdiv is not None and self.trunc is not None:
+            raise NotImplementedError(
+                "exxdiv with a truncated Coulomb kernel: truncation removes "
+                "the q+G=0 divergence physically, so no neutralizing-"
+                "background Madelung correction applies")
         if kpts_band is not None:
             # served from the product state via per-pair re-fits (the
             # reference guards this out, fftisdf.py:194; round-2 item #7)

@@ -46,7 +46,7 @@ from fftisdf_tpu.utils.device import to_device
 def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",
                      rcond=1e-10, dtype=jnp.float64, refine=None,
                      use_trs=True, max_memory_gb=12.0, blksize=16384,
-                     log=None):
+                     trunc=None, log=None):
     """Compute w_q over the device mesh.  Returns wq (nk, nip, nip), sector-
     sharded.  Uneven nk / device-count splits work via GSPMD padding."""
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -63,7 +63,7 @@ def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",
     gv = jnp.asarray(cell.get_Gv(fmesh), dtype=dtype)
     kpts_d = jnp.asarray(np.asarray(kpts), dtype=dtype)
     coords_d = jnp.asarray(coords, dtype=dtype)
-    coulG = get_coulG_batched(cell, kpts_d, gv, dtype=dtype)
+    coulG = get_coulG_batched(cell, kpts_d, gv, dtype=dtype, trunc=trunc)
     eiqr = _eiqr_kernel(coords_d, kpts_d).astype(cdtype)
     phase_dev = to_device(phase, dtype=cdtype)
     x4_k = _stripe_quartic(x_k, phase_dev)
@@ -136,10 +136,12 @@ def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",
         # reshard: ONE all-to-all over ICI into the sector layout
         y = with_sharding_constraint(y, sshard)
         # stage 2: per-sector solve + FFT Coulomb, vmapped over local sectors
+        # signed metric iff a truncated kernel can carry negative samples
+        # (isdf.kpoint._sector_wq docstring)
         wq_c = jax.vmap(
             lambda x4_q, y_q, cg, ph: _sector_wq(
                 x4_q, y_q, cg, ph, fmesh, vol, ngrid, solver=solver,
-                rcond=rcond, refine=refine)[0]
+                rcond=rcond, refine=refine, signed=trunc is not None)[0]
         )(x4_c, y, coulG_c, eiqr_c)
         return with_sharding_constraint(wq_c, sshard)
 
@@ -188,7 +190,8 @@ def build_sharded(df, dev_mesh):
                              dtype=df.dtype, refine=df.refine,
                              use_trs=df.use_trs,
                              max_memory_gb=df.max_memory_gb,
-                             blksize=df.blksize, log=df._log)
+                             blksize=df.blksize, trunc=df.trunc,
+                             log=df._log)
     return df
 
 

@@ -16,10 +16,11 @@ import jax
 import jax.numpy as jnp
 
 from fftisdf_tpu.linalg.fft import fft3, ifft3
-from fftisdf_tpu.linalg.coulomb import get_coulG
+from fftisdf_tpu.linalg.coulomb import get_coulG, _coulG_vec, check_trunc
 
 
-def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None, omega=0.0):
+def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None, omega=0.0,
+               trunc=None):
     """Hartree matrix vj[k] from AO values ao_kpts (nk, ng, nao).
 
     ``ao_band`` (nb, ng, nao): integrate the Hartree potential of the mesh
@@ -27,14 +28,17 @@ def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None, omega=0.0):
     potential itself is k-independent, so bands need no new Poisson solve.
 
     ``omega``: range-separated kernel (erf for omega>0, erfc for omega<0;
-    linalg.coulomb convention) — the exact oracle for the ISDF omega path."""
+    linalg.coulomb convention) — the exact oracle for the ISDF omega path.
+
+    ``trunc``: real-space Coulomb truncation ("0d"/"2d" spec; linalg.coulomb
+    convention) — the exact oracle for low-dimensional systems."""
     mesh = cell.mesh if mesh is None else mesh
     fmesh = tuple(int(m) for m in mesh)
     nk, ng, nao = ao_kpts.shape
     dm = jnp.asarray(dm_kpts)
     # no np round-trip: this is traced when a caller (e.g. scf.grad) wraps
     # the whole energy in one jit
-    coulG = jnp.asarray(get_coulG(cell, mesh=mesh, omega=omega),
+    coulG = jnp.asarray(get_coulG(cell, mesh=mesh, omega=omega, trunc=trunc),
                         dtype=jnp.real(ao_kpts).dtype)
     w = cell.vol / ng
     ao_out = ao_kpts if ao_band is None else ao_band
@@ -51,7 +55,8 @@ def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None, omega=0.0):
 
 def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
                pair_chunk=256, ao_band=None, kpts_band=None,
-               g0_thresh=1e-12, g0_argmin_thresh=None, omega=0.0):
+               g0_thresh=1e-12, g0_argmin_thresh=None, omega=0.0,
+               trunc=None):
     """Exchange matrix vk[k1] from AO values; exact pairwise Poisson solves.
 
     The nk^2 (k1, k2) pairs run through a compiled ``lax.map`` body
@@ -85,8 +90,13 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
     ``omega``: range-separated kernel (erf for omega>0, erfc for omega<0;
     linalg.coulomb convention).  The SR kernel's q+G=0 sample is the finite
     limit pi/omega^2, applied at exactly-zero samples (|q+G|^2 <= g0_thresh);
-    the LR divergence is dropped like the bare kernel's."""
+    the LR divergence is dropped like the bare kernel's.
+
+    ``trunc``: real-space Coulomb truncation (linalg.coulomb convention).
+    A truncated kernel is finite everywhere, so the g0/argmin exclusion
+    machinery does not apply (the finite q+G=0 value is physical and kept)."""
     omega = float(omega)
+    trunc = check_trunc(trunc, omega)
     mesh = cell.mesh if mesh is None else mesh
     fmesh = tuple(int(m) for m in mesh)
     if coords is None:
@@ -115,23 +125,26 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
         eiqr = jnp.exp(1j * (coords_d @ q))
         rho = (ao1.conj()[:, :, None] * ao2[:, None, :]).reshape(ng, -1)
         gk = gv + q[None, :]
-        absg2 = jnp.sum(gk * gk, axis=1)
-        keep = absg2 > g0_thresh
-        if g0_argmin_thresh is not None:
-            imin = jnp.argmin(absg2)
-            near = (jnp.arange(absg2.shape[0]) == imin) & (
-                absg2[imin] < g0_argmin_thresh)
-            keep = keep & ~near
-        coulG = jnp.where(keep,
-                          4.0 * jnp.pi / jnp.where(keep, absg2, 1.0),
-                          0.0)
-        if omega > 0:       # long-range (erf); divergence dropped as bare
-            coulG = coulG * jnp.exp(-absg2 / (4.0 * omega * omega))
-        elif omega < 0:     # short-range (erfc); finite pi/omega^2 at q+G=0
-            coulG = jnp.where(
-                absg2 > g0_thresh,
-                coulG * (1.0 - jnp.exp(-absg2 / (4.0 * omega * omega))),
-                jnp.pi / (omega * omega))
+        if trunc is not None:
+            coulG = _coulG_vec(gk, 0.0, trunc)
+        else:
+            absg2 = jnp.sum(gk * gk, axis=1)
+            keep = absg2 > g0_thresh
+            if g0_argmin_thresh is not None:
+                imin = jnp.argmin(absg2)
+                near = (jnp.arange(absg2.shape[0]) == imin) & (
+                    absg2[imin] < g0_argmin_thresh)
+                keep = keep & ~near
+            coulG = jnp.where(keep,
+                              4.0 * jnp.pi / jnp.where(keep, absg2, 1.0),
+                              0.0)
+            if omega > 0:   # long-range (erf); divergence dropped as bare
+                coulG = coulG * jnp.exp(-absg2 / (4.0 * omega * omega))
+            elif omega < 0:  # short-range (erfc); finite pi/omega^2 limit
+                coulG = jnp.where(
+                    absg2 > g0_thresh,
+                    coulG * (1.0 - jnp.exp(-absg2 / (4.0 * omega * omega))),
+                    jnp.pi / (omega * omega))
         work = fft3((rho * eiqr.conj()[:, None]).T, fmesh) * coulG
         v = (ifft3(work, fmesh) * eiqr[None, :]).T.reshape(ng, nao, nao)
         u = jnp.einsum("ls,gs->gl", dm2, ao2.conj())
@@ -155,10 +168,11 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
 
 
 def get_jk_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
-                with_j=True, with_k=True, omega=0.0):
+                with_j=True, with_k=True, omega=0.0, trunc=None):
     """(vj, vk) exact plane-wave build; either may be None if not requested."""
-    vj = (get_j_kpts(cell, dm_kpts, ao_kpts, mesh, omega=omega)
+    vj = (get_j_kpts(cell, dm_kpts, ao_kpts, mesh, omega=omega, trunc=trunc)
           if with_j else None)
-    vk = (get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh, coords, omega=omega)
+    vk = (get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh, coords, omega=omega,
+                     trunc=trunc)
           if with_k else None)
     return vj, vk

@@ -25,6 +25,11 @@ def save_isdf_state(path, df):
         c0=df.c0,
         m0=np.asarray(df.m0),
         solver=df.solver,
+        # Coulomb truncation spec ('' = none): the metric wq baked a
+        # truncated kernel in, so a reload must carry it (band serving and
+        # exxdiv guards read it)
+        trunc_kind="" if df.trunc is None else str(df.trunc[0]),
+        trunc_rc=0.0 if df.trunc is None else float(df.trunc[1]),
     )
 
 
@@ -34,9 +39,12 @@ def load_isdf_state(path, cls, cell, kpts):
         raise ValueError("stored k-points do not match")
     if not np.array_equal(data["mesh"], np.asarray(cell.mesh)):
         raise ValueError("stored FFT mesh does not match cell")
+    trunc = None
+    if "trunc_kind" in data.files and str(data["trunc_kind"]):
+        trunc = (str(data["trunc_kind"]), float(data["trunc_rc"]))
     df = cls(cell=cell, kpts=np.asarray(kpts), c0=float(data["c0"]),
              m0=tuple(int(v) for v in data["m0"]),
-             solver=str(data["solver"]))
+             solver=str(data["solver"]), trunc=trunc)
     df.x_k = to_device(data["x_k"])
     df.wq = to_device(data["wq"])
     df.mask = data["mask"]
