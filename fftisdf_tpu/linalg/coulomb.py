@@ -165,6 +165,42 @@ def trunc_for_cell(cell, kind):
     raise ValueError(f"unknown truncation {kind!r} (use '0d' or '2d')")
 
 
+def coulG_np(gv, trunc=None):
+    """Host (numpy, f64) mirror of the kernel values, for integral code that
+    stays on the host regardless of the default backend (scf.integrals
+    hcore assembly keeps complex128 precision there).  Bare kernel: the
+    divergent q+G=0 sample is zeroed (background convention); truncated
+    kernels keep their finite q+G=0 value."""
+    import numpy as np
+
+    gv = np.asarray(gv, dtype=float)
+    absg2 = np.einsum("gi,gi->g", gv, gv)
+    ok = absg2 > 1e-12
+    safe = np.where(ok, absg2, 1.0)
+    if trunc is None:
+        return np.where(ok, 4.0 * np.pi / safe, 0.0)
+    kind, rc = trunc
+    rc = float(rc)
+    if kind == "0d":
+        v = 4.0 * np.pi * (1.0 - np.cos(np.sqrt(safe) * rc)) / safe
+        return np.where(ok, v, 2.0 * np.pi * rc * rc)
+    if kind == "2d":
+        gz = gv[:, 2]
+        gp2 = gv[:, 0] ** 2 + gv[:, 1] ** 2
+        pok = gp2 > 1e-12
+        zok = gz * gz > 1e-12
+        gp = np.sqrt(np.where(pok, gp2, 1.0))
+        vp = (4.0 * np.pi / np.where(pok, absg2, 1.0)
+              * (1.0 + np.exp(-gp * rc)
+                 * ((gz / gp) * np.sin(gz * rc) - np.cos(gz * rc))))
+        gz2 = np.where(zok, gz * gz, 1.0)
+        vz = (4.0 * np.pi / gz2
+              * (1.0 - np.cos(gz * rc) - gz * rc * np.sin(gz * rc)))
+        return np.where(pok, vp,
+                        np.where(zok, vz, -2.0 * np.pi * rc * rc))
+    raise ValueError(f"unknown truncation {kind!r} (use '0d' or '2d')")
+
+
 def get_coulG(cell, q=None, mesh=None, gv=None, omega=0.0, trunc=None):
     """Coulomb kernel values on the FFT grid: (ngrid,) real.
 

@@ -310,6 +310,10 @@ def make_grad_fn(cell, kpts, two_electron="pw", df=None, dtype=None,
     frozen across all evaluations (the derivative of one fixed approximant)."""
     from fftisdf_tpu.utils.device import to_device
 
+    if getattr(df, "trunc", None) is not None:
+        raise NotImplementedError(
+            "gradients with a truncated Coulomb kernel: the traced energy "
+            "is the bare-kernel functional")
     if dtype is None:
         dtype = _default_dtype()
     kw = {}
@@ -366,6 +370,11 @@ def kernel(mf, two_electron="pw", df=None, dtype=None, max_memory_gb=None):
     ``mf.exxdiv`` is honored (the 'ewald' Madelung S-term is part of the
     traced Lagrangian), and so are ``mf.xc`` / ``mf.hubbard`` — the traced
     functional is the one the density is stationary for."""
+    if getattr(mf, "trunc", None) is not None:
+        raise NotImplementedError(
+            "gradients with a truncated Coulomb kernel: the traced energy "
+            "differentiates the bare-kernel functional, which the trunc "
+            "density is not stationary for")
     return make_grad_fn(mf.cell, mf.kpts, two_electron=two_electron, df=df,
                         dtype=dtype, exxdiv=getattr(mf, "exxdiv", None),
                         xc=getattr(mf, "xc", None),

@@ -101,6 +101,10 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
     reference geometry.
     """
     assert getattr(mf, "dm", None) is not None and mf.converged
+    if getattr(mf, "trunc", None) is not None:
+        raise NotImplementedError(
+            "Hessians with a truncated Coulomb kernel (the displaced "
+            "gradients trace the bare-kernel functional)")
     cell = mf.cell
     x0 = np.asarray(cell.atom_coords(), dtype=np.float64)
     natm = len(x0)

@@ -27,7 +27,7 @@ from fftisdf_tpu.utils.device import to_host, to_device
 class PWDF:
     """Exact plane-wave J/K provider (FFTDF-oracle) with the get_jk interface."""
 
-    def __init__(self, cell, kpts, dtype=jnp.float64):
+    def __init__(self, cell, kpts, dtype=jnp.float64, trunc=None):
         from fftisdf_tpu.pw import jk as pw_jk
 
         self.cell = cell
@@ -38,19 +38,30 @@ class PWDF:
         self._jk = pw_jk
         self._madelung = None
         self._s1e = None
+        if isinstance(trunc, str):
+            from fftisdf_tpu.linalg.coulomb import trunc_for_cell
+
+            trunc = trunc_for_cell(cell, trunc)
+        self.trunc = trunc
 
     def get_jk(self, dm, with_j=True, with_k=True, exxdiv=None):
         if exxdiv not in (None, "ewald"):
             raise NotImplementedError(f"exxdiv={exxdiv!r} not supported")
+        if exxdiv is not None and self.trunc is not None:
+            raise NotImplementedError(
+                "exxdiv with a truncated Coulomb kernel (truncation removes "
+                "the divergence physically)")
         dm = to_device(dm)
         if dm.ndim == 4:  # spin/set axis
             out = [self.get_jk(d, with_j, with_k, exxdiv) for d in dm]
             vj = jnp.stack([o[0] for o in out]) if with_j else None
             vk = jnp.stack([o[1] for o in out]) if with_k else None
             return vj, vk
-        vj = self._jk.get_j_kpts(self.cell, dm, self.ao) if with_j else None
+        vj = (self._jk.get_j_kpts(self.cell, dm, self.ao, trunc=self.trunc)
+              if with_j else None)
         vk = (self._jk.get_k_kpts(self.cell, dm, self.ao, self.kpts,
-                                  coords=self.coords) if with_k else None)
+                                  coords=self.coords, trunc=self.trunc)
+              if with_k else None)
         if exxdiv == "ewald" and with_k:
             from fftisdf_tpu.isdf.jk import add_ewald_exx
 
@@ -123,6 +134,11 @@ class KRHF:
     damp: float = 0.0          # density mixing dm <- (1-damp) dm_new + damp dm
     smearing: float = 0.0      # sigma (Ha); > 0 enables fractional occupations
     smearing_method: str = "fermi"   # fermi | gauss
+    trunc: object = None       # truncated Coulomb for low-dimensional
+                               # systems ("0d" | ("0d", rc)): truncates
+                               # J/K, electron-ion AND ion-ion consistently
+                               # (isolated-molecule SCF in a box).  Adopted
+                               # from with_df.trunc when one is supplied.
     ovlp_cutoff: float = None  # canonical-orthogonalization threshold;
                                # None: dtype-aware (1e-10 f64, 2e-6 f32)
     dtype: object = None       # device dtype; None = f64 (f32 on TPU)
@@ -151,15 +167,36 @@ class KRHF:
                           else jnp.float32)
         if self.ovlp_cutoff is None:
             self.ovlp_cutoff = 1e-10 if self.dtype == jnp.float64 else 2e-6
+        # Coulomb truncation: normalize, adopt from / check against the
+        # J/K provider (the metric it serves MUST match hcore + e_nuc)
+        if isinstance(self.trunc, str):
+            from fftisdf_tpu.linalg.coulomb import trunc_for_cell
+
+            self.trunc = trunc_for_cell(cell, self.trunc)
+        df_trunc = getattr(self.with_df, "trunc", None)
+        if self.trunc is None:
+            self.trunc = df_trunc
+        elif df_trunc is not None and (
+                df_trunc[0] != self.trunc[0]
+                or abs(df_trunc[1] - self.trunc[1]) > 1e-10):
+            raise ValueError(
+                f"with_df truncation {df_trunc} != SCF truncation "
+                f"{self.trunc}")
+        if self.trunc is not None and self.exxdiv is not None:
+            raise NotImplementedError(
+                "exxdiv with a truncated Coulomb kernel (truncation removes "
+                "the divergence physically)")
         fn = make_evaluator(cell, kpts=self.kpts, dtype=self.dtype)
         coords = cell.gen_uniform_grids()
         self._ao = fn(jnp.asarray(coords, dtype=self.dtype))
         self.s1e = to_host(integrals.get_ovlp(cell, self._ao))
         self.h1e = to_host(integrals.get_hcore(cell, self._ao, self.kpts,
-                                               coords))
-        self.e_nuc = integrals.ewald(cell)
+                                               coords, trunc=self.trunc))
+        self.e_nuc = (integrals.energy_nuc_trunc(cell, self.trunc)
+                      if self.trunc is not None else integrals.ewald(cell))
         if self.with_df is None:
-            self.with_df = PWDF(cell, self.kpts, dtype=self.dtype)
+            self.with_df = PWDF(cell, self.kpts, dtype=self.dtype,
+                                trunc=self.trunc)
 
     # --------------------------------------------------------------
     @property
@@ -286,7 +323,8 @@ class KRHF:
         coords = cell.gen_uniform_grids()
         aob = fnb(jnp.asarray(coords, dtype=self.dtype))
         s1e_b = to_host(integrals.get_ovlp(cell, aob))
-        h1e_b = to_host(integrals.get_hcore(cell, aob, kpts_band, coords))
+        h1e_b = to_host(integrals.get_hcore(cell, aob, kpts_band, coords,
+                                            trunc=self.trunc))
         dm = to_device(dm, dtype=self._ao.dtype)
         # exclude exactly the argmin-|q+G|^2 exchange-kernel sample of
         # each (band, mesh) pair when it is strictly inside dmin of the
@@ -311,18 +349,22 @@ class KRHF:
                 vk_b = 0.0
         elif dm.ndim == 4:   # spin channels (KUHF)
             vj_b = jnp.stack([pw_jk.get_j_kpts(cell, d, self._ao,
-                                               ao_band=aob) for d in dm])
+                                               ao_band=aob, trunc=self.trunc)
+                              for d in dm])
             vk_b = jnp.stack([
                 pw_jk.get_k_kpts(cell, d, self._ao, self.kpts, coords=coords,
                                  ao_band=aob, kpts_band=kpts_band,
-                                 g0_argmin_thresh=g0_argmin_thresh)
+                                 g0_argmin_thresh=g0_argmin_thresh,
+                                 trunc=self.trunc)
                 for d in dm]) if with_k else 0.0
         else:
-            vj_b = pw_jk.get_j_kpts(cell, dm, self._ao, ao_band=aob)
+            vj_b = pw_jk.get_j_kpts(cell, dm, self._ao, ao_band=aob,
+                                    trunc=self.trunc)
             vk_b = (pw_jk.get_k_kpts(cell, dm, self._ao, self.kpts,
                                      coords=coords, ao_band=aob,
                                      kpts_band=kpts_band,
-                                     g0_argmin_thresh=g0_argmin_thresh)
+                                     g0_argmin_thresh=g0_argmin_thresh,
+                                     trunc=self.trunc)
                     if with_k else 0.0)
         if self.exxdiv == "ewald" and with_k:
             # the probe-charge correction needs the density *at the band

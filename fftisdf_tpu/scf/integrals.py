@@ -95,8 +95,19 @@ def gth_vloc_G0(pseudo):
             * (c[0] + 3.0 * c[1] + 15.0 * c[2] + 105.0 * c[3]))
 
 
-def vloc_on_grid(cell):
-    """Total local-pseudopotential on the FFT grid (real, (ngrid,))."""
+def vloc_on_grid(cell, trunc=None):
+    """Total local-pseudopotential on the FFT grid (real, (ngrid,)).
+
+    ``trunc`` (linalg.coulomb convention): replace the Coulomb tail of the
+    electron-ion interaction by the real-space-truncated kernel — for point
+    nuclei v(G) = -Z v_trunc(G) exactly; for GTH pseudos the local part IS
+    a Gaussian charge (width rloc) times 1/r plus short-range Gaussian
+    corrections, so the truncated form is the non-Coulomb rest plus
+    -Z e^{-G^2 rloc^2/2} v_trunc(G).  The finite v_trunc(q+G=0) is KEPT
+    (no neutralizing-background bookkeeping: the G=0 pieces of E_H, E_ne
+    and E_ii cancel by neutrality with a consistent finite kernel)."""
+    from fftisdf_tpu.linalg.coulomb import coulG_np
+
     mesh = tuple(int(m) for m in cell.mesh)
     gv = cell.get_Gv()
     G2 = np.einsum("gi,gi->g", gv, gv)
@@ -104,6 +115,8 @@ def vloc_on_grid(cell):
     f = np.zeros(ng, dtype=np.complex128)
     from fftisdf_tpu.basis import data as basis_data
 
+    g0 = G2 <= 1e-12
+    vtr = coulG_np(gv, trunc) if trunc is not None else None
     for sym, xyz in cell.atom:
         ps = cell._pseudo.get(sym)
         if ps is None:
@@ -112,12 +125,24 @@ def vloc_on_grid(cell):
             # the grid resolving the nuclear cusp -- fine for soft test
             # systems, production cells use GTH pseudopotentials)
             z = basis_data.ATOMIC_NUMBER[basis_data.element_symbol(sym)]
-            vG = np.where(G2 > 1e-12,
-                          -4.0 * np.pi * z / np.where(G2 > 1e-12, G2, 1.0),
-                          0.0)
+            if trunc is not None:
+                vG = -z * vtr
+            else:
+                vG = np.where(g0, 0.0,
+                              -4.0 * np.pi * z / np.where(g0, 1.0, G2))
         else:
             vG = gth_vloc_G(ps, G2)
-            vG[G2 <= 1e-12] = gth_vloc_G0(ps)
+            vG[g0] = gth_vloc_G0(ps)
+            if trunc is not None:
+                # swap the bare Coulomb tail of the Gaussian ionic charge
+                # for the truncated one: gth_vloc_G0 is the finite limit of
+                # vG + 4 pi Z/G^2 e^{-G^2 rloc^2/2}, so adding the bare
+                # tail back and subtracting Z damp v_trunc is exact
+                damp = np.exp(-0.5 * G2 * ps.rloc ** 2)
+                vG = vG + np.where(
+                    g0, 0.0,
+                    4.0 * np.pi * ps.zion * damp / np.where(g0, 1.0, G2))
+                vG = vG - ps.zion * damp * vtr
         f += vG * np.exp(-1j * gv @ np.asarray(xyz))
     # host complex -> device through the split-transfer helper, ifft under
     # jit (complex-hostile transports)
@@ -130,9 +155,9 @@ def vloc_on_grid(cell):
     return v
 
 
-def get_vloc(cell, ao_kpts, vgrid=None):
+def get_vloc(cell, ao_kpts, vgrid=None, trunc=None):
     if vgrid is None:
-        vgrid = vloc_on_grid(cell)
+        vgrid = vloc_on_grid(cell, trunc=trunc)
     ng = ao_kpts.shape[1]
     w = cell.vol / ng
     return w * jnp.einsum("kgm,g,kgn->kmn", ao_kpts.conj(),
@@ -210,13 +235,53 @@ def get_vnl(cell, ao_kpts, kpts, dtype=jnp.float64, return_projections=False):
     return (v, b) if return_projections else v
 
 
-def get_hcore(cell, ao_kpts, kpts, coords=None):
+def get_hcore(cell, ao_kpts, kpts, coords=None, trunc=None):
     t = get_kinetic(cell, ao_kpts, kpts, coords)
-    v = get_vloc(cell, ao_kpts)
+    v = get_vloc(cell, ao_kpts, trunc=trunc)
     vnl = get_vnl(cell, ao_kpts, kpts,
                   dtype=jnp.float64 if ao_kpts.dtype == jnp.complex128
                   else jnp.float32)
     return t + v + vnl
+
+
+def energy_nuc_trunc(cell, trunc):
+    """Ion-ion energy under the truncated Coulomb interaction (point
+    charges through v_trunc; the counterpart of the finite-kernel E_H and
+    the truncated vloc — together the G=0 pieces cancel by neutrality and
+    the total converges to the ISOLATED system's energy, exponentially in
+    the vacuum padding).
+
+    0D (spherical truncation): v_trunc has finite range rc, so the direct
+    lattice sum is absolutely convergent; with the conventional rc =
+    L_min/2 and a centered molecule only in-cell pairs survive.  2D slab
+    ion-ion needs a truncated 2D Ewald (in-plane images keep the full 1/r
+    inside |z| < rc) — not implemented."""
+    kind, rc = trunc
+    rc = float(rc)
+    if kind != "0d":
+        raise NotImplementedError(
+            "SCF-level truncation is implemented for '0d' (isolated "
+            "molecules); '2d' slab ion-ion requires a truncated 2D Ewald")
+    charges = np.asarray(cell.atom_charges(), dtype=float)
+    coords = np.asarray(cell.atom_coords(), dtype=float)
+    a = np.asarray(cell.a, dtype=float)
+    vol = abs(np.linalg.det(a))
+    heights = np.array([
+        vol / np.linalg.norm(np.cross(a[(i + 1) % 3], a[(i + 2) % 3]))
+        for i in range(3)])
+    d0 = coords[:, None, :] - coords[None, :, :]
+    reach = rc + np.linalg.norm(d0, axis=-1).max()
+    nmax = np.ceil(reach / heights).astype(int)
+    rng = [np.arange(-n, n + 1) for n in nmax]
+    ts = (np.stack(np.meshgrid(*rng, indexing="ij"), -1)
+          .reshape(-1, 3).astype(float) @ a)
+    e = 0.0
+    zz = charges[:, None] * charges[None, :]
+    for t in ts:
+        r = np.linalg.norm(d0 + t[None, None, :], axis=-1)
+        inside = (r < rc) & (r > 1e-12)
+        e += 0.5 * np.sum(zz[inside] / r[inside])
+    return float(e)
 
 
 # ---------------------------------------------------------------------- Ewald

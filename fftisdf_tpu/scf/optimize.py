@@ -72,6 +72,10 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
     with the energy being minimized.  Returns an :class:`OptResult`.
     """
     log = Logger(getattr(mf, "verbose", 3))
+    if getattr(mf, "trunc", None) is not None:
+        raise NotImplementedError(
+            "geometry optimization with a truncated Coulomb kernel "
+            "(forces trace the bare-kernel functional)")
     cell = mf.cell
     assert cell._built
 

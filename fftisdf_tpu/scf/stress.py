@@ -556,6 +556,10 @@ def kernel(mf, dtype=None, two_electron="pw", df=None):
     of ``df`` instead of the exact plane-wave energy.  ``mf.xc`` /
     ``mf.hubbard`` are honored (the traced functional is the one the
     density is stationary for)."""
+    if getattr(mf, "trunc", None) is not None:
+        raise NotImplementedError(
+            "stress with a truncated Coulomb kernel (the traced energy is "
+            "the bare-kernel functional)")
     val, g, _ = make_cell_grad_fn(mf.cell, mf.kpts, dtype=dtype,
                                   two_electron=two_electron, df=df,
                                   exxdiv=getattr(mf, "exxdiv", None),

@@ -1,0 +1,272 @@
+"""SCF-level 0D Coulomb truncation: molecules in a box, free-space physics.
+
+End-to-end gate of the truncated-kernel stack (J/K metric + truncated
+electron-ion vloc + direct-sum ion-ion) against an ANALYTIC molecular
+oracle built in-test: closed-form s-Gaussian integrals (Boys F0) over the
+repo's own contraction tables, and the RHF energy they imply.  H2/STO-3G
+at R=1.4 bohr is the Szabo-Ostlund textbook system (E_RHF = -1.1167 Ha);
+reproducing it from a PERIODIC plane-wave code is the defining test of the
+truncation capability (the reference, strictly 3D-periodic, cannot).
+
+Tolerances are set by the periodized-AO tails (the diffuse STO-3G H
+primitive overlaps its own images; measured 1e-4 scale at L=11, and
+ke-independent — the kernel itself is exact), not by the truncation.
+"""
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fftisdf_tpu.lattice.cell import Cell
+from fftisdf_tpu.basis.gto import normalized_coeffs
+from fftisdf_tpu.basis.eval import eval_ao_kpts
+from fftisdf_tpu.scf import integrals
+from fftisdf_tpu.scf.hf import KRHF, PWDF
+from fftisdf_tpu.isdf import FFTISDF
+
+
+def _f0(t):
+    """Boys function F0(t) = (1/2) sqrt(pi/t) erf(sqrt(t))."""
+    from scipy.special import erf
+
+    t = np.asarray(t, dtype=float)
+    safe = np.where(t > 1e-14, t, 1.0)
+    return np.where(t > 1e-14,
+                    0.5 * np.sqrt(np.pi / safe) * erf(np.sqrt(safe)),
+                    1.0 - t / 3.0)
+
+
+class SBasis:
+    """Analytic free-space integrals for contracted s-Gaussian bases,
+    using the repo's own normalization (basis.gto.normalized_coeffs)."""
+
+    def __init__(self, cell):
+        self.funcs = []
+        for sym, xyz in cell.atom:
+            for sh in cell._basis[sym]:
+                assert sh.l == 0, "s-only oracle"
+                c = normalized_coeffs(0, sh.exps, sh.coeffs)
+                for j in range(c.shape[1]):
+                    self.funcs.append((np.asarray(xyz, float),
+                                       np.asarray(sh.exps, float),
+                                       c[:, j] / math.sqrt(4 * math.pi)))
+
+    def _pairs(self, i, j):
+        A, ea, da = self.funcs[i]
+        B, eb, db = self.funcs[j]
+        a, b = ea[:, None], eb[None, :]
+        p = a + b
+        mu = a * b / p
+        ab2 = float(np.sum((A - B) ** 2))
+        pref = da[:, None] * db[None, :] * np.exp(-mu * ab2)
+        P = (a[..., None] * A + b[..., None] * B) / p[..., None]
+        return p, mu, ab2, pref, P
+
+    def ovlp(self, i, j):
+        p, mu, ab2, pref, _ = self._pairs(i, j)
+        return float(np.sum(pref * (np.pi / p) ** 1.5))
+
+    def kin(self, i, j):
+        p, mu, ab2, pref, _ = self._pairs(i, j)
+        return float(np.sum(pref * mu * (3 - 2 * mu * ab2)
+                            * (np.pi / p) ** 1.5))
+
+    def nuc(self, i, j, centers_charges):
+        p, mu, ab2, pref, P = self._pairs(i, j)
+        v = 0.0
+        for C, z in centers_charges:
+            pc2 = np.sum((P - C) ** 2, axis=-1)
+            v += -z * float(np.sum(pref * 2 * np.pi / p * _f0(p * pc2)))
+        return v
+
+    def eri(self, i, j, k, l):
+        p, _, _, prefij, P = self._pairs(i, j)
+        q, _, _, prefkl, Q = self._pairs(k, l)
+        pp, qq = p.reshape(-1), q.reshape(-1)
+        Pf, Qf = P.reshape(-1, 3), Q.reshape(-1, 3)
+        ci, ck = prefij.reshape(-1), prefkl.reshape(-1)
+        pq2 = np.sum((Pf[:, None, :] - Qf[None, :, :]) ** 2, -1)
+        s = pp[:, None] + qq[None, :]
+        val = (2 * np.pi ** 2.5 / (pp[:, None] * qq[None, :] * np.sqrt(s))
+               * _f0(pp[:, None] * qq[None, :] / s * pq2))
+        return float(np.einsum("i,j,ij->", ci, ck, val))
+
+    def matrices(self, centers_charges):
+        n = len(self.funcs)
+        s = np.array([[self.ovlp(i, j) for j in range(n)] for i in range(n)])
+        h = np.array([[self.kin(i, j) + self.nuc(i, j, centers_charges)
+                       for j in range(n)] for i in range(n)])
+        eri = np.zeros((n, n, n, n))
+        for i in range(n):
+            for j in range(n):
+                for k in range(n):
+                    for l in range(n):
+                        eri[i, j, k, l] = self.eri(i, j, k, l)
+        return s, h, eri
+
+
+def molecular_rhf(s, h, eri, nocc, e_nn, max_cycle=60, tol=1e-12):
+    """Tiny dense closed-shell RHF on analytic integrals (the oracle)."""
+    import scipy.linalg
+
+    e_prev, dm = None, np.zeros_like(s)
+    f = h
+    for _ in range(max_cycle):
+        mo_e, c = scipy.linalg.eigh(f, s)
+        cocc = c[:, :nocc]
+        dm = 2.0 * cocc @ cocc.T
+        vj = np.einsum("ijkl,lk->ij", eri, dm)
+        vk = np.einsum("ikjl,lk->ij", eri, dm)
+        f = h + vj - 0.5 * vk
+        e = 0.5 * np.sum(dm * (h + f)) + e_nn
+        if e_prev is not None and abs(e - e_prev) < tol:
+            return e
+        e_prev = e
+    return e_prev
+
+
+@pytest.fixture(scope="module")
+def h2_box():
+    """H2 at the Szabo-Ostlund geometry, centered in an L=12.5 cube
+    (measured: E_SCF - E_oracle = 7e-5 here, 4e-4 at L=11 — the box
+    convergence is the periodized-AO tail, not the kernel)."""
+    L, R = 12.5, 1.4
+    cell = Cell(a=np.eye(3) * L,
+                atom=[("H", (L / 2, L / 2, L / 2 - R / 2)),
+                      ("H", (L / 2, L / 2, L / 2 + R / 2))],
+                basis="sto-3g", pseudo=None, ke_cutoff=80.0,
+                unit="bohr", precision=1e-12).build()
+    kpts = cell.get_kpts([1, 1, 1])
+    coords = cell.gen_uniform_grids()
+    ao = np.asarray(eval_ao_kpts(cell, coords, kpts))
+    return cell, kpts, coords, ao
+
+
+def _centers_charges(cell):
+    return [(np.asarray(x, float), float(z))
+            for (s, x), z in zip(cell.atom, cell.atom_charges())]
+
+
+def test_one_electron_vs_molecular(h2_box):
+    """Grid S, T and the TRUNCATED vloc match the free-space analytic
+    values (tolerance = the periodized-AO tail scale at L=11)."""
+    cell, kpts, coords, ao = h2_box
+    sb = SBasis(cell)
+    cc = _centers_charges(cell)
+    n = len(sb.funcs)
+    s_ref = np.array([[sb.ovlp(i, j) for j in range(n)] for i in range(n)])
+    t_ref = np.array([[sb.kin(i, j) for j in range(n)] for i in range(n)])
+    v_ref = np.array([[sb.nuc(i, j, cc) for j in range(n)]
+                      for i in range(n)])
+    s_g = np.asarray(integrals.get_ovlp(cell, ao))[0].real
+    t_g = np.asarray(integrals.get_kinetic(cell, ao, kpts, coords))[0].real
+    v_g = np.asarray(integrals.get_vloc(
+        cell, ao, trunc=("0d", 6.25)))[0].real
+    assert abs(s_g - s_ref).max() < 5e-4
+    assert abs(t_g - t_ref).max() < 5e-4
+    assert abs(v_g - v_ref).max() < 5e-4
+    # the BARE (background-subtracted) periodic vloc is NOT the molecular
+    # nuclear attraction — the truncation is what recovers free space
+    v_bare = np.asarray(integrals.get_vloc(cell, ao))[0].real
+    assert abs(v_bare - v_ref).max() > 1e-2
+
+
+def test_isdf_eri_vs_molecular(h2_box):
+    """Full-rank ISDF ERIs with the 0D-truncated metric match the analytic
+    free-space (ij|kl)."""
+    cell, kpts, coords, ao = h2_box
+    sb = SBasis(cell)
+    df = FFTISDF(cell, kpts, c0=25.0, m0=(15, 15, 15), verbose=0,
+                 select_tol=1e-20, rcond=1e-13, trunc="0d").build()
+    eri_isdf = np.asarray(df.get_eri((0, 0, 0, 0))).real
+    n = len(sb.funcs)
+    nao = eri_isdf.shape[-1] if eri_isdf.ndim == 4 else int(
+        round(eri_isdf.shape[0] ** 0.5))
+    eri_isdf = eri_isdf.reshape(nao, nao, nao, nao)
+    for (i, j, k, l) in [(0, 0, 0, 0), (0, 0, 1, 1), (0, 1, 0, 1),
+                         (0, 0, 0, 1), (0, 1, 1, 1)]:
+        ref = sb.eri(i, j, k, l)
+        assert abs(eri_isdf[i, j, k, l] - ref) < 3e-4, (i, j, k, l)
+
+
+def test_energy_nuc_direct_sum(h2_box):
+    cell, _, _, _ = h2_box
+    e = integrals.energy_nuc_trunc(cell, ("0d", 6.25))
+    assert abs(e - 1.0 / 1.4) < 1e-12
+    with pytest.raises(NotImplementedError):
+        integrals.energy_nuc_trunc(cell, ("2d", 6.25))
+
+
+def test_krhf_h2_textbook(h2_box):
+    """KRHF(trunc='0d') on periodic machinery reproduces the free-space
+    H2/STO-3G RHF energy — the in-test analytic oracle (and the
+    Szabo-Ostlund -1.1167 Ha textbook value)."""
+    cell, kpts, coords, ao = h2_box
+    sb = SBasis(cell)
+    s, h, eri = sb.matrices(_centers_charges(cell))
+    e_oracle = molecular_rhf(s, h, eri, nocc=1, e_nn=1.0 / 1.4)
+    # the oracle itself must hit the textbook number
+    assert abs(e_oracle - (-1.1167)) < 1e-4
+
+    mf = KRHF(cell, kpts, trunc="0d", verbose=0)
+    assert mf.trunc[0] == "0d" and abs(mf.trunc[1] - 6.25) < 1e-10
+    mf.kernel()
+    assert mf.converged
+    assert abs(mf.e_tot - e_oracle) < 3e-4, (mf.e_tot, e_oracle)
+
+    # ISDF-backed SCF agrees with the exact-PW one at compression error
+    df = FFTISDF(cell, kpts, c0=25.0, m0=(15, 15, 15), verbose=0,
+                 select_tol=1e-20, rcond=1e-13, trunc="0d").build()
+    mf2 = KRHF(cell, kpts, with_df=df, verbose=0)   # trunc adopted from df
+    assert mf2.trunc == df.trunc
+    mf2.kernel()
+    assert mf2.converged
+    assert abs(mf2.e_tot - mf.e_tot) < 1e-6
+
+
+def test_fci_h2_in_a_box(h2_box):
+    """Full CI on the truncated-kernel integrals reproduces the free-space
+    H2/STO-3G FCI energy (textbook -1.13728 Ha): SCF -> MO transform
+    (isdf.ao2mo on the truncated metric) -> determinant FCI (scf.fci)."""
+    import scipy.linalg
+    from fftisdf_tpu.scf.fci import fci_ground
+    from fftisdf_tpu.isdf.ao2mo import mo_eri
+
+    cell, kpts, coords, ao = h2_box
+    sb = SBasis(cell)
+    s, h, eri = sb.matrices(_centers_charges(cell))
+    e_nn = 1.0 / 1.4
+    # analytic free-space FCI oracle (any orthonormal basis works)
+    es, u = scipy.linalg.eigh(s)
+    x = u @ np.diag(es ** -0.5) @ u.T
+    h_o = x.T @ h @ x
+    eri_o = np.einsum("ijkl,ip,jq,kr,ls->pqrs", eri, x, x, x, x)
+    e_fci_ref = fci_ground(h_o, eri_o, 2)[0] + e_nn
+    assert abs(e_fci_ref - (-1.13728)) < 1e-4    # Szabo-Ostlund E_corr
+
+    df = FFTISDF(cell, kpts, c0=25.0, m0=(15, 15, 15), verbose=0,
+                 select_tol=1e-20, rcond=1e-13, trunc="0d").build()
+    mf = KRHF(cell, kpts, with_df=df, verbose=0)
+    mf.kernel()
+    c = np.asarray(mf.mo_coeff)[0]
+    h1_mo = c.conj().T @ np.asarray(mf.h1e)[0] @ c
+    eri_mo = np.asarray(mo_eri(df, (c, c, c, c), (0, 0, 0, 0)))
+    e_fci = fci_ground(h1_mo, eri_mo, 2)[0].real + e_nn
+    assert abs(e_fci - e_fci_ref) < 3e-4, (e_fci, e_fci_ref)
+
+
+def test_trunc_scf_guards(h2_box):
+    cell, kpts, _, _ = h2_box
+    with pytest.raises(NotImplementedError):
+        KRHF(cell, kpts, trunc="0d", exxdiv="ewald", verbose=0)
+    df = FFTISDF(cell, kpts, c0=10.0, m0=(9, 9, 9), verbose=0, trunc="0d")
+    with pytest.raises(ValueError):
+        KRHF(cell, kpts, with_df=df, trunc=("0d", 3.0), verbose=0)
+    from fftisdf_tpu.scf import grad as scf_grad
+
+    mf = KRHF.__new__(KRHF)
+    mf.trunc = ("0d", 6.25)
+    with pytest.raises(NotImplementedError):
+        scf_grad.kernel(mf)
