@@ -823,11 +823,6 @@ class FFTISDF:
             # the reference guards ALL exxdiv out (fftisdf.py:395); 'ewald'
             # (probe-charge Madelung correction) is supported beyond it
             raise NotImplementedError(f"exxdiv={exxdiv!r} not supported")
-        if exxdiv is not None and self.trunc is not None:
-            raise NotImplementedError(
-                "exxdiv with a truncated Coulomb kernel: truncation removes "
-                "the q+G=0 divergence physically, so no neutralizing-"
-                "background Madelung correction applies")
         if kpts_band is not None:
             # served from the product state via per-pair re-fits (the
             # reference guards this out, fftisdf.py:194; round-2 item #7)
@@ -915,11 +910,18 @@ class FFTISDF:
         return self._ws
 
     def madelung(self):
-        """Probe-charge Madelung constant of the BvK supercell (cached)."""
+        """Probe-charge Madelung constant of the BvK supercell (cached).
+        With a truncated kernel this is the Riemann-sum-vs-integral defect
+        of the TRUNCATED kernel (scf.integrals.madelung_trunc; exactly 0
+        for 0d — the compact spherical kernel has no leading finite-size
+        exchange error)."""
         if getattr(self, "_madelung", None) is None:
             from fftisdf_tpu.scf.integrals import madelung as _mad
+            from fftisdf_tpu.scf.integrals import madelung_trunc as _madt
 
-            self._madelung = _mad(self.cell, self.kmesh)
+            self._madelung = (_madt(self.cell, self.kmesh, self.trunc)
+                              if self.trunc is not None
+                              else _mad(self.cell, self.kmesh))
         return self._madelung
 
     def get_ovlp(self):

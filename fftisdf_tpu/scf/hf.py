@@ -47,10 +47,6 @@ class PWDF:
     def get_jk(self, dm, with_j=True, with_k=True, exxdiv=None):
         if exxdiv not in (None, "ewald"):
             raise NotImplementedError(f"exxdiv={exxdiv!r} not supported")
-        if exxdiv is not None and self.trunc is not None:
-            raise NotImplementedError(
-                "exxdiv with a truncated Coulomb kernel (truncation removes "
-                "the divergence physically)")
         dm = to_device(dm)
         if dm.ndim == 4:  # spin/set axis
             out = [self.get_jk(d, with_j, with_k, exxdiv) for d in dm]
@@ -67,10 +63,16 @@ class PWDF:
 
             if self._madelung is None:
                 from fftisdf_tpu.lattice import kpoints as kpt_mod
-                from fftisdf_tpu.scf.integrals import madelung
+                from fftisdf_tpu.scf.integrals import madelung, madelung_trunc
 
                 kmesh = kpt_mod.kpts_to_kmesh(self.cell, self.kpts)
-                self._madelung = madelung(self.cell, kmesh)
+                # truncated kernels: nothing is dropped at q+G=0, so the
+                # probe-charge correction is the Riemann-sum-vs-integral
+                # defect of the TRUNCATED kernel (integrals.madelung_trunc;
+                # exactly 0 for 0d)
+                self._madelung = (madelung_trunc(self.cell, kmesh, self.trunc)
+                                  if self.trunc is not None
+                                  else madelung(self.cell, kmesh))
                 self._s1e = integrals.get_ovlp(self.cell, self.ao)
             vk = add_ewald_exx(vk, self._s1e, dm, self._madelung)
         return vj, vk
@@ -182,10 +184,6 @@ class KRHF:
             raise ValueError(
                 f"with_df truncation {df_trunc} != SCF truncation "
                 f"{self.trunc}")
-        if self.trunc is not None and self.exxdiv is not None:
-            raise NotImplementedError(
-                "exxdiv with a truncated Coulomb kernel (truncation removes "
-                "the divergence physically)")
         fn = make_evaluator(cell, kpts=self.kpts, dtype=self.dtype)
         coords = cell.gen_uniform_grids()
         self._ao = fn(jnp.asarray(coords, dtype=self.dtype))

@@ -219,13 +219,18 @@ def test_isdf_trunc_2d_jk_exact(he2_box):
     assert abs(np.asarray(vk) - np.asarray(vk_ref)).max() < 1e-9
 
 
-def test_trunc_exxdiv_guard(he2_box):
+def test_trunc_exxdiv_0d_noop(he2_box):
+    """The 0D kernel's probe-charge correction is exactly zero
+    (integrals.madelung_trunc), so exxdiv='ewald' is a no-op on a
+    0D-truncated factorization."""
     cell = he2_box
     kpts = cell.get_kpts([1, 1, 1])
     df = _full_rank_isdf(cell, kpts, "0d")
-    dm = np.eye(df.x_k.shape[2])[None]
-    with pytest.raises(NotImplementedError):
-        df.get_jk(dm[0][None], exxdiv="ewald")
+    assert df.madelung() == 0.0
+    dm = np.eye(df.x_k.shape[2])[None].astype(float)
+    vj0, vk0 = df.get_jk(dm)
+    vj1, vk1 = df.get_jk(dm, exxdiv="ewald")
+    assert abs(np.asarray(vk1) - np.asarray(vk0)).max() < 1e-12
 
 
 def test_trunc_serialization_roundtrip(tmp_path, he2_box):
