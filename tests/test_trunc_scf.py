@@ -397,6 +397,42 @@ def test_ccsd_h2_in_a_box_equals_fci(h2_box):
     assert abs(e_tot - (-1.13728)) < 3e-4, e_tot
 
 
+def test_gth_pseudo_atom_trunc_two_routes():
+    """GTH pseudopotential + 0D truncation (the Gaussian-charge vloc
+    composition): an isolated He/gth-pade atom reached by TWO independent
+    routes — (a) truncated kernel, (b) bare kernel with the probe-charge
+    exchange correction — must agree at the finite-size tail of route (b)
+    (measured: the route gap shrinks exactly as 1/L^3, 5.4 mHa at L=10 ->
+    2.5 mHa at L=13); the truncated energy must be box-size stable at the
+    GTH-He ke-commensurability noise (rloc=0.2 makes the form factor
+    converge slowly in ke) where the uncorrected bare route carries the
+    65 mHa O(1/L) exchange drift over the same range."""
+    es_tr, es_ew = {}, {}
+    for L in (10.0, 13.0):
+        c = L / 2
+        cell = Cell(a=np.eye(3) * L, atom=[("He", (c, c, c))],
+                    basis="sto-3g", pseudo="gth-pade", ke_cutoff=60.0,
+                    unit="bohr", precision=1e-12).build()
+        kpts = cell.get_kpts([1, 1, 1])
+        mf = KRHF(cell, kpts, trunc="0d", verbose=0)
+        mf.kernel()
+        assert mf.converged
+        es_tr[L] = mf.e_tot
+        mf2 = KRHF(cell, kpts, exxdiv="ewald", verbose=0)
+        mf2.kernel()
+        es_ew[L] = mf2.e_tot
+        if L == 13.0:
+            mf3 = KRHF(cell, kpts, verbose=0)
+            mf3.kernel()
+            e_bare = mf3.e_tot
+    # truncated: box-size stable (ke-commensurability noise only)
+    assert abs(es_tr[10.0] - es_tr[13.0]) < 3e-3, es_tr
+    # two independent routes to the isolated atom agree
+    assert abs(es_tr[13.0] - es_ew[13.0]) < 4e-3, (es_tr, es_ew)
+    # the uncorrected bare energy is visibly off (the O(1/L) Madelung term)
+    assert abs(e_bare - es_tr[13.0]) > 5e-2
+
+
 def test_trunc_scf_guards(h2_box):
     cell, kpts, _, _ = h2_box
     df = FFTISDF(cell, kpts, c0=10.0, m0=(9, 9, 9), verbose=0, trunc="0d")
