@@ -33,6 +33,22 @@ Functional forms (parameters from the published papers):
   beta = 0.066725, gamma = (1 - ln 2) / pi^2, phi(zeta), and the
   ``expm1`` form of the A coefficient (numerically stable where
   eps_c -> 0).
+- VWN5 correlation: Vosko, Wilk, Nusair, Can. J. Phys. 58, 1200 (1980),
+  fit V (the recommended Ceperley-Alder parameterization), with the same
+  zeta interpolation (spin-stiffness + f(zeta) zeta^4 channel mixing)
+  as PW92.
+- B88 exchange: Becke, PRA 38, 3098 (1988): the Slater term plus
+  -beta rho_s^{4/3} x^2 / (1 + 6 beta x asinh x), x = |grad rho_s| /
+  rho_s^{4/3}, beta = 0.0042, summed over spin channels.
+- LYP correlation: Lee, Yang, Parr, PRB 37, 785 (1988) in the
+  closed-form (second-derivative-free) restatement of Miehlich,
+  Savin, Stoll, Preuss, CPL 157, 200 (1989), eq. (2).  Exactly zero
+  for any one-electron (fully spin-polarized single-channel) density —
+  gated in tests.
+- B3LYP: Becke, JCP 98, 5648 (1993) three-parameter mixing
+  0.2 Ex_HF + 0.80 Ex_Slater + 0.72 dEx_B88 + 0.81 Ec_LYP +
+  0.19 Ec_VWN5 (the VWN5 variant, as in Turbomole/PySCF; Gaussian's
+  uses VWN3).
 """
 from __future__ import annotations
 
@@ -147,11 +163,104 @@ def _pw92_c_term(rho, sigma):
     return _pw92_c(rho)
 
 
+# ---- VWN5 correlation (Vosko-Wilk-Nusair fit V) -----------------------
+
+# (A, x0, b, c) of the Pade-log fit for the paramagnetic / ferromagnetic
+# energies and the spin stiffness alpha_c (VWN table 5 / eq. [4.4])
+_VWN5_EP = (0.0310907, -0.10498, 3.72744, 12.9352)
+_VWN5_EF = (0.01554535, -0.32500, 7.06042, 18.0578)
+_VWN5_AC = (-1.0 / (6.0 * np.pi ** 2), -0.00475840, 1.13107, 13.0045)
+
+
+def _vwn_E(x, A, x0, b, c):
+    """VWN eq. [4.4]: A{ln(x^2/X) + 2b/Q atan(Q/(2x+b))
+    - b x0/X(x0) [ln((x-x0)^2/X) + 2(b+2x0)/Q atan(Q/(2x+b))]}."""
+    X = x * x + b * x + c
+    X0 = x0 * x0 + b * x0 + c
+    Q = np.sqrt(4.0 * c - b * b)
+    at = jnp.arctan(Q / (2.0 * x + b))
+    return A * (jnp.log(x * x / X) + 2.0 * b / Q * at
+                - b * x0 / X0 * (jnp.log((x - x0) ** 2 / X)
+                                 + 2.0 * (b + 2.0 * x0) / Q * at))
+
+
+def _vwn5_eps(rs, zeta):
+    """VWN5 eps_c(rs, zeta) with the standard channel interpolation."""
+    x = jnp.sqrt(rs)
+    ep = _vwn_E(x, *_VWN5_EP)
+    ef = _vwn_E(x, *_VWN5_EF)
+    ac = _vwn_E(x, *_VWN5_AC)
+    omz = _floor(1.0 - zeta)
+    opz = _floor(1.0 + zeta)
+    fz = (opz ** (4.0 / 3.0) + omz ** (4.0 / 3.0) - 2.0) \
+        / (2.0 ** (4.0 / 3.0) - 2.0)
+    z4 = zeta ** 4
+    return ep + ac * (fz / _PW92_F2) * (1.0 - z4) + (ef - ep) * fz * z4
+
+
+def _vwn5_c_term(rho, sigma):
+    rt, rs, zeta = _rs_zeta(rho)
+    return rt * _vwn5_eps(rs, zeta)
+
+
+# ---- B88 exchange -----------------------------------------------------
+
+_B88_BETA = 0.0042
+
+
+def _b88_x(rho, sigma):
+    """Full B88 exchange (Slater + gradient correction), spin-resolved."""
+    r = _floor(rho)                             # (2, g)
+    sig = sigma[jnp.asarray([0, 2])]            # |grad rho_s|^2
+    r43 = r ** (4.0 / 3.0)
+    x2 = sig / (r43 * r43 / r)                  # x^2 = sig / rho^{8/3}
+    # sqrt at sig=0 would NaN the gradient; the clamp's grad is 0 below
+    eps = 1e-24 if r.dtype == jnp.float64 else 1e-12
+    x = jnp.sqrt(jnp.maximum(x2, eps))
+    corr = -_B88_BETA * r43 * x2 \
+        / (1.0 + 6.0 * _B88_BETA * x * jnp.arcsinh(x))
+    return _uniform_x(rho) + jnp.sum(corr, axis=0)
+
+
+# ---- LYP correlation (Miehlich closed form) ---------------------------
+
+_LYP_A = 0.04918
+_LYP_B = 0.132
+_LYP_C = 0.2533
+_LYP_D = 0.349
+_CF = 0.3 * (3.0 * np.pi ** 2) ** (2.0 / 3.0)
+
+
+def _lyp_c(rho, sigma):
+    """LYP correlation energy density, CPL 157, 200 (1989) eq. (2)."""
+    ra, rb = _floor(rho[0]), _floor(rho[1])
+    rt = ra + rb
+    rm13 = rt ** (-1.0 / 3.0)
+    den = 1.0 + _LYP_D * rm13
+    om = jnp.exp(-_LYP_C * rm13) / den * rt ** (-11.0 / 3.0)
+    dl = _LYP_C * rm13 + _LYP_D * rm13 / den
+    saa, sab, sbb = sigma
+    st = saa + 2.0 * sab + sbb                  # |grad rho_total|^2
+    pair = ra * rb
+    brack = pair * (
+        2.0 ** (11.0 / 3.0) * _CF * (ra ** (8.0 / 3.0) + rb ** (8.0 / 3.0))
+        + (47.0 / 18.0 - 7.0 * dl / 18.0) * st
+        - (5.0 / 2.0 - dl / 18.0) * (saa + sbb)
+        - (dl - 11.0) / 9.0 * (ra * saa + rb * sbb) / rt
+    ) - 2.0 / 3.0 * rt * rt * st \
+        + (2.0 / 3.0 * rt * rt - ra * ra) * sbb \
+        + (2.0 / 3.0 * rt * rt - rb * rb) * saa
+    return -4.0 * _LYP_A * pair / (den * rt) - _LYP_A * _LYP_B * om * brack
+
+
 _TERMS = {
     "slater": (_lda_x_term, False),
     "pw92": (_pw92_c_term, False),
+    "vwn5": (_vwn5_c_term, False),
     "pbex": (_pbe_x, True),
     "pbec": (_pbe_c, True),
+    "b88": (_b88_x, True),
+    "lyp": (_lyp_c, True),
 }
 
 
@@ -181,6 +290,14 @@ _FUNCTIONALS = {
     "pbex": XCSpec("pbex", 0.0, ((1.0, "pbex"),)),
     "pbec": XCSpec("pbec", 0.0, ((1.0, "pbec"),)),
     "pbe0": XCSpec("pbe0", 0.25, ((0.75, "pbex"), (1.0, "pbec"))),
+    "vwn5": XCSpec("vwn5", 0.0, ((1.0, "vwn5"),)),
+    "vwn": XCSpec("vwn5", 0.0, ((1.0, "vwn5"),)),
+    "b88": XCSpec("b88", 0.0, ((1.0, "b88"),)),
+    "lyp": XCSpec("lyp", 0.0, ((1.0, "lyp"),)),
+    "blyp": XCSpec("blyp", 0.0, ((1.0, "b88"), (1.0, "lyp"))),
+    # 0.72 (slater + dB88) + 0.08 slater == 0.80 slater + 0.72 dB88
+    "b3lyp": XCSpec("b3lyp", 0.2, ((0.72, "b88"), (0.08, "slater"),
+                                   (0.81, "lyp"), (0.19, "vwn5"))),
     "hf": XCSpec("hf", 1.0, ()),
 }
 

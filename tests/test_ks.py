@@ -60,7 +60,8 @@ def _exc_of(cell, rho, name):
     return xc_mod.exc_and_vxc(rho, gv, spec, fmesh, w), w
 
 
-@pytest.mark.parametrize("name", ["lda", "pbe", "pbex", "pbec"])
+@pytest.mark.parametrize("name", ["lda", "pbe", "pbex", "pbec", "blyp",
+                                  "b3lyp", "vwn5"])
 def test_vxc_is_exact_derivative_of_exc(diamond, name):
     """FD of Exc along a random perturbation vs sum(vxc*drho)*w."""
     rho = _toy_rho(diamond, seed=1)
@@ -114,16 +115,97 @@ def test_pw92_high_density_log_slope():
     assert abs(slope - a0) < 0.02 * a0, (slope, a0)
 
 
-def test_exchange_spin_scaling(diamond):
+@pytest.mark.parametrize("name", ["pbex", "b88"])
+def test_exchange_spin_scaling(diamond, name):
     """Ex[ra, rb] = (Ex[2ra] + Ex[2rb])/2 with the RHS unpolarized."""
     rho = _toy_rho(diamond, seed=3)
-    (e_pol, _), w = _exc_of(diamond, rho, "pbex")
+    (e_pol, _), w = _exc_of(diamond, rho, name)
     e_half = []
     for s in range(2):
         r2 = jnp.stack([rho[s], rho[s]])      # unpolarized at 2 rho_s
-        (e_s, _), _ = _exc_of(diamond, r2, "pbex")
+        (e_s, _), _ = _exc_of(diamond, r2, name)
         e_half.append(float(e_s))
     assert abs(float(e_pol) - 0.5 * sum(e_half)) < 1e-10 * abs(float(e_pol))
+
+
+def test_vwn5_tracks_pw92():
+    """VWN5 and PW92 parameterize the same Ceperley-Alder data: eps_c
+    agrees to ~1 mHa over the metallic range, and the high-density log
+    slope is the same exact RPA A0 (the VWN5 paramagnetic A parameter)."""
+    rs = jnp.asarray(np.geomspace(0.5, 20.0, 12))
+    for z in (0.0, 0.5, 1.0):
+        zeta = jnp.full_like(rs, z)
+        d = np.abs(np.asarray(xc_mod._vwn5_eps(rs, zeta)
+                              - xc_mod._pw92_eps(rs, zeta)))
+        assert d.max() < 1.5e-3, (z, d.max())
+    rs = jnp.asarray([1e-7, 1e-6])
+    eps = xc_mod._vwn5_eps(rs, jnp.zeros(2))
+    slope = (float(eps[1]) - float(eps[0])) / np.log(10.0)
+    a0 = (1.0 - np.log(2.0)) / np.pi ** 2
+    assert abs(slope - a0) < 0.02 * a0, (slope, a0)
+
+
+def test_b88_uniform_reduces_to_slater(diamond):
+    """At zero gradient the B88 correction vanishes identically."""
+    fmesh = tuple(int(m) for m in diamond.mesh)
+    ng = int(np.prod(fmesh))
+    rho = jnp.concatenate([jnp.full((1, ng), 0.21), jnp.full((1, ng), 0.13)])
+    (e_b88, _), _ = _exc_of(diamond, rho, "b88")
+    (e_sla, _), _ = _exc_of(diamond, rho, "slater")
+    assert abs(float(e_b88) - float(e_sla)) < 1e-10 * abs(float(e_sla))
+
+
+def test_lyp_one_electron_density_zero():
+    """LYP is exactly self-interaction-free: Ec = 0 for any fully
+    spin-polarized single-channel density (the defining structural
+    property of the Colle-Salvetti ansatz; both the rho_a rho_b prefactor
+    and the gradient bracket cancel identically)."""
+    cell = structure.to_cell(*structure.bulk_diamond(), basis="gth-szv",
+                             pseudo="gth-pade", ke_cutoff=50.0)
+    rho = np.array(_toy_rho(cell, seed=5))
+    rho[1] = 0.0
+    (e_lyp, _), _ = _exc_of(cell, jnp.asarray(rho), "lyp")
+    assert abs(float(e_lyp)) < 1e-8, float(e_lyp)
+
+
+def test_lyp_uniform_closed_form(diamond):
+    """Closed-shell uniform density: only the rs-local and the 2^{11/3}
+    CF kinetic-density term survive — independent numpy arithmetic."""
+    fmesh = tuple(int(m) for m in diamond.mesh)
+    ng = int(np.prod(fmesh))
+    rho0 = 0.37
+    rho = jnp.full((2, ng), rho0 / 2.0)
+    (exc, _), _ = _exc_of(diamond, rho, "lyp")
+    a, b, c, d = 0.04918, 0.132, 0.2533, 0.349
+    cf = 0.3 * (3.0 * np.pi ** 2) ** (2.0 / 3.0)
+    rm13 = rho0 ** (-1.0 / 3.0)
+    den = 1.0 + d * rm13
+    om = np.exp(-c * rm13) / den * rho0 ** (-11.0 / 3.0)
+    pair = (rho0 / 2.0) ** 2
+    expect = (-4.0 * a * pair / (den * rho0)
+              - a * b * om * pair * 2.0 ** (11.0 / 3.0) * cf
+              * 2.0 * (rho0 / 2.0) ** (8.0 / 3.0))
+    got = float(exc) / float(diamond.vol)
+    assert abs(got - expect) < 1e-12, (got, expect)
+
+
+def test_krks_blyp_scf(diamond):
+    """BLYP SCF converges and genuinely differs from both LDA and HF."""
+    kpts = diamond.get_kpts([1, 1, 2])
+    mf = KRKS(diamond, kpts, xc="blyp", verbose=0, conv_tol=1e-9)
+    e = mf.kernel()
+    assert mf.converged
+    mf_lda = KRKS(diamond, kpts, xc="lda", verbose=0, conv_tol=1e-9)
+    e_lda = mf_lda.kernel()
+    assert abs(e - e_lda) > 1e-3
+
+
+def test_b3lyp_spec_composition():
+    spec = xc_mod.parse_xc("b3lyp")
+    assert spec.hyb == 0.2
+    coeffs = dict((n, c) for c, n in spec.terms)
+    assert coeffs == {"b88": 0.72, "slater": 0.08, "lyp": 0.81,
+                      "vwn5": 0.19}
 
 
 def test_krks_hf_reduces_to_krhf(diamond):
