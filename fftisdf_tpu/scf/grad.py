@@ -93,6 +93,10 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
     if xc is not None and str(xc).strip().lower() != "hf":
         from fftisdf_tpu.scf import xc as xc_mod
         spec = xc_mod.parse_xc(xc)
+        if spec.is_mgga:
+            raise NotImplementedError(
+                f"xc={spec.name!r}: meta-GGA nuclear gradients (the tau "
+                "channel is not traced through the Lagrangian yet)")
         _exc_and_vxc = xc_mod.exc_and_vxc
     hyb = spec.hyb if spec is not None else 1.0
     hub_sites = None

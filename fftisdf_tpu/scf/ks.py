@@ -38,32 +38,76 @@ def _spin_rho(ao, dm, nk, nspin):
     return rho_s
 
 
+def _spin_tau(dphi, dm, nk, nspin):
+    """(2, ng) spin kinetic-energy densities (restricted callers pass
+    the total dm and get tau/2 per channel, like ``_spin_rho``)."""
+    tau_s = xc_mod.get_tau(dphi, dm, nk)
+    if nspin == 1:
+        return jnp.concatenate([tau_s, tau_s], axis=0) * 0.5
+    return tau_s
+
+
+def _xc_rho_tau(ao, dm, gv, spec, fmesh, nk, nspin, coords, kpts):
+    """(rho, tau | None, dphi | None) for the functional's kind."""
+    rho = _spin_rho(ao, dm, nk, nspin)
+    if not spec.is_mgga:
+        return rho, None, None
+    dphi = xc_mod.bloch_ao_grad(ao, kpts, coords, gv, fmesh)
+    return rho, _spin_tau(dphi, dm, nk, nspin), dphi
+
+
 @partial(jax.jit, static_argnames=("spec", "fmesh", "weight", "nk",
                                    "nspin"))
-def _xc_fock_kernel(ao, dm, gv, spec, fmesh, weight, nk, nspin):
-    """One fused device pass: density -> (Exc, Vxc AO matrices, nelec)."""
-    rho = _spin_rho(ao, dm, nk, nspin)
-    exc, v = xc_mod.exc_and_vxc(rho, gv, spec, fmesh, weight)
-    if nspin == 1:
-        v = v[:1]          # both channels identical for restricted
-    vxc = weight * jnp.einsum("kgm,sg,kgn->skmn", ao.conj(), v, ao)
+def _xc_fock_kernel(ao, dm, gv, spec, fmesh, weight, nk, nspin,
+                    coords=None, kpts=None):
+    """One fused device pass: density -> (Exc, Vxc AO matrices, nelec).
+    For meta-GGAs the Vxc matrices carry the generalized-KS tau term
+    (weight/2) sum_i <grad_i phi | v_tau | grad_i phi>."""
+    rho, tau, dphi = _xc_rho_tau(ao, dm, gv, spec, fmesh, nk, nspin,
+                                 coords, kpts)
+    if spec.is_mgga:
+        exc, v, vt = xc_mod.exc_and_vxc_mgga(rho, tau, gv, spec, fmesh,
+                                             weight)
+        if nspin == 1:
+            v, vt = v[:1], vt[:1]
+        vxc = weight * jnp.einsum("kgm,sg,kgn->skmn", ao.conj(), v, ao) \
+            + xc_mod.vtau_matrix(dphi, vt, weight)
+    else:
+        exc, v = xc_mod.exc_and_vxc(rho, gv, spec, fmesh, weight)
+        if nspin == 1:
+            v = v[:1]      # both channels identical for restricted
+        vxc = weight * jnp.einsum("kgm,sg,kgn->skmn", ao.conj(), v, ao)
     nelec = jnp.sum(rho) * weight
     return exc, vxc, nelec
 
 
 @partial(jax.jit, static_argnames=("spec", "fmesh", "weight", "nk",
                                    "nspin"))
-def _xc_pot_kernel(ao, dm, gv, spec, fmesh, weight, nk, nspin):
-    """(exc, v (nspin, ng)) — raw potential of the mesh density, for the
-    band path (matrix elements are then taken against band-kpoint AOs)."""
-    rho = _spin_rho(ao, dm, nk, nspin)
+def _xc_pot_kernel(ao, dm, gv, spec, fmesh, weight, nk, nspin,
+                   coords=None, kpts=None):
+    """(exc, v (nspin, ng)[, v_tau (nspin, ng)]) — raw potential of the
+    mesh density, for the band path (matrix elements are then taken
+    against band-kpoint AOs)."""
+    rho, tau, _ = _xc_rho_tau(ao, dm, gv, spec, fmesh, nk, nspin,
+                              coords, kpts)
+    if spec.is_mgga:
+        exc, v, vt = xc_mod.exc_and_vxc_mgga(rho, tau, gv, spec, fmesh,
+                                             weight)
+        if nspin == 1:
+            v, vt = v[:1], vt[:1]
+        return exc, v, vt
     exc, v = xc_mod.exc_and_vxc(rho, gv, spec, fmesh, weight)
-    return exc, (v[:1] if nspin == 1 else v)
+    return exc, (v[:1] if nspin == 1 else v), None
 
 
-@partial(jax.jit, static_argnames=("weight",))
-def _band_vxc_kernel(aob, v, weight):
-    return weight * jnp.einsum("kgm,sg,kgn->skmn", aob.conj(), v, aob)
+@partial(jax.jit, static_argnames=("weight", "fmesh"))
+def _band_vxc_kernel(aob, v, weight, vt=None, kpts_b=None, coords=None,
+                     gv=None, fmesh=None):
+    out = weight * jnp.einsum("kgm,sg,kgn->skmn", aob.conj(), v, aob)
+    if vt is not None:
+        dphib = xc_mod.bloch_ao_grad(aob, kpts_b, coords, gv, fmesh)
+        out = out + xc_mod.vtau_matrix(dphib, vt, weight)
+    return out
 
 
 class _KSCommon:
@@ -77,6 +121,13 @@ class _KSCommon:
         self._xc_weight = float(cell.vol) / ng
         rdt = jnp.float64 if self.dtype == jnp.float64 else jnp.float32
         self._gv = jnp.asarray(cell.get_Gv(self._fmesh), dtype=rdt)
+        self._coords = self._kpts_arr = None
+        if self._spec.is_mgga:
+            # tau needs Bloch AO gradients: coords and kpts ride as jit
+            # arguments of the xc kernels
+            self._coords = jnp.asarray(cell.gen_uniform_grids(self._fmesh),
+                                       dtype=rdt)
+            self._kpts_arr = jnp.asarray(np.asarray(self.kpts), dtype=rdt)
         self._hub_sites = self._shalf = None
         if getattr(self, "hubbard", None):
             from fftisdf_tpu.scf import hubbard as hub_mod
@@ -109,14 +160,21 @@ class _KSCommon:
     def _xc_eval(self, dm_dev, nspin):
         exc, vxc, nelec = _xc_fock_kernel(
             self._ao, dm_dev, self._gv, self._spec, self._fmesh,
-            self._xc_weight, len(self.kpts), nspin)
+            self._xc_weight, len(self.kpts), nspin,
+            coords=self._coords, kpts=self._kpts_arr)
         return float(exc), to_host(vxc), float(nelec)
 
-    def _band_vxc(self, dm_dev, aob, nspin):
-        _, v = _xc_pot_kernel(self._ao, dm_dev, self._gv, self._spec,
-                              self._fmesh, self._xc_weight,
-                              len(self.kpts), nspin)
-        return to_host(_band_vxc_kernel(aob, v, self._xc_weight))
+    def _band_vxc(self, dm_dev, aob, nspin, kpts_band=None):
+        _, v, vt = _xc_pot_kernel(self._ao, dm_dev, self._gv, self._spec,
+                                  self._fmesh, self._xc_weight,
+                                  len(self.kpts), nspin,
+                                  coords=self._coords, kpts=self._kpts_arr)
+        if vt is None:
+            return to_host(_band_vxc_kernel(aob, v, self._xc_weight))
+        kb = jnp.asarray(np.asarray(kpts_band), dtype=self._gv.dtype)
+        return to_host(_band_vxc_kernel(
+            aob, v, self._xc_weight, vt=vt, kpts_b=kb,
+            coords=self._coords, gv=self._gv, fmesh=self._fmesh))
 
 
 @dataclass
@@ -168,7 +226,8 @@ class KRKS(_KSCommon, KRHF):
         hyb = self._spec.hyb
         s1e_b, h1e_b, vj_b, vk_b, aob = self._band_ingredients(
             kpts_band, dm, with_k=hyb != 0.0, return_ao=True)
-        vxc_b = self._band_vxc(self._dm_device(dm)[None], aob, nspin=1)
+        vxc_b = self._band_vxc(self._dm_device(dm)[None], aob, nspin=1,
+                               kpts_band=kpts_band)
         fock = h1e_b + vj_b + vxc_b[0] - 0.5 * hyb * vk_b
         if self._hub_sites is not None:
             fock = fock + self._hubbard_vu_bands(
@@ -231,7 +290,8 @@ class KUKS(_KSCommon, KUHF):
         hyb = self._spec.hyb
         s1e_b, h1e_b, vj_b, vk_b, aob = self._band_ingredients(
             kpts_band, dm, with_k=hyb != 0.0, return_ao=True)
-        vxc_b = self._band_vxc(self._dm_device(dm), aob, nspin=2)
+        vxc_b = self._band_vxc(self._dm_device(dm), aob, nspin=2,
+                               kpts_band=kpts_band)
         vu_b = (self._hubbard_vu_bands(dm, s1e_b)
                 if self._hub_sites is not None else None)
         vj_tot = vj_b[0] + vj_b[1]
@@ -265,6 +325,8 @@ class _DeviceKSVeff:
 
     def _veff_args(self):
         extra = (self._ao, self._gv)
+        if self._spec.is_mgga:
+            extra = extra + (self._coords, self._kpts_arr)
         if self._hub_sites is not None:
             # +U stays on device too: shalf rides as a jit *argument*
             # (complex device array — closure constants round-trip through
@@ -272,17 +334,29 @@ class _DeviceKSVeff:
             extra = extra + (to_device(self._shalf, dtype=self._ao.dtype),)
         return extra
 
-    def _trace_veff(self, dm, x_k, wq, ws, h1e, ao, gv, shalf=None):
+    def _trace_veff(self, dm, x_k, wq, ws, h1e, ao, gv, *extra):
         from fftisdf_tpu.isdf import jk as jk_mod
 
+        coords = kpts_arr = shalf = None
+        if self._spec.is_mgga:
+            coords, kpts_arr, *extra = extra
+        if extra:
+            (shalf,) = extra
         nk = h1e.shape[0]
         hyb = self._spec.hyb
         w = self._xc_weight
         vj = jk_mod.get_j_kpts(x_k, wq[0], dm)
         vj_tot = vj[0] + vj[1]
-        rho = jnp.einsum("kgm,skmn,kgn->sg", ao, dm, ao.conj()).real / nk
-        exc, v = xc_mod.exc_and_vxc(rho, gv, self._spec, self._fmesh, w)
-        vxc = w * jnp.einsum("kgm,sg,kgn->skmn", ao.conj(), v, ao)
+        rho, tau, dphi = _xc_rho_tau(ao, dm, gv, self._spec, self._fmesh,
+                                     nk, 2, coords, kpts_arr)
+        if self._spec.is_mgga:
+            exc, v, vt = xc_mod.exc_and_vxc_mgga(rho, tau, gv, self._spec,
+                                                 self._fmesh, w)
+            vxc = w * jnp.einsum("kgm,sg,kgn->skmn", ao.conj(), v, ao) \
+                + xc_mod.vtau_matrix(dphi, vt, w)
+        else:
+            exc, v = xc_mod.exc_and_vxc(rho, gv, self._spec, self._fmesh, w)
+            vxc = w * jnp.einsum("kgm,sg,kgn->skmn", ao.conj(), v, ao)
         e1 = jnp.einsum("skmn,knm->", dm, h1e).real / nk
         ecoul = jnp.einsum("skmn,knm->", dm, vj_tot).real / (2 * nk)
         if hyb:

@@ -49,6 +49,17 @@ Functional forms (parameters from the published papers):
   0.2 Ex_HF + 0.80 Ex_Slater + 0.72 dEx_B88 + 0.81 Ec_LYP +
   0.19 Ec_VWN5 (the VWN5 variant, as in Turbomole/PySCF; Gaussian's
   uses VWN3).
+- SCAN meta-GGA: Sun, Ruzsinszky, Perdew, PRL 115, 036402 (2015).
+  Tau-dependent: the kinetic-energy density enters through the
+  iso-orbital indicator alpha = (tau - tau_W)/tau_unif.  The potential
+  pair (v_rho, v_tau) is jax.grad of the same discrete Exc, and the
+  tau channel's Fock contribution is the generalized-Kohn-Sham
+  operator (weight/2) sum_i grad_i phi_m^* v_tau grad_i phi_n with the
+  AO gradients taken by FFT of the periodic Bloch factors (consistent
+  with the discretization, like the GGA FFT density gradient).
+  Exact-constraint gates in tests: uniform-density reduction to
+  LDA/PW92 (alpha = 1, Fx = 1, H1 = 0), the GE2 exchange slope 10/81,
+  and the Gc(zeta = +-1) = 0 one-electron correlation cancellation.
 """
 from __future__ import annotations
 
@@ -86,7 +97,9 @@ def _floor(x):
 
 
 # ----------------------------------------------------------------------
-# functional terms: f(rho (2, g), sigma (3, g) | None) -> (g,) energy/vol
+# functional terms: f(rho (2, g), sigma (3, g) | None, tau (2, g) | None)
+# -> (g,) energy/vol.  Kind: 0 = LDA (rho only), 1 = GGA (+sigma),
+# 2 = meta-GGA (+tau).
 
 def _uniform_x(rho):
     """Spin-scaled Slater exchange energy density."""
@@ -94,7 +107,7 @@ def _uniform_x(rho):
     return -_CX * 2.0 ** (1.0 / 3.0) * jnp.sum(r ** (4.0 / 3.0), axis=0)
 
 
-def _pbe_x(rho, sigma):
+def _pbe_x(rho, sigma, tau=None):
     """PBE exchange via spin scaling: sum_s unif_x(2 rho_s) Fx(s_s) / 2."""
     r = _floor(2.0 * rho)                       # (2, g): the 2*rho_s channel
     sig = 4.0 * sigma[jnp.asarray([0, 2])]      # |grad(2 rho_s)|^2
@@ -136,7 +149,7 @@ def _pw92_c(rho):
     return rt * _pw92_eps(rs, zeta)
 
 
-def _pbe_c(rho, sigma):
+def _pbe_c(rho, sigma, tau=None):
     rt, rs, zeta = _rs_zeta(rho)
     eps = _pw92_eps(rs, zeta)
     phi = 0.5 * (_floor(1.0 + zeta) ** (2.0 / 3.0)
@@ -155,11 +168,11 @@ def _pbe_c(rho, sigma):
     return rt * (eps + h)
 
 
-def _lda_x_term(rho, sigma):
+def _lda_x_term(rho, sigma, tau=None):
     return _uniform_x(rho)
 
 
-def _pw92_c_term(rho, sigma):
+def _pw92_c_term(rho, sigma, tau=None):
     return _pw92_c(rho)
 
 
@@ -198,7 +211,7 @@ def _vwn5_eps(rs, zeta):
     return ep + ac * (fz / _PW92_F2) * (1.0 - z4) + (ef - ep) * fz * z4
 
 
-def _vwn5_c_term(rho, sigma):
+def _vwn5_c_term(rho, sigma, tau=None):
     rt, rs, zeta = _rs_zeta(rho)
     return rt * _vwn5_eps(rs, zeta)
 
@@ -208,7 +221,7 @@ def _vwn5_c_term(rho, sigma):
 _B88_BETA = 0.0042
 
 
-def _b88_x(rho, sigma):
+def _b88_x(rho, sigma, tau=None):
     """Full B88 exchange (Slater + gradient correction), spin-resolved."""
     r = _floor(rho)                             # (2, g)
     sig = sigma[jnp.asarray([0, 2])]            # |grad rho_s|^2
@@ -231,7 +244,7 @@ _LYP_D = 0.349
 _CF = 0.3 * (3.0 * np.pi ** 2) ** (2.0 / 3.0)
 
 
-def _lyp_c(rho, sigma):
+def _lyp_c(rho, sigma, tau=None):
     """LYP correlation energy density, CPL 157, 200 (1989) eq. (2)."""
     ra, rb = _floor(rho[0]), _floor(rho[1])
     rt = ra + rb
@@ -253,14 +266,111 @@ def _lyp_c(rho, sigma):
     return -4.0 * _LYP_A * pair / (den * rt) - _LYP_A * _LYP_B * om * brack
 
 
+# ---- SCAN meta-GGA ----------------------------------------------------
+
+_SCAN_K1 = 0.065
+_SCAN_MU = 10.0 / 81.0
+_SCAN_B2 = np.sqrt(5913.0 / 405000.0)
+_SCAN_B1 = (511.0 / 13500.0) / (2.0 * _SCAN_B2)
+_SCAN_B3 = 0.5
+_SCAN_B4 = _SCAN_MU ** 2 / _SCAN_K1 - 1606.0 / 18225.0 - _SCAN_B1 ** 2
+_SCAN_A1 = 4.9479
+_SCAN_H0X = 1.174
+_SCAN_B1C = 0.0285764
+_SCAN_B2C = 0.0889
+_SCAN_B3C = 0.125541
+_SCAN_CHI = 0.128026                 # chi_infinity of g_inf(s^2)
+_CKF2 = (3.0 * np.pi ** 2) ** (2.0 / 3.0)
+
+
+def _ief(a, c1, c2, d):
+    """SCAN iso-orbital interpolation: exp(-c1 a/(1-a)) for a < 1,
+    -d exp(c2/(1-a)) for a > 1, 0 at a = 1 (C-infinity; the `where`
+    guards keep both branch gradients NaN-free at the seam)."""
+    low = a < 1.0
+    high = a > 1.0
+    d1 = jnp.where(low, 1.0 - a, 1.0)
+    d2 = jnp.where(high, 1.0 - a, -1.0)
+    f_low = jnp.exp(-c1 * a / d1)
+    f_high = -d * jnp.exp(c2 / d2)
+    return jnp.where(low, f_low, jnp.where(high, f_high, 0.0))
+
+
+def _scan_fx(p, alpha):
+    """SCAN exchange enhancement Fx(p, alpha)."""
+    x = _SCAN_MU * p * (1.0 + (_SCAN_B4 * p / _SCAN_MU)
+                        * jnp.exp(-abs(_SCAN_B4) * p / _SCAN_MU)) \
+        + (_SCAN_B1 * p + _SCAN_B2 * (1.0 - alpha)
+           * jnp.exp(-_SCAN_B3 * (1.0 - alpha) ** 2)) ** 2
+    h1 = 1.0 + _SCAN_K1 - _SCAN_K1 / (1.0 + x / _SCAN_K1)
+    fx = _ief(alpha, 0.667, 0.8, 1.24)
+    eps = 1e-20 if p.dtype == jnp.float64 else 1e-10
+    gx = -jnp.expm1(-_SCAN_A1 * jnp.maximum(p, eps) ** (-0.25))
+    return (h1 + fx * (_SCAN_H0X - h1)) * gx
+
+
+def _scan_x(rho, sigma, tau):
+    """SCAN exchange via spin scaling on the (2 rho_s) channels."""
+    r = _floor(2.0 * rho)
+    sig = 4.0 * sigma[jnp.asarray([0, 2])]
+    tt = _floor(2.0 * tau)
+    p = sig / _floor(4.0 * _CKF2 * r ** (8.0 / 3.0))
+    tau_w = sig / (8.0 * r)
+    tau_u = 0.3 * _CKF2 * r ** (5.0 / 3.0)
+    alpha = jnp.maximum((tt - tau_w) / _floor(tau_u), 0.0)
+    return 0.5 * jnp.sum(-_CX * r ** (4.0 / 3.0) * _scan_fx(p, alpha),
+                         axis=0)
+
+
+def _scan_c(rho, sigma, tau):
+    """SCAN correlation: eps1 + f_c(alpha) (eps0 - eps1)."""
+    rt, rs, zeta = _rs_zeta(rho)
+    sig_t = sigma[0] + 2.0 * sigma[1] + sigma[2]
+    tt = jnp.sum(_floor(tau), axis=0)
+    omz = _floor(1.0 - zeta)
+    opz = _floor(1.0 + zeta)
+    ds_z = 0.5 * (opz ** (5.0 / 3.0) + omz ** (5.0 / 3.0))
+    tau_w = sig_t / (8.0 * rt)
+    tau_u = 0.3 * _CKF2 * ds_z * rt ** (5.0 / 3.0)
+    alpha = jnp.maximum((tt - tau_w) / _floor(tau_u), 0.0)
+    # eps1: PBE-like with rs-dependent beta and the (1+4At^2)^{-1/4} g
+    eps_lsda = _pw92_eps(rs, zeta)
+    phi = 0.5 * (opz ** (2.0 / 3.0) + omz ** (2.0 / 3.0))
+    kf = (3.0 * np.pi ** 2 * rt) ** (1.0 / 3.0)
+    ks = jnp.sqrt(4.0 * kf / np.pi)
+    t2 = sig_t / _floor((2.0 * phi * ks * rt) ** 2)
+    beta_rs = 0.066725 * (1.0 + 0.1 * rs) / (1.0 + 0.1778 * rs)
+    g3 = _PBE_GAMMA * phi ** 3
+    w1 = jnp.expm1(-eps_lsda / g3)            # exp(-eps/g3) - 1 >= 0
+    aa = beta_rs / (_PBE_GAMMA * _floor(w1))
+    g = (1.0 + 4.0 * aa * t2) ** (-0.25)
+    h1 = g3 * jnp.log1p(w1 * (1.0 - g))
+    eps1 = eps_lsda + h1
+    # eps0: LDA0 + H0, damped by Gc(zeta) (zero at |zeta| = 1: SCAN is
+    # one-electron self-correlation-free through this factor)
+    eps_lda0 = -_SCAN_B1C / (1.0 + _SCAN_B2C * jnp.sqrt(rs)
+                             + _SCAN_B3C * rs)
+    w0 = jnp.expm1(-eps_lda0 / _SCAN_B1C)
+    s2 = sig_t / _floor(4.0 * _CKF2 * rt ** (8.0 / 3.0))
+    ginf = (1.0 + 4.0 * _SCAN_CHI * s2) ** (-0.25)
+    h0 = _SCAN_B1C * jnp.log1p(w0 * (1.0 - ginf))
+    dx_z = 0.5 * (opz ** (4.0 / 3.0) + omz ** (4.0 / 3.0))
+    gc = (1.0 - 2.3631 * (dx_z - 1.0)) * (1.0 - zeta ** 12)
+    eps0 = (eps_lda0 + h0) * gc
+    fc = _ief(alpha, 0.64, 1.5, 0.7)
+    return rt * (eps1 + fc * (eps0 - eps1))
+
+
 _TERMS = {
-    "slater": (_lda_x_term, False),
-    "pw92": (_pw92_c_term, False),
-    "vwn5": (_vwn5_c_term, False),
-    "pbex": (_pbe_x, True),
-    "pbec": (_pbe_c, True),
-    "b88": (_b88_x, True),
-    "lyp": (_lyp_c, True),
+    "slater": (_lda_x_term, 0),
+    "pw92": (_pw92_c_term, 0),
+    "vwn5": (_vwn5_c_term, 0),
+    "pbex": (_pbe_x, 1),
+    "pbec": (_pbe_c, 1),
+    "b88": (_b88_x, 1),
+    "lyp": (_lyp_c, 1),
+    "scanx": (_scan_x, 2),
+    "scanc": (_scan_c, 2),
 }
 
 
@@ -276,7 +386,13 @@ class XCSpec:
 
     @property
     def is_gga(self):
-        return any(_TERMS[t][1] for _, t in self.terms)
+        """Needs density gradients (true for GGA and meta-GGA terms)."""
+        return any(_TERMS[t][1] >= 1 for _, t in self.terms)
+
+    @property
+    def is_mgga(self):
+        """Needs the kinetic-energy density tau."""
+        return any(_TERMS[t][1] >= 2 for _, t in self.terms)
 
 
 _FUNCTIONALS = {
@@ -298,6 +414,11 @@ _FUNCTIONALS = {
     # 0.72 (slater + dB88) + 0.08 slater == 0.80 slater + 0.72 dB88
     "b3lyp": XCSpec("b3lyp", 0.2, ((0.72, "b88"), (0.08, "slater"),
                                    (0.81, "lyp"), (0.19, "vwn5"))),
+    "scan": XCSpec("scan", 0.0, ((1.0, "scanx"), (1.0, "scanc"))),
+    "scanx": XCSpec("scanx", 0.0, ((1.0, "scanx"),)),
+    "scanc": XCSpec("scanc", 0.0, ((1.0, "scanc"),)),
+    # SCAN0: 25% exact exchange on the SCAN base (Hui & Chai, JCP 2016)
+    "scan0": XCSpec("scan0", 0.25, ((0.75, "scanx"), (1.0, "scanc"))),
     "hf": XCSpec("hf", 1.0, ()),
 }
 
@@ -315,11 +436,11 @@ def parse_xc(xc) -> XCSpec:
 # ----------------------------------------------------------------------
 # grid evaluation
 
-def _exc_density(rho, sigma, spec):
+def _exc_density(rho, sigma, spec, tau=None):
     e = 0.0
     for coeff, name in spec.terms:
-        fn, _gga = _TERMS[name]
-        e = e + coeff * fn(rho, sigma)
+        fn, _kind = _TERMS[name]
+        e = e + coeff * fn(rho, sigma, tau)
     return e
 
 
@@ -342,6 +463,10 @@ def exc_and_vxc(rho, gv, spec, fmesh, weight):
     quadrature weight), so sum(vxc * drho) * weight == dExc to machine
     precision.
     """
+    if spec.is_mgga:
+        raise NotImplementedError(
+            f"xc={spec.name!r} is tau-dependent: use exc_and_vxc_mgga "
+            "(the caller must supply the kinetic-energy density)")
     gvt = gv.T
 
     def total(r):
@@ -358,6 +483,75 @@ def exc_and_vxc(rho, gv, spec, fmesh, weight):
 
     exc, de = jax.value_and_grad(total)(rho)
     return exc, de / weight
+
+
+@partial(jax.jit, static_argnames=("spec", "fmesh", "weight"))
+def exc_and_vxc_mgga(rho, tau, gv, spec, fmesh, weight):
+    """Meta-GGA xc energy and potential pair on the grid.
+
+    rho, tau: (2, ng) real spin densities / kinetic-energy densities
+    (tau = 1/2 sum_occ |grad psi|^2 per spin).  Returns
+    (exc, v_rho (2, ng), v_tau (2, ng)): both potentials are exact
+    gradients of the discrete Exc w.r.t. the grid values, so
+    sum(v_rho drho + v_tau dtau) * weight == dExc to machine precision.
+    """
+    gvt = gv.T
+
+    def total(r, t):
+        if spec.is_gga:
+            g = _grad_fft(r, gvt, fmesh)
+            sigma = jnp.stack([
+                jnp.sum(g[0] * g[0], axis=0),
+                jnp.sum(g[0] * g[1], axis=0),
+                jnp.sum(g[1] * g[1], axis=0),
+            ])
+        else:
+            sigma = None
+        return weight * jnp.sum(_exc_density(r, sigma, spec, tau=t))
+
+    exc, (dr, dt) = jax.value_and_grad(total, argnums=(0, 1))(rho, tau)
+    return exc, dr / weight, dt / weight
+
+
+def bloch_ao_grad(ao, kpts, coords, gv, fmesh):
+    """Spatial gradients of Bloch AOs via the mesh FFT.
+
+    grad phi_k = e^{ikr} (grad + ik) u_k with u_k = e^{-ikr} phi_k the
+    periodic part; grad u_k is exact for the band-limited mesh
+    representation — the same discretization-consistent choice as the
+    GGA FFT density gradient, so the tau built from these gradients and
+    the v_tau Fock term close under autodiff (FD-gated in tests).
+
+    ao: (nk, ng, nao) complex; kpts: (nk, 3); coords: (ng, 3);
+    gv: (ng, 3).  Returns (3, nk, ng, nao).
+    """
+    ph = jnp.exp(-1j * (coords @ kpts.T)).astype(ao.dtype)   # (ng, nk)
+    u = (ao * ph.T[:, :, None]).transpose(0, 2, 1)           # (nk, nao, ng)
+    ug = fft3(u, fmesh)
+    out = []
+    for i in range(3):
+        du = ifft3(1j * gv[:, i] * ug, fmesh)
+        dphi = du + 1j * kpts[:, i][:, None, None].astype(ao.dtype) * u
+        out.append(dphi.transpose(0, 2, 1) * ph.conj().T[:, :, None])
+    return jnp.stack(out)
+
+
+def get_tau(dphi, dm, nk):
+    """Spin kinetic-energy densities from k-point density matrices.
+
+    dphi: (3, nk, ng, nao) Bloch AO gradients; dm: (nspin, nk, nao, nao).
+    tau_s(r) = 1/(2 nk) sum_i sum_mn D_mn dphi_i,m dphi_i,n^* — the same
+    index pairing as ``get_rho`` so the rho/tau channels share the Fock
+    convention."""
+    return 0.5 * jnp.einsum("ikgm,skmn,ikgn->sg", dphi, dm,
+                            dphi.conj()).real / nk
+
+
+def vtau_matrix(dphi, vt, weight):
+    """AO Fock matrix of the tau-channel potential:
+    (weight/2) sum_i <grad_i phi_m | v_tau | grad_i phi_n>."""
+    return 0.5 * weight * jnp.einsum("ikgm,sg,ikgn->skmn", dphi.conj(),
+                                     vt, dphi)
 
 
 def get_rho(ao, dm, nk):

@@ -208,6 +208,150 @@ def test_b3lyp_spec_composition():
                       "vwn5": 0.19}
 
 
+def _exc_of_mgga(cell, rho, tau, name):
+    spec = xc_mod.parse_xc(name)
+    fmesh = tuple(int(m) for m in cell.mesh)
+    w = float(cell.vol) / int(np.prod(fmesh))
+    gv = jnp.asarray(cell.get_Gv(fmesh))
+    return xc_mod.exc_and_vxc_mgga(rho, tau, gv, spec, fmesh, w), w
+
+
+def _tau_unif(rho):
+    """Uniform-gas kinetic-energy density per spin channel:
+    tau_s = (3/10)(3 pi^2)^{2/3} (2 rho_s)^{5/3} / 2."""
+    return 0.3 * (3.0 * np.pi ** 2) ** (2.0 / 3.0) \
+        * (2.0 * rho) ** (5.0 / 3.0) / 2.0
+
+
+def test_scan_uniform_reduces_to_lda(diamond):
+    """Uniform density at tau = tau_unif (alpha = 1): SCAN exchange has
+    Fx = 1 and SCAN correlation collapses to PW92 (fc(1) = 0, H1(t=0) =
+    0) — the defining uniform-gas constraint."""
+    fmesh = tuple(int(m) for m in diamond.mesh)
+    ng = int(np.prod(fmesh))
+    rho = jnp.concatenate([jnp.full((1, ng), 0.21), jnp.full((1, ng), 0.13)])
+    tau = _tau_unif(rho)
+    (e_scan, _, _), _ = _exc_of_mgga(diamond, rho, tau, "scan")
+    (e_lda, _), _ = _exc_of(diamond, rho, "lda")
+    assert abs(float(e_scan) - float(e_lda)) < 1e-9 * abs(float(e_lda))
+
+
+def test_scan_exchange_ge2_slope(diamond):
+    """Slowly-varying limit at alpha = 1: dFx/dp -> mu_GE2 = 10/81."""
+    fmesh = tuple(int(m) for m in diamond.mesh)
+    ng = int(np.prod(fmesh))
+    rho0 = 0.25
+    p = 1e-6
+    # realize p on channel variables 2 rho_s = rho0 via sigma_ss
+    ckf2 = (3.0 * np.pi ** 2) ** (2.0 / 3.0)
+    sig_ss = p * 4.0 * ckf2 * rho0 ** (8.0 / 3.0) / 4.0   # sigma of rho_s
+    tau_w = 4.0 * sig_ss / (8.0 * rho0)                   # of the 2rho_s channel
+    tau = jnp.full((2, ng), (tau_w + 0.3 * ckf2 * rho0 ** (5.0 / 3.0)) / 2.0)
+    rho = jnp.full((2, ng), rho0 / 2.0)
+    sigma = jnp.stack([jnp.full(ng, sig_ss), jnp.full(ng, sig_ss),
+                       jnp.full(ng, sig_ss)])
+    e_x = xc_mod._scan_x(rho, sigma, tau)
+    e_lda = xc_mod._uniform_x(rho)
+    fx = float(e_x[0]) / float(e_lda[0])
+    slope = (fx - 1.0) / p
+    assert abs(slope - 10.0 / 81.0) < 1e-2 * (10.0 / 81.0), slope
+
+
+def test_scan_one_electron_correlation_zero(diamond):
+    """Fully spin-polarized one-orbital density (tau = tau_W, alpha = 0):
+    SCAN correlation vanishes (fc(0) = 1 routes to eps0, and
+    Gc(zeta = 1) = 0 kills it) — SCAN is one-electron SIC-free."""
+    rho = np.array(_toy_rho(diamond, seed=7))
+    rho[1] = 0.0
+    rho_j = jnp.asarray(rho)
+    spec = xc_mod.parse_xc("scanc")
+    fmesh = tuple(int(m) for m in diamond.mesh)
+    gv = jnp.asarray(diamond.get_Gv(fmesh))
+    g = xc_mod._grad_fft(rho_j, gv.T, fmesh)
+    sig_aa = jnp.sum(g[0] * g[0], axis=0)
+    tau = jnp.stack([sig_aa / (8.0 * rho_j[0]), jnp.zeros_like(rho_j[0])])
+    e = xc_mod._scan_c(rho_j, jnp.stack([sig_aa, 0 * sig_aa, 0 * sig_aa]),
+                       tau)
+    w = float(diamond.vol) / int(np.prod(fmesh))
+    assert abs(float(jnp.sum(e)) * w) < 1e-8
+
+
+def test_scan_vrho_vtau_are_exact_derivatives(diamond):
+    """FD of Exc along joint (drho, dtau) perturbations vs the returned
+    (v_rho, v_tau) pair — validates the meta-GGA autodiff path."""
+    rho = _toy_rho(diamond, seed=4)
+    tau = _tau_unif(rho) * 1.3 + 0.05   # above tau_W = 0 for uniform-free rho
+    (exc0, vr, vt), w = _exc_of_mgga(diamond, rho, tau, "scan")
+    rng = np.random.default_rng(8)
+    drho = jnp.asarray(rng.standard_normal(rho.shape)) * 1e-4
+    dtau = jnp.asarray(rng.standard_normal(rho.shape)) * 1e-4
+    (ep, _, _), _ = _exc_of_mgga(diamond, rho + drho, tau + dtau, "scan")
+    (em, _, _), _ = _exc_of_mgga(diamond, rho - drho, tau - dtau, "scan")
+    fd = (float(ep) - float(em)) / 2.0
+    an = float(jnp.sum(vr * drho) + jnp.sum(vt * dtau)) * w
+    assert abs(fd - an) < 1e-6 * max(abs(fd), 1e-6), (fd, an)
+
+
+def test_scan_exchange_spin_scaling(diamond):
+    """Ex[ra, rb] = (Ex[2ra] + Ex[2rb])/2 including the tau channels."""
+    rho = _toy_rho(diamond, seed=3)
+    tau = _tau_unif(rho) * jnp.asarray([[1.2], [1.4]])
+    (e_pol, _, _), _ = _exc_of_mgga(diamond, rho, tau, "scanx")
+    e_half = []
+    for s in range(2):
+        r2 = jnp.stack([rho[s], rho[s]])
+        t2 = jnp.stack([tau[s], tau[s]])
+        (e_s, _, _), _ = _exc_of_mgga(diamond, r2, t2, "scanx")
+        e_half.append(float(e_s))
+    assert abs(float(e_pol) - 0.5 * sum(e_half)) < 1e-10 * abs(float(e_pol))
+
+
+def test_krks_scan_scf_and_fock_consistency(diamond):
+    """SCAN SCF converges, and the meta-GGA Vxc (including the
+    generalized-KS tau term) is the exact derivative of Exc w.r.t. the
+    density matrix: FD along a random hermitian ddm matches
+    Tr(ddm Vxc)/nk — this gates the whole tau Fock plumbing (Bloch AO
+    FFT gradients, get_tau, vtau_matrix) at once."""
+    from fftisdf_tpu.scf.ks import _xc_fock_kernel
+
+    kpts = diamond.get_kpts([1, 1, 2])
+    mf = KRKS(diamond, kpts, xc="scan", verbose=0, conv_tol=1e-9)
+    e = mf.kernel()
+    assert mf.converged
+    nk = len(kpts)
+    dm = mf.dm
+    rng = np.random.default_rng(11)
+    ddm = rng.standard_normal((nk,) + dm.shape[1:]) * 1e-4
+    ddm = ddm + ddm.transpose(0, 2, 1)
+
+    def exc_of(d):
+        exc, vxc, _ = _xc_fock_kernel(
+            mf._ao, mf._dm_device(d)[None], mf._gv, mf._spec, mf._fmesh,
+            mf._xc_weight, nk, 1, coords=mf._coords, kpts=mf._kpts_arr)
+        return float(exc), vxc
+
+    e0, vxc = exc_of(dm)
+    ep, _ = exc_of(dm + ddm)
+    em, _ = exc_of(dm - ddm)
+    fd = (ep - em) / 2.0
+    an = float(np.einsum("kmn,knm->", ddm,
+                         np.asarray(vxc)[0]).real) / nk
+    assert abs(fd - an) < 1e-7 * max(abs(fd), 1e-8), (fd, an)
+    # bands reproduce the SCF eigenvalues through the mgga band path
+    es, _ = mf.get_bands(mf.kpts)
+    ref = np.asarray(mf.mo_energy)
+    nocc = mf.nocc
+    assert np.max(np.abs(np.asarray(es)[:, :nocc] - ref[:, :nocc])) < 5e-5
+
+
+def test_scan_grad_guard(diamond):
+    from fftisdf_tpu.scf import grad as grad_mod
+
+    kpts = diamond.get_kpts([1, 1, 2])
+    with pytest.raises(NotImplementedError):
+        grad_mod.make_grad_fn(diamond, kpts, xc="scan")
+
+
 def test_krks_hf_reduces_to_krhf(diamond):
     kpts = diamond.get_kpts([1, 1, 2])
     mf_hf = KRHF(diamond, kpts, verbose=0, conv_tol=1e-9)
@@ -269,8 +413,8 @@ def test_pbe0_energy_decomposition(diamond):
     from fftisdf_tpu.scf.ks import _xc_pot_kernel
     args = (mf._ao, dm_dev, mf._gv)
     kw = dict(fmesh=mf._fmesh, weight=mf._xc_weight, nk=nk, nspin=1)
-    ex_pbe, _ = _xc_pot_kernel(*args, spec=xc_mod.parse_xc("pbex"), **kw)
-    ec_pbe, _ = _xc_pot_kernel(*args, spec=xc_mod.parse_xc("pbec"), **kw)
+    ex_pbe, _, _ = _xc_pot_kernel(*args, spec=xc_mod.parse_xc("pbex"), **kw)
+    ec_pbe, _, _ = _xc_pot_kernel(*args, spec=xc_mod.parse_xc("pbec"), **kw)
     manual = e1 + ej + 0.25 * ex_hf + 0.75 * float(ex_pbe) + float(ec_pbe)
     assert abs(e_pbe0 - manual) < 1e-9, (e_pbe0, manual)
 
