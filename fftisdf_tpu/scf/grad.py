@@ -93,11 +93,10 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
     if xc is not None and str(xc).strip().lower() != "hf":
         from fftisdf_tpu.scf import xc as xc_mod
         spec = xc_mod.parse_xc(xc)
-        if spec.is_mgga:
-            raise NotImplementedError(
-                f"xc={spec.name!r}: meta-GGA nuclear gradients (the tau "
-                "channel is not traced through the Lagrangian yet)")
         _exc_and_vxc = xc_mod.exc_and_vxc
+        _exc_mgga = xc_mod.exc_and_vxc_mgga
+        _ao_grad = xc_mod.bloch_ao_grad
+        _get_tau = xc_mod.get_tau
     hyb = spec.hyb if spec is not None else 1.0
     hub_sites = None
     if hubbard:
@@ -257,7 +256,15 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
             # grid Exc of the traced AO density (xc Pulay force included)
             rho = jnp.einsum("kgm,skmn,kgn->sg", f_k, dm_spin,
                              f_k.conj()).real / nk
-            e2 = e2 + _exc_and_vxc(rho, gv_j, spec, mesh, w)[0]
+            if spec.is_mgga:
+                # tau from FFT Bloch-AO gradients of the TRACED AO tensor:
+                # the tau channel's Pulay force comes from the same
+                # reverse sweep (the FFT and phases are position-free)
+                dphi = _ao_grad(f_k, kpts_j, coords_j, gv_j, mesh)
+                tau = _get_tau(dphi, dm_spin, nk)
+                e2 = e2 + _exc_mgga(rho, tau, gv_j, spec, mesh, w)[0]
+            else:
+                e2 = e2 + _exc_and_vxc(rho, gv_j, spec, mesh, w)[0]
         if hub_sites is not None:
             from fftisdf_tpu.scf import hubbard as hub_mod
             shalf = hub_mod.sqrtm_traced(s)

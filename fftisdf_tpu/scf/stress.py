@@ -220,11 +220,10 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
     if xc is not None and str(xc).strip().lower() != "hf":
         from fftisdf_tpu.scf import xc as xc_mod
         spec = xc_mod.parse_xc(xc)
-        if spec.is_mgga:
-            raise NotImplementedError(
-                f"xc={spec.name!r}: meta-GGA stress (the tau channel is "
-                "not traced through the strained Lagrangian yet)")
         _exc_and_vxc = xc_mod.exc_and_vxc
+        _exc_mgga = xc_mod.exc_and_vxc_mgga
+        _ao_grad = xc_mod.bloch_ao_grad
+        _get_tau = xc_mod.get_tau
     hyb = spec.hyb if spec is not None else 1.0
     hub_sites = None
     if hubbard:
@@ -437,7 +436,18 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         if spec is not None:
             rho_s = jnp.einsum("kgm,skmn,kgn->sg", f_k, dm_spin,
                                f_k.conj()).real / nk
-            e_xtra = e_xtra + _exc_and_vxc(rho_s, gv, spec, mesh, w)[0]
+            if spec.is_mgga:
+                # tau under strain: the k.r phases ride the invariant tk
+                # table; strain enters through the AO values, the strained
+                # G-vectors of the FFT gradient, and the strained k in the
+                # (grad + ik)u term
+                dphi = _ao_grad(f_k, kscaled_j @ B, None, gv, mesh,
+                                angle=tk)
+                tau = _get_tau(dphi, dm_spin, nk)
+                e_xtra = e_xtra + _exc_mgga(rho_s, tau, gv, spec, mesh,
+                                            w)[0]
+            else:
+                e_xtra = e_xtra + _exc_and_vxc(rho_s, gv, spec, mesh, w)[0]
         if hub_sites is not None:
             from fftisdf_tpu.scf import hubbard as hub_mod
             e_xtra = e_xtra + hub_mod.eu_and_vu_traced(

@@ -513,7 +513,7 @@ def exc_and_vxc_mgga(rho, tau, gv, spec, fmesh, weight):
     return exc, dr / weight, dt / weight
 
 
-def bloch_ao_grad(ao, kpts, coords, gv, fmesh):
+def bloch_ao_grad(ao, kpts, coords, gv, fmesh, angle=None):
     """Spatial gradients of Bloch AOs via the mesh FFT.
 
     grad phi_k = e^{ikr} (grad + ik) u_k with u_k = e^{-ikr} phi_k the
@@ -524,8 +524,15 @@ def bloch_ao_grad(ao, kpts, coords, gv, fmesh):
 
     ao: (nk, ng, nao) complex; kpts: (nk, 3); coords: (ng, 3);
     gv: (ng, 3).  Returns (3, nk, ng, nao).
+
+    ``angle``: optional precomputed k.r phase angles (ng, nk) —
+    strained-lattice callers pass the strain-invariant
+    2 pi (frac_grid @ frac_k.T) table so no spurious (cancelling)
+    strain dependence enters the trace.
     """
-    ph = jnp.exp(-1j * (coords @ kpts.T)).astype(ao.dtype)   # (ng, nk)
+    if angle is None:
+        angle = coords @ kpts.T
+    ph = jnp.exp(-1j * angle).astype(ao.dtype)               # (ng, nk)
     u = (ao * ph.T[:, :, None]).transpose(0, 2, 1)           # (nk, nao, ng)
     ug = fft3(u, fmesh)
     out = []

@@ -168,7 +168,7 @@ def test_ks_energy_fn_reproduces_etot():
 
     cell = he2_cell()
     kpts = cell.get_kpts([1, 1, 2])
-    for kw in ({"xc": "lda"}, {"xc": "pbe0"},
+    for kw in ({"xc": "lda"}, {"xc": "pbe0"}, {"xc": "scan"},
                {"xc": "lda", "hubbard": {0: (0, 0.3)}}):
         mf = KRKS(cell, kpts, verbose=0, conv_tol=1e-11, **kw)
         e0 = mf.kernel()
@@ -214,6 +214,34 @@ def test_ks_forces_vs_finite_difference():
         assert mf.converged
     fd = (es[0] - es[1]) / (2 * h)
     np.testing.assert_allclose(g[1, 2], fd, atol=5e-7)
+    np.testing.assert_allclose(g[0, 2], -g[1, 2], atol=5e-6)
+
+
+@pytest.mark.slow
+def test_mgga_forces_vs_finite_difference():
+    """Central-difference gate for the meta-GGA (SCAN) functional: the
+    tau channel's Pulay force — reverse-mode through the Bloch-AO FFT
+    gradients — must be exact alongside the rho-channel terms."""
+    from fftisdf_tpu.scf.ks import KRKS
+
+    kmesh = [1, 1, 2]
+    mf0 = KRKS(he2_cell(), he2_cell().get_kpts(kmesh), xc="scan",
+               verbose=0, conv_tol=1e-12)
+    mf0.kernel()
+    assert mf0.converged
+    g, val = scf_grad.kernel(mf0, two_electron="pw")
+    np.testing.assert_allclose(val, mf0.e_tot, atol=1e-9)
+
+    h = 2e-3
+    es = []
+    for s in (+1, -1):
+        cell = he2_cell(dz=s * h)
+        mf = KRKS(cell, cell.get_kpts(kmesh), xc="scan", verbose=0,
+                  conv_tol=1e-12)
+        es.append(mf.kernel())
+        assert mf.converged
+    fd = (es[0] - es[1]) / (2 * h)
+    np.testing.assert_allclose(g[1, 2], fd, atol=1e-6)
     np.testing.assert_allclose(g[0, 2], -g[1, 2], atol=5e-6)
 
 

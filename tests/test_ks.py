@@ -344,14 +344,6 @@ def test_krks_scan_scf_and_fock_consistency(diamond):
     assert np.max(np.abs(np.asarray(es)[:, :nocc] - ref[:, :nocc])) < 5e-5
 
 
-def test_scan_grad_guard(diamond):
-    from fftisdf_tpu.scf import grad as grad_mod
-
-    kpts = diamond.get_kpts([1, 1, 2])
-    with pytest.raises(NotImplementedError):
-        grad_mod.make_grad_fn(diamond, kpts, xc="scan")
-
-
 def test_krks_hf_reduces_to_krhf(diamond):
     kpts = diamond.get_kpts([1, 1, 2])
     mf_hf = KRHF(diamond, kpts, verbose=0, conv_tol=1e-9)

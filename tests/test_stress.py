@@ -173,6 +173,33 @@ def test_ks_stress_vs_fd():
                                rtol=2e-5, atol=1e-6)
 
 
+def test_mgga_stress_vs_fd():
+    """Meta-GGA (SCAN) stress: tau's strain dependence — strained
+    G-vectors in the FFT AO gradient and the strained k in (grad + ik)u,
+    with the k.r phases riding the invariant angle table — must match
+    central FD of re-converged energies."""
+    from fftisdf_tpu.scf.ks import KRKS
+
+    def scf_ks(a_mat=None):
+        cell = he2_cell(a_mat)
+        mf = KRKS(cell, cell.get_kpts([1, 1, 2]), xc="scan", verbose=0,
+                  conv_tol=1e-11)
+        mf.kernel()
+        assert mf.converged
+        return mf
+
+    mf = scf_ks()
+    a0 = np.asarray(mf.cell.a)
+    vol = float(mf.cell.vol)
+    sigma, pressure, val = scf_stress.kernel(mf)
+    np.testing.assert_allclose(val, mf.e_tot, atol=1e-9)
+
+    exx = np.zeros((3, 3)); exx[0, 0] = 1.0
+    fd_xx = _fd_strain(scf_ks, a0, exx)
+    np.testing.assert_allclose(vol * sigma[0, 0], fd_xx,
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_ks_plus_u_stress_lagrangian_matches_e_tot():
     """+U stress path smoke: the strained-overlap S^1/2 term assembles to
     the SCF energy at eps=0 (its strain derivative shares the FD-gated
