@@ -61,6 +61,98 @@ def _clone_mf(mf, cell, kpts=None):
     return type(mf)(cell, mf.kpts if kpts is None else kpts, **kw)
 
 
+class BOForceField:
+    """Born-Oppenheimer force evaluator reused by every geometry-sweeping
+    driver (relaxation, molecular dynamics, finite-difference Hessians).
+
+    Calling it with a geometry fully re-converges the SCF there (warm-
+    started from ``dm0``) and takes the analytic gradient from one
+    reverse-mode sweep (``scf.grad``): ``ff(positions, dm0) ->
+    (mf, energy, grad)``.
+
+    Exact-PW forces reuse ONE traced gradient fn across geometries (the
+    frozen image/translation/G lists are exact for sub-cell displacements);
+    :meth:`maybe_reanchor` retraces it — with the SAME xc/hubbard/exxdiv
+    functional — once the cumulative displacement from the traced reference
+    exceeds ``anchor_drift`` bohr.  The ISDF backend re-selects
+    interpolation points (and so retraces) per geometry by construction.
+    """
+
+    def __init__(self, mf, two_electron="pw", isdf_kwargs=None,
+                 anchor_drift=1.0):
+        if getattr(mf, "trunc", None) is not None:
+            raise NotImplementedError(
+                "geometry sweeps with a truncated Coulomb kernel "
+                "(forces trace the bare-kernel functional)")
+        assert mf.cell._built
+        self.mf0 = mf
+        self.cell = mf.cell
+        self.two_electron = two_electron
+        self.isdf_kwargs = isdf_kwargs or {}
+        self.anchor_drift = anchor_drift
+        self._exxdiv = getattr(mf, "exxdiv", None)
+        self._xc = getattr(mf, "xc", None)
+        self._hubbard = getattr(mf, "hubbard", None)
+        self._anchor = np.asarray(mf.cell.atom_coords(), dtype=np.float64)
+        self._pw_grad = (self._trace(mf.cell) if two_electron == "pw"
+                         else None)
+
+    def _trace(self, cell):
+        return scf_grad.make_grad_fn(cell, self.mf0.kpts, two_electron="pw",
+                                     exxdiv=self._exxdiv, xc=self._xc,
+                                     hubbard=self._hubbard)
+
+    def eval_converged(self, mf):
+        """(energy, grad) of an ALREADY-converged SCF at its own geometry
+        (the isdf path requires ``mf.with_df`` to be a built FFTISDF)."""
+        if self._pw_grad is not None:
+            g, e = self._pw_grad(mf)
+        else:
+            g, e = scf_grad.kernel(mf, two_electron=self.two_electron,
+                                   df=mf.with_df)
+        return float(e), np.asarray(g, dtype=np.float64)
+
+    def __call__(self, positions, dm0=None):
+        new_cell = self.cell.copy(
+            atom=[(sym, np.asarray(p)) for sym, p in
+                  zip(self.cell.atom_symbols(), positions)]).build()
+        new_mf = _clone_mf(self.mf0, new_cell)
+        df = None
+        if self.two_electron == "isdf":
+            from fftisdf_tpu.isdf import FFTISDF
+            from fftisdf_tpu.isdf.kpoint import clear_build_caches
+
+            # fresh cell each step => fresh (static) evaluator identity;
+            # evict the previous geometry's compiled build stages so the
+            # jit cache stays bounded over a long sweep
+            clear_build_caches()
+            df = FFTISDF(new_cell, self.mf0.kpts, dtype=self.mf0.dtype,
+                         verbose=0, **self.isdf_kwargs).build()
+            new_mf.with_df = df
+        new_mf.kernel(dm0=dm0)
+        if not new_mf.converged:
+            raise RuntimeError("SCF failed to converge during the geometry "
+                               "sweep; loosen conv_tol or improve the start")
+        if self._pw_grad is not None:
+            g, e = self._pw_grad(new_mf)
+        else:
+            g, e = scf_grad.kernel(new_mf, two_electron=self.two_electron,
+                                   df=df)
+        return new_mf, float(e), np.asarray(g, dtype=np.float64)
+
+    def maybe_reanchor(self, cell, positions):
+        """Retrace the frozen-lattice-list gradient fn at ``cell`` if the
+        geometry drifted more than ``anchor_drift`` bohr from the traced
+        reference.  Returns the drift if it retraced, else None."""
+        drift = float(np.abs(np.asarray(positions, dtype=np.float64)
+                             - self._anchor).max())
+        if self._pw_grad is not None and drift > self.anchor_drift:
+            self._pw_grad = self._trace(cell)
+            self._anchor = np.asarray(positions, dtype=np.float64).copy()
+            return drift
+        return None
+
+
 def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
            isdf_kwargs=None, callback=None):
     """Relax the atoms of ``mf.cell`` until ``max|grad| < fmax`` (Ha/bohr).
@@ -72,51 +164,12 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
     with the energy being minimized.  Returns an :class:`OptResult`.
     """
     log = Logger(getattr(mf, "verbose", 3))
-    if getattr(mf, "trunc", None) is not None:
-        raise NotImplementedError(
-            "geometry optimization with a truncated Coulomb kernel "
-            "(forces trace the bare-kernel functional)")
     cell = mf.cell
-    assert cell._built
-
-    # exact-PW forces: one traced gradient fn serves every geometry (frozen
-    # image lists are exact for the sub-cell steps taken here).  The ISDF
-    # backend re-selects interpolation points per geometry, so its state fn
-    # is rebuilt inside scf_at.  The traced functional follows the driver
-    # (KS xc / +U included — _clone_mf carries them to every geometry).
-    mf_exxdiv = getattr(mf, "exxdiv", None)
-    pw_grad = (scf_grad.make_grad_fn(cell, mf.kpts, two_electron="pw",
-                                     exxdiv=mf_exxdiv,
-                                     xc=getattr(mf, "xc", None),
-                                     hubbard=getattr(mf, "hubbard", None))
-               if two_electron == "pw" else None)
-
-    def scf_at(positions, dm0):
-        new_cell = cell.copy(
-            atom=[(sym, np.asarray(p)) for sym, p in
-                  zip(cell.atom_symbols(), positions)]).build()
-        new_mf = _clone_mf(mf, new_cell)
-        df = None
-        if two_electron == "isdf":
-            from fftisdf_tpu.isdf import FFTISDF
-            from fftisdf_tpu.isdf.kpoint import clear_build_caches
-
-            # fresh cell each step => fresh (static) evaluator identity;
-            # evict the previous geometry's compiled build stages so the
-            # jit cache stays bounded over a long relaxation
-            clear_build_caches()
-            df = FFTISDF(new_cell, mf.kpts, dtype=mf.dtype, verbose=0,
-                         **(isdf_kwargs or {})).build()
-            new_mf.with_df = df
-        new_mf.kernel(dm0=dm0)
-        if not new_mf.converged:
-            raise RuntimeError("SCF failed to converge during relaxation; "
-                               "loosen conv_tol or improve the start")
-        if pw_grad is not None:
-            g, e = pw_grad(new_mf)
-        else:
-            g, e = scf_grad.kernel(new_mf, two_electron=two_electron, df=df)
-        return new_mf, float(e), np.asarray(g, dtype=np.float64)
+    # the traced functional follows the driver (KS xc / +U included —
+    # _clone_mf carries them to every geometry)
+    ff = BOForceField(mf, two_electron=two_electron,
+                      isdf_kwargs=isdf_kwargs)
+    scf_at = ff
 
     x = np.asarray(cell.atom_coords(), dtype=np.float64).ravel()
     n = x.size
@@ -127,16 +180,12 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
     usable = (getattr(mf, "dm", None) is not None and mf.converged
               and (two_electron != "isdf" or hasattr(mf.with_df, "wq")))
     if usable:
-        if pw_grad is not None:
-            g0, e0 = pw_grad(mf)
-        else:
-            g0, e0 = scf_grad.kernel(mf, two_electron="isdf", df=mf.with_df)
-        cur_mf, e, g = mf, float(e0), np.asarray(g0, dtype=np.float64)
+        e, g = ff.eval_converged(mf)
+        cur_mf = mf
     else:
         cur_mf, e, g = scf_at(x.reshape(-1, 3), None)
 
     H = np.eye(n)  # inverse-Hessian estimate (bohr^2/Ha); unit seed + cap
-    x_anchor = x.copy()
     traj = []
     converged = False
     for step in range(max_steps + 1):
@@ -184,12 +233,8 @@ def kernel(mf, fmax=5e-4, max_steps=50, step_max=0.2, two_electron="pw",
         # frozen image/Ewald lists degrade once the cumulative displacement
         # from the traced reference grows beyond ~a bohr: re-anchor the
         # gradient fn at the current geometry (one retrace)
-        drift = float(np.abs(x - x_anchor).max())
-        if pw_grad is not None and drift > 1.0:
-            pw_grad = scf_grad.make_grad_fn(cur_mf.cell, mf.kpts,
-                                            two_electron="pw",
-                                            exxdiv=mf_exxdiv)
-            x_anchor = x.copy()
+        drift = ff.maybe_reanchor(cur_mf.cell, x.reshape(-1, 3))
+        if drift is not None:
             log.info("relax: re-anchored gradient fn (displacement %.2f "
                      "bohr)", drift)
 
