@@ -11,6 +11,10 @@ dynamics runs on exactly the discretized Born-Oppenheimer surface the SCF
 evaluates, and NVE trajectories conserve the total energy to the Verlet
 O(dt^2) floor (gated in ``tests/test_md.py``).
 
+:func:`npt_kernel` adds constant-pressure dynamics: an isotropic Berendsen
+barostat driven by the ANALYTIC stress tensor (forces and stress from one
+reverse sweep through the anchored cell Lagrangian of ``scf.stress``).
+
 The reference (`/root/reference/fftisdf.py` and friends) is single-point
 only — no forces, hence no dynamics; this module is a downstream consumer
 of the force capability, in the same relationship to the reference as
@@ -32,12 +36,13 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from fftisdf_tpu.basis.data import ATOMIC_MASS, element_symbol
-from fftisdf_tpu.scf.optimize import BOForceField
+from fftisdf_tpu.scf.optimize import BOForceField, _clone_mf
 from fftisdf_tpu.utils.logging import Logger
 
 KB_HARTREE = 3.166811563e-6        # Boltzmann constant (Ha/K)
 AU_TIME_FS = 2.4188843265857e-2    # one atomic time unit in fs
 AMU_TO_ME = 1822.888486209         # electron masses per amu
+GPA_PER_AU = 29421.02648438959     # 1 Ha/bohr^3 in GPa
 
 
 @dataclass
@@ -222,3 +227,213 @@ def kernel(mf, dt_fs=0.5, nsteps=20, temperature=None, thermostat=None,
 
     return MDResult(positions=x, velocities=v, mf=cur_mf, trajectory=traj,
                     nsteps=nsteps)
+
+
+@dataclass
+class NPTResult:
+    positions: np.ndarray          # (natm, 3) bohr, final geometry
+    velocities: np.ndarray         # (natm, 3) bohr / a.u. time
+    cell: object                   # final built Cell (lattice followed P)
+    mf: object                     # converged SCF at the final geometry
+    # per step: dict(t_fs, positions, a, volume, e_pot, e_kin, enthalpy,
+    #                temp_k, pressure_au, pressure_gpa)
+    trajectory: list = field(default_factory=list)
+    nsteps: int = 0
+
+    @property
+    def volumes(self):
+        return np.array([rec["volume"] for rec in self.trajectory])
+
+    @property
+    def pressures_gpa(self):
+        return np.array([rec["pressure_gpa"] for rec in self.trajectory])
+
+
+def npt_kernel(mf, dt_fs=0.5, nsteps=20, temperature=None, pressure_gpa=0.0,
+               thermostat=None, friction_fs=100.0, tau_fs=100.0,
+               taup_fs=500.0, compressibility_au=1.0, velocities0=None,
+               seed=0, anchor_strain=0.04, callback=None, log_every=1):
+    """Constant-pressure (NPT / NPH) Born-Oppenheimer MD with an isotropic
+    Berendsen barostat on the ANALYTIC stress tensor.
+
+    Each step converges the SCF at the current (lattice, geometry) and takes
+    forces AND stress from ONE reverse sweep through the anchored cell
+    Lagrangian (``scf.stress.make_cell_grad_fn`` — the same traced fn serves
+    every step; it is re-anchored, frozen image/Ewald lists refreshed, once
+    the accumulated strain exceeds ``anchor_strain``).  The instantaneous
+    pressure combines the potential (Born-Oppenheimer) stress with the
+    ideal-gas kinetic term,
+
+        P = 2*E_kin/(3V) - tr(sigma)/3 ,
+
+    and the cell and positions are rescaled each step by the weak-coupling
+    (Berendsen) factor ``mu = (1 - beta*dt/tau_p*(P0 - P))^(1/3)``.  Only
+    the PRODUCT ``compressibility_au/taup_fs`` matters physically; the
+    defaults give gentle first-order volume relaxation for stiff solids.
+    Berendsen NPT relaxes the volume correctly but suppresses its canonical
+    fluctuations (fine for equilibration; the NVE/NVT integrators in
+    :func:`kernel` are the production-sampling companions).
+
+    ``thermostat``: None (NPH — no velocity coupling), ``'langevin'``
+    (BAOAB) or ``'csvr'`` as in :func:`kernel`; both need ``temperature``.
+    k-points deform WITH the cell (fixed fractional k) and the FFT mesh is
+    fixed, exactly as in :func:`scf.optimize.relax_cell` — the surface
+    being integrated is the discretized one the SCF evaluates.  Forces have
+    the COM acceleration projected out; the barostat rescales positions
+    about the cell origin (fractional coordinates untouched).  The
+    two-electron path is the exact plane-wave Lagrangian (the traced-stress
+    backend); ISDF per-step rebuilds are the relaxation driver's job.
+
+    Returns an :class:`NPTResult`; ``trajectory`` records the enthalpy
+    ``E_pot + E_kin + P0*V`` (the quantity a true NPT flow preserves on
+    average).
+    """
+    from fftisdf_tpu.scf import stress as scf_stress
+
+    log = Logger(getattr(mf, "verbose", 3))
+    if thermostat not in (None, "nph", "langevin", "csvr"):
+        raise ValueError(f"unknown thermostat {thermostat!r}")
+    if thermostat == "nph":
+        thermostat = None
+    if thermostat is not None and temperature is None:
+        raise ValueError(f"thermostat {thermostat!r} requires a temperature")
+    if getattr(mf, "trunc", None) is not None:
+        raise NotImplementedError(
+            "NPT with a truncated Coulomb kernel (the stress traces the "
+            "bare-kernel functional)")
+
+    cell0 = mf.cell
+    assert cell0._built
+    syms = cell0.atom_symbols()
+    m = atom_masses(cell0)
+    natm = len(m)
+    ndof = max(3 * natm - 3, 1)
+    dt = dt_fs / AU_TIME_FS
+    p0 = pressure_gpa / GPA_PER_AU
+    rng = np.random.default_rng(seed)
+    kscaled0 = cell0.get_scaled_kpts(np.asarray(mf.kpts))
+    mf_exxdiv = getattr(mf, "exxdiv", None)
+    mf_xc = getattr(mf, "xc", None)
+    mf_hub = getattr(mf, "hubbard", None)
+
+    # anchored cell Lagrangian state (folded on re-anchor)
+    a0 = np.asarray(cell0.a, dtype=np.float64)
+    frac0 = np.asarray(cell0.atom_coords()) @ np.linalg.inv(a0)
+    grad_fn = scf_stress.make_cell_grad_fn(cell0, mf.kpts, dtype=mf.dtype,
+                                           exxdiv=mf_exxdiv, xc=mf_xc,
+                                           hubbard=mf_hub)
+
+    def evaluate(A, x, dm0):
+        """Converge the SCF at lattice A / Cartesian positions x; return
+        (mf, cell, e_pot, forces (COM-projected), sigma (3,3), volume)."""
+        eps = np.linalg.solve(a0, A) - np.eye(3)
+        dfrac = x @ np.linalg.inv(A) - frac0
+        new_cell = cell0.copy(
+            a=A, atom=[(s, np.asarray(p)) for s, p in zip(syms, x)]).build()
+        new_mf = _clone_mf(mf, new_cell,
+                           kpts=kscaled0 @ new_cell.reciprocal_vectors())
+        new_mf.kernel(dm0=dm0)
+        if not new_mf.converged:
+            raise RuntimeError("SCF failed to converge during NPT MD; "
+                               "loosen conv_tol or shorten dt")
+        e, geps, gfrac = grad_fn(new_mf, eps, dfrac)
+        vol = float(abs(np.linalg.det(A)))
+        sigma = 0.5 * (np.asarray(geps) + np.asarray(geps).T) / vol
+        f = -np.asarray(gfrac, dtype=np.float64) @ np.linalg.inv(A).T
+        return (new_mf, new_cell, float(e), _project_net_force(f, m),
+                sigma, vol)
+
+    A = a0.copy()
+    x = np.asarray(cell0.atom_coords(), dtype=np.float64)
+    if velocities0 is not None:
+        v = np.asarray(velocities0, dtype=np.float64).copy()
+    elif temperature is not None:
+        v = maxwell_boltzmann(m, temperature, rng)
+    else:
+        v = np.zeros_like(x)
+
+    cur_mf, cur_cell, e_pot, f, sigma, vol = evaluate(
+        A, x, getattr(mf, "dm", None) if getattr(mf, "converged", False)
+        else None)
+
+    def ekin(v):
+        return 0.5 * float((m[:, None] * v * v).sum())
+
+    def pressure(v, sigma, vol):
+        return 2.0 * ekin(v) / (3.0 * vol) - float(np.trace(sigma)) / 3.0
+
+    traj = []
+
+    def record(step, e_pot, v, sigma, vol):
+        ek = ekin(v)
+        p_inst = pressure(v, sigma, vol)
+        rec = dict(t_fs=step * dt_fs, positions=x.copy(), a=A.copy(),
+                   volume=vol, e_pot=e_pot, e_kin=ek,
+                   enthalpy=e_pot + ek + p0 * vol,
+                   temp_k=2.0 * ek / (ndof * KB_HARTREE),
+                   pressure_au=p_inst, pressure_gpa=p_inst * GPA_PER_AU)
+        traj.append(rec)
+        if step % log_every == 0:
+            log.info("npt step %4d  t=%7.2f fs  E_pot=%.10f  H=%.10f  "
+                     "T=%7.1f K  P=%8.3f GPa  V=%.3f",
+                     step, rec["t_fs"], e_pot, rec["enthalpy"],
+                     rec["temp_k"], rec["pressure_gpa"], vol)
+        if callback is not None:
+            callback(step, x, v, A, e_pot, sigma)
+        return p_inst
+
+    p_inst = record(0, e_pot, v, sigma, vol)
+
+    if thermostat == "langevin":
+        gamma = 1.0 / (friction_fs / AU_TIME_FS)
+        c1 = np.exp(-gamma * dt)
+        c2 = np.sqrt((1.0 - c1 * c1) * KB_HARTREE * temperature / m)[:, None]
+    e_kin_target = (0.5 * ndof * KB_HARTREE * temperature
+                    if temperature is not None else None)
+    kappa = compressibility_au * (dt_fs / taup_fs)
+
+    for step in range(1, nsteps + 1):
+        # barostat first (uses last step's P): isotropic weak coupling —
+        # scale the lattice and positions, leave velocities/fractions alone
+        mu = np.clip(1.0 - kappa * (p0 - p_inst), 0.5, 1.5) ** (1.0 / 3.0)
+        A = mu * A
+        x = mu * x
+
+        if thermostat == "langevin":
+            v = v + 0.5 * dt * f / m[:, None]
+            x = x + 0.5 * dt * v
+            v = c1 * v + c2 * rng.standard_normal((natm, 3))
+            x = x + 0.5 * dt * v
+            cur_mf, cur_cell, e_pot, f, sigma, vol = evaluate(
+                A, x, getattr(cur_mf, "dm", None))
+            v = v + 0.5 * dt * f / m[:, None]
+        else:
+            vh = v + 0.5 * dt * f / m[:, None]
+            x = x + dt * vh
+            cur_mf, cur_cell, e_pot, f, sigma, vol = evaluate(
+                A, x, getattr(cur_mf, "dm", None))
+            v = vh + 0.5 * dt * f / m[:, None]
+            if thermostat == "csvr":
+                alpha = _csvr_factor(ekin(v), e_kin_target, ndof,
+                                     np.exp(-dt_fs / tau_fs), rng)
+                if alpha is None:
+                    v = maxwell_boltzmann(m, temperature, rng)
+                else:
+                    v = alpha * v
+
+        p_inst = record(step, e_pot, v, sigma, vol)
+
+        eps_now = np.linalg.solve(a0, A) - np.eye(3)
+        dfrac_now = x @ np.linalg.inv(A) - frac0
+        if (np.abs(eps_now).max() > anchor_strain
+                or np.abs(dfrac_now).max() > 0.25):
+            a0 = A.copy()
+            frac0 = x @ np.linalg.inv(A)
+            grad_fn = scf_stress.make_cell_grad_fn(
+                cur_cell, kscaled0 @ cur_cell.reciprocal_vectors(),
+                dtype=mf.dtype, exxdiv=mf_exxdiv, xc=mf_xc, hubbard=mf_hub)
+            log.info("npt: re-anchored cell Lagrangian (strain %.3f)",
+                     float(np.abs(eps_now).max()))
+
+    return NPTResult(positions=x, velocities=v, cell=cur_cell, mf=cur_mf,
+                     trajectory=traj, nsteps=nsteps)

@@ -108,3 +108,55 @@ def test_thermostat_validation():
         scf_md.kernel(_mf(cell), thermostat="nose")
     with pytest.raises(ValueError):
         scf_md.kernel(_mf(cell), thermostat="csvr")  # no temperature
+    with pytest.raises(ValueError):
+        scf_md.npt_kernel(_mf(cell), thermostat="csvr")  # no temperature
+
+
+def lih_cell(a_lat, mesh=18):
+    a = 0.5 * a_lat * (np.ones((3, 3)) - np.eye(3))
+    li = [Shell(l=0, exps=np.array([16.0, 2.2]),
+                coeffs=np.array([[0.8], [0.3]])),
+          Shell(l=0, exps=np.array([0.6, 0.15]),
+                coeffs=np.array([[0.5], [0.6]]))]
+    h = [Shell(l=0, exps=np.array([1.3, 0.25]),
+               coeffs=np.array([[0.5], [0.6]]))]
+    frac = np.array([[0.0, 0.0, 0.0], [0.5, 0.5, 0.5]])
+    return Cell(a=a, atom=[("Li", frac[0] @ a), ("H", frac[1] @ a)],
+                basis={"Li": li, "H": h}, pseudo=None,
+                mesh=np.array([mesh] * 3), unit="bohr",
+                precision=1e-12).build()
+
+
+def test_npt_barostat_relaxes_compression():
+    """NPH (no thermostat) from rest on a compressed LiH cell at P0=0 with
+    a strong coupling: the barostat must expand the cell monotonically and
+    reduce the internal pressure; the scaling stays isotropic (A remains
+    proportional to the start lattice) and the inversion-symmetric atoms
+    stay at their fractional positions."""
+    cell = lih_cell(6.5)  # compressed vs the ~6.9 bohr equilibrium
+    mf = KRHF(cell, cell.get_kpts([1, 1, 1]), verbose=0, conv_tol=1e-10)
+    res = scf_md.npt_kernel(mf, dt_fs=1.0, nsteps=3, pressure_gpa=0.0,
+                            taup_fs=5.0, compressibility_au=1.0)
+
+    vols = res.volumes
+    assert len(vols) == 4
+    p = np.array([rec["pressure_au"] for rec in res.trajectory])
+    assert p[0] > 0.0, "compressed start must be under positive pressure"
+    assert np.all(np.diff(vols) > 0.0), f"volumes not increasing: {vols}"
+    assert p[-1] < p[0], f"pressure did not relax: {p}"
+
+    # isotropic: final lattice is a scalar multiple of the start lattice
+    a_fin = np.asarray(res.cell.a)
+    s = (vols[-1] / vols[0]) ** (1.0 / 3.0)
+    np.testing.assert_allclose(a_fin, s * np.asarray(cell.a), rtol=1e-10)
+    assert s > 1.0
+
+    # fractional coordinates preserved (symmetric forces, barostat scales
+    # positions with the cell)
+    frac_fin = res.positions @ np.linalg.inv(a_fin)
+    frac_0 = np.asarray(cell.atom_coords()) @ np.linalg.inv(
+        np.asarray(cell.a))
+    np.testing.assert_allclose(frac_fin, frac_0, atol=1e-6)
+    assert res.mf.converged
+    # enthalpy recorded and finite
+    assert np.all(np.isfinite([rec["enthalpy"] for rec in res.trajectory]))
