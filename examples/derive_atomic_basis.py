@@ -56,7 +56,15 @@ def main():
     p.add_argument("--check", action="store_true",
                    help="re-run the atom with the derived CONTRACTED basis "
                         "and report the variational gap vs uncontracted")
+    p.add_argument("--radial", action="store_true",
+                   help="derive columns from the 1D radial pseudo-atom "
+                        "(basis/atom.py) instead of the 3D-box KUHF: "
+                        "spherically exact, f64, no box artifacts; split "
+                        "columns come from the lowest channel virtual")
     args = p.parse_args()
+
+    if args.radial:
+        return derive_radial(args)
 
     import jax
     if not args.tpu:
@@ -136,6 +144,99 @@ def main():
         e_con = mf2.kernel()
         print(f"contracted ({cell2.nao_nr()} AOs) KUHF E = {e_con:.6f} Ha "
               f"(conv={mf2.converged}); variational gap = "
+              f"{(e_con - e_unc) * 1000:.3f} mHa")
+
+
+def derive_radial(args):
+    """Columns from the 1D radial pseudo-atom: occupied valence states give
+    the leading contractions, the lowest channel virtual the split column.
+    Spherically exact and f64 (no 3D box / f32 artifacts), so preferred
+    over the box route where the shell count allows it."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from fftisdf_tpu.basis.atom import (RadialGrid, fit_radial_gaussians,
+                                        pseudo_occupations, solve_atom)
+    from fftisdf_tpu.basis.data import load_pseudo
+
+    elem = args.elem
+    exps = np.asarray(EXPONENTS[elem])
+    ps = load_pseudo("gth-pade", elem)
+    occ = pseudo_occupations(elem, ps)
+    for l, ncol in SHELLS[elem]:
+        occ.setdefault(l, [])
+        occ[l] += [0.0] * max(ncol - len(occ[l]), 0)   # channel virtuals
+    res = solve_atom(elem, pseudo=ps, occ=occ,
+                     grid=RadialGrid(rmax=40.0, n=1600))
+    print(f"{elem} radial pseudo-atom: conv={res.converged} "
+          f"E={res.e_tot:.6f} Ha")
+    from fftisdf_tpu.basis.gto import gaussian_int, gto_norm
+    tables = {}
+    for l, ncol in SHELLS[elem]:
+        norms = gto_norm(l, exps)
+        gram = (norms[:, None] * norms[None, :]
+                * gaussian_int(2 * l + 2, exps[:, None] + exps[None, :]))
+        cols, resid = [], []
+        for i in range(ncol):
+            c, r = fit_radial_gaussians(res.u[l][i], l, exps, res.grid)
+            if r > 0.3:
+                # unbound channel virtual (box/continuum state, not
+                # Gaussian-representable): classic split-valence fallback —
+                # the most diffuse primitive, Gram-orthogonalized against
+                # the columns already taken
+                c = np.zeros(len(exps))
+                c[-1] = 1.0
+                for prev in cols:
+                    c -= prev * (prev @ gram @ c) / (prev @ gram @ prev)
+                r = float("nan")
+            cols.append(c)
+            resid.append(r)
+        cols = np.stack(cols, axis=1)
+        cols = cols * np.where(cols[np.argmax(np.abs(cols), axis=0),
+                                    np.arange(ncol)] < 0, -1.0, 1.0)
+        tables[l] = cols
+        print(f"l={l} derived columns (rows = exponents; "
+              f"fit residuals {['%.1e' % r for r in resid]}):")
+        for i, e in enumerate(exps):
+            print("   %16.9f " % e + " ".join("%15.9f" % v
+                                              for v in cols[i]))
+
+    if args.register or args.check:
+        from fftisdf_tpu.basis import data as bdata
+        new_shells = [(l, [(float(exps[i]),
+                            *[float(v) for v in tables[l][i]])
+                           for i in range(len(exps))])
+                      for l, _ in SHELLS[elem]]
+        bdata.register_basis("gth-dzvp-molopt-sr", elem, new_shells)
+        print(f"registered radial-derived {elem} columns under "
+              "gth-dzvp-molopt-sr")
+
+    if args.check:
+        jax.config.update("jax_enable_x64", True)
+        import jax.numpy as jnp
+        from fftisdf_tpu.lattice.cell import Cell, Shell
+        from fftisdf_tpu.scf import KUHF
+
+        lmax = max(l for l, _ in SHELLS[elem])
+        shells = [Shell(l=l, exps=np.array([e]), coeffs=np.array([[1.0]]))
+                  for l in range(lmax + 1) for e in exps]
+        c = args.box / 2.0
+        ke = args.ke or (60.0 if elem == "H" else 240.0)
+        cell = Cell(a=np.diag([args.box] * 3), atom=[(elem, (c, c, c))],
+                    basis={elem: shells}, pseudo="gth-pade", ke_cutoff=ke,
+                    spin=SPIN[elem], unit="bohr").build()
+        kpts = cell.get_kpts([1, 1, 1])
+        mf = KUHF(cell, kpts, verbose=0, conv_tol=1e-7, max_cycle=120,
+                  smearing=2e-3, dtype=jnp.float64)
+        e_unc = mf.kernel()
+        cell2 = cell.copy(basis="gth-dzvp-molopt-sr").build()
+        mf2 = KUHF(cell2, kpts, verbose=0, conv_tol=1e-7, max_cycle=120,
+                   smearing=2e-3, dtype=jnp.float64)
+        e_con = mf2.kernel()
+        print(f"box KUHF: uncontracted ({cell.nao_nr()} AOs) "
+              f"E = {e_unc:.6f}, contracted ({cell2.nao_nr()} AOs) "
+              f"E = {e_con:.6f}; variational gap = "
               f"{(e_con - e_unc) * 1000:.3f} mHa")
 
 

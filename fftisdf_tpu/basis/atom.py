@@ -50,6 +50,7 @@ from fftisdf_tpu.basis.data import (ATOMIC_NUMBER, GTHPseudo, element_symbol,
 __all__ = [
     "RadialGrid", "AtomResult", "solve_atom", "ae_occupations",
     "pseudo_occupations", "teter_pade_exc", "compare_pseudo",
+    "fit_radial_gaussians",
 ]
 
 # Teter 93 Pade fit of LDA exchange-correlation (the LDA the GTH/HGH tables
@@ -344,6 +345,35 @@ def solve_atom(symbol: str, pseudo: GTHPseudo | str | None = None,
 
     return AtomResult(grid=grid, eps=eps_d, u=u_d, occ=occ, e_tot=e_tot,
                       rho=rho, converged=conv, history=hist)
+
+
+def fit_radial_gaussians(u: np.ndarray, l: int, exps, grid: RadialGrid):
+    """Least-squares expansion of a radial state in Gaussian primitives.
+
+    Fits R(r) = u(r)/r in the unit-normalized primitive set
+    g_i(r) = N_i r^l exp(-a_i r^2) by minimizing int r^2 (R - sum c_i g_i)^2
+    dr: the Gram matrix is analytic (gaussian_int), the cross term a grid
+    quadrature.  Returns (coeffs, residual) with residual the L2 fraction
+    of u outside span{g_i} (0 for an exactly representable state).
+
+    The coefficient convention matches the embedded basis tables
+    (``gto.normalized_coeffs``: columns multiply unit-normalized
+    primitives), so the result can be registered directly — the radial
+    route of examples/derive_atomic_basis.py.
+    """
+    from fftisdf_tpu.basis.gto import gaussian_int, gto_norm
+
+    exps = np.asarray(exps, dtype=np.float64)
+    norms = gto_norm(l, exps)
+    gram = (norms[:, None] * norms[None, :]
+            * gaussian_int(2 * l + 2, exps[:, None] + exps[None, :]))
+    g = norms[:, None] * grid.r[None, :] ** l * np.exp(
+        -exps[:, None] * grid.r[None, :] ** 2)
+    b = np.array([grid.integrate(grid.r * gi * u) for gi in g])
+    c = np.linalg.solve(gram, b)
+    nrm2 = grid.integrate(u * u)
+    res2 = max(nrm2 - float(b @ c), 0.0) / nrm2
+    return c, np.sqrt(res2)
 
 
 def compare_pseudo(symbol: str, pseudo: GTHPseudo | str | None = None,

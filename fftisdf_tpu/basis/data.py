@@ -441,6 +441,32 @@ def _h(*rows):
     return m
 
 
+# HGH-1998 (PRB 58, 3641, eqs. 20-22) off-diagonal projector relations:
+# the GTH-PADE tables descend from the diagonal GTH-1996 form, whose
+# HGH-form off-diagonals are FIXED multiples of the diagonals.  A genuine
+# transcription therefore satisfies h12 = kappa_l * h22 to the table's
+# print precision — an algebraic integrity check that needs no external
+# data (it caught the in-repo Si h22 digit error; see tests/test_atom.py).
+_HGH_H12_RATIO = {0: -0.5 * np.sqrt(3.0 / 5.0),
+                  1: -0.5 * np.sqrt(5.0 / 7.0),
+                  2: -0.5 * np.sqrt(7.0 / 9.0)}
+
+
+def hgh_offdiag_deviation(ps: GTHPseudo) -> float:
+    """Max relative deviation of 2-projector channels from the HGH-1998
+    h12/h22 relation (0.0 when no channel has >=2 projectors).  Genuine
+    GTH-PADE entries land at ~1e-4 (rounding of the published digits);
+    a corrupted h element lands orders of magnitude higher."""
+    dev = 0.0
+    for l, _, h in ps.projectors:
+        h = np.asarray(h)
+        if h.shape[0] >= 2 and l in _HGH_H12_RATIO:
+            want = _HGH_H12_RATIO[l] * h[1, 1]
+            scale = max(abs(h[1, 1]), abs(h[0, 1]), 1e-30)
+            dev = max(dev, abs(h[0, 1] - want) / scale)
+    return dev
+
+
 _PSEUDO_PADE = {
     "H": GTHPseudo(1, 0.20000000, np.array([-4.18023680, 0.72507482])),
     "He": GTHPseudo(2, 0.20000000, np.array([-9.11202340, 1.69836797])),
@@ -450,9 +476,15 @@ _PSEUDO_PADE = {
                    [(0, 0.25660487, _h([13.55224272]))]),
     "O": GTHPseudo(6, 0.24762086, np.array([-16.58031797, 2.39570092]),
                    [(0, 0.22178614, _h([18.26691718]))]),
+    # Si h22: the original transcription carried 2.93454196, which violates
+    # the HGH-1998 off-diagonal relation h12 = -1/2 sqrt(3/5) h22 by 4.3e-2
+    # and misses the AE valence 3s by 21 mHa in the radial pseudo-atom
+    # (tests/test_atom.py); 3.25819622 (the GTH-96 value h12/kappa_0
+    # implies exactly) satisfies the relation to 4e-11 and restores ~1e-3
+    # agreement — the corrected digit is derived, not externally diffed.
     "Si": GTHPseudo(4, 0.44000000, np.array([-7.33610297]),
                     [(0, 0.42273813, _h([5.90692831, -1.26189397],
-                                        [2.93454196])),
+                                        [3.25819622])),
                      (1, 0.48427842, _h([2.65558236]))]),
     # Ni q18 semicore (3s 3p 3d 4s valence), HGH-1998 LDA parameterization
     # (PRB 58, 3641, Table I) as carried in the GTH-PADE tables.  Transcribed

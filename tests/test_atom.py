@@ -22,9 +22,11 @@ import numpy as np
 import pytest
 
 from fftisdf_tpu.basis.atom import (RadialGrid, ae_occupations,
-                                    compare_pseudo, pseudo_occupations,
-                                    solve_atom, teter_pade_exc)
-from fftisdf_tpu.basis.data import GTHPseudo, load_pseudo, _h
+                                    compare_pseudo, fit_radial_gaussians,
+                                    pseudo_occupations, solve_atom,
+                                    teter_pade_exc)
+from fftisdf_tpu.basis.data import (GTHPseudo, _PSEUDO_PADE,
+                                    hgh_offdiag_deviation, load_pseudo, _h)
 
 GRID = RadialGrid(rmax=30.0, n=700)
 
@@ -99,6 +101,40 @@ def test_pseudo_provenance_discriminator():
     out_bad = compare_pseudo("H", pseudo=bad, grid=GRID)
     assert out_bad["maxerr"] > 5e-3
     assert out_bad["maxerr"] > 10 * out["maxerr"]
+
+
+def test_hgh_offdiag_relations():
+    # every embedded GTH-PADE entry satisfies the HGH-1998 h12/h22
+    # relation: exactly for light elements / GTH-96 descendants, to the
+    # published print precision (~1e-3) for the Ni q18 semicore entry.
+    # This check caught the original Si h22 transcription error (dev
+    # 4.3e-2, eigenvalue error 21 mHa vs the genuine table's <2 mHa).
+    for sym, ps in _PSEUDO_PADE.items():
+        assert hgh_offdiag_deviation(ps) < 1e-3, sym
+    bad = GTHPseudo(4, 0.44, np.array([-7.33610297]),
+                    [(0, 0.42273813, _h([5.90692831, -1.26189397],
+                                        [2.93454196]))])  # the old Si h22
+    assert hgh_offdiag_deviation(bad) > 1e-2
+
+
+def test_fit_radial_gaussians_roundtrip():
+    # a state that IS a normalized primitive comes back exactly
+    from fftisdf_tpu.basis.gto import gto_norm
+    g = RadialGrid(rmax=30.0, n=900)
+    exps = np.array([2.5, 0.8, 0.2])
+    target = 1  # the 0.8 primitive, l=1
+    u = gto_norm(1, exps[target]) * g.r ** 2 * np.exp(-exps[target] * g.r ** 2)
+    c, resid = fit_radial_gaussians(u, 1, exps, g)
+    want = np.zeros(3)
+    want[target] = 1.0
+    assert np.allclose(c, want, atol=1e-8)
+    assert resid < 1e-7
+    # hydrogen 1s in a 3-Gaussian set: the classic STO-3G-quality fit,
+    # a few-percent residual, all-positive coefficients
+    r = solve_atom("H", xc=None, coulomb=False, grid=g)
+    c, resid = fit_radial_gaussians(r.u[0][0], 0, np.array(
+        [3.42525091, 0.62391373, 0.16885540]), g)
+    assert (c > 0).all() and resid < 0.06
 
 
 def test_pseudo_projector_path_carbon():
