@@ -142,6 +142,9 @@ class AtomResult:
     rho: np.ndarray                # radial density sum occ u^2 (= 4 pi r^2 n)
     converged: bool
     history: list = field(default_factory=list)
+    v_eff: np.ndarray | None = None   # converged screening potential
+                                      # v_H + v_xc (pass as solve_atom
+                                      # v_init to warm-start fitting loops)
 
 
 # spherically-averaged ground-state configurations {l: [occ, lowest first]}
@@ -203,13 +206,16 @@ def pseudo_occupations(symbol: str, ps: GTHPseudo) -> dict:
 def solve_atom(symbol: str, pseudo: GTHPseudo | str | None = None,
                occ: dict | None = None, grid: RadialGrid | None = None,
                xc="teter-pade", mix=0.35, tol=1e-9, max_cycle=300,
-               coulomb=True):
+               coulomb=True, v_init: np.ndarray | None = None):
     """Spin-restricted radial LDA atom; all-electron if ``pseudo`` is None.
 
     ``occ``: {l: [occupations, lowest state first]}; defaults to the stored
     ground-state configuration (AE) or the zion-stripped valence (pseudo).
     ``xc``: 'teter-pade' or None; ``coulomb=False`` additionally drops the
     Hartree term (bare external potential — the exact hydrogenic gates).
+    ``v_init``: optional screening potential v_H + v_xc from a previous
+    solve (``AtomResult.v_eff - v_ext`` of a nearby problem) — warm-starts
+    the SCF, the fitting loop's main cost lever (basis/fit.py).
     Returns :class:`AtomResult`.
     """
     sym = element_symbol(symbol)
@@ -303,7 +309,7 @@ def solve_atom(symbol: str, pseudo: GTHPseudo | str | None = None,
         return (e_band - 0.5 * grid.integrate(v_h * rho)
                 + grid.integrate((exc - vxc) * rho))
 
-    v_eff = v_ext
+    v_eff = v_ext if v_init is None else v_ext + v_init
     rho = None
     e_prev, conv, hist = np.inf, False, []
     prev_in, prev_res = None, None
@@ -344,7 +350,8 @@ def solve_atom(symbol: str, pseudo: GTHPseudo | str | None = None,
     e_tot = energy(eps_d, rho, v_h, exc, vxc)
 
     return AtomResult(grid=grid, eps=eps_d, u=u_d, occ=occ, e_tot=e_tot,
-                      rho=rho, converged=conv, history=hist)
+                      rho=rho, converged=conv, history=hist,
+                      v_eff=v_h + vxc if coulomb or xc else None)
 
 
 def fit_radial_gaussians(u: np.ndarray, l: int, exps, grid: RadialGrid):

@@ -137,6 +137,40 @@ def test_fit_radial_gaussians_roundtrip():
     assert (c > 0).all() and resid < 0.06
 
 
+def test_fit_gth_recovers_genuine_carbon():
+    # the GTH-96 refit procedure (basis/fit.py), gated by recovery: start
+    # from a corrupted C table (first-digit cloc + h11 errors, maxerr
+    # 2.4e-2) and refit against the in-repo AE atom — the fit must land
+    # back in the genuine-table band (<5e-4; measured 1.4e-5) with the
+    # parameters at the published values.  This is the evidence standard
+    # behind the in-repo-refit Ni q18 entry in basis/data.py.
+    from fftisdf_tpu.basis.fit import fit_gth
+    good = load_pseudo("gth-pade", "C")
+    bad = GTHPseudo(good.zion, good.rloc, good.cloc + np.array([0.8, -0.3]),
+                    [(0, good.projectors[0][1], _h([9.52284179 + 1.5]))])
+    fitted, info = fit_gth("C", bad, grid=GRID)
+    assert info["converged"]
+    assert info["maxerr"] < 5e-4
+    assert info["max_qerr"] < 1e-4
+    assert np.allclose(fitted.cloc, good.cloc, atol=5e-2)
+    assert abs(fitted.projectors[0][2][0, 0]
+               - good.projectors[0][2][0, 0]) < 5e-2
+
+
+def test_ni_refit_entry_passes_discriminator():
+    # the embedded Ni q18 entry is an in-repo refit (basis/data.py
+    # provenance notes; the transcription it replaced failed this same
+    # gate by 4.75 Ha).  It must land in the genuine-table band on the
+    # discriminator that certified it, and satisfy the HGH off-diagonal
+    # relations exactly (they were enforced by the fit parameterization).
+    ni = load_pseudo("gth-pade", "Ni")
+    assert hgh_offdiag_deviation(ni) < 1e-9
+    out = compare_pseudo("Ni", grid=GRID)
+    assert out["converged"]
+    assert out["maxerr"] < 1e-3
+    assert set(out["pp"]) == {(0, 0), (1, 0), (0, 1), (0, 2)}
+
+
 def test_pseudo_projector_path_carbon():
     # C gth-pade exercises the separable nonlocal (dense) path: genuine
     # table 3.5e-4, a 5% h11 corruption 1.1e-2 (30x separation) — the
