@@ -2,9 +2,12 @@
 (BASELINE.md): the reference's target system (``nio-afm.vasp``,
 ``fftisdf.py:412-473`` driver with KRHF; AFM needs KUHF).
 
-Note: the embedded Ni gth data is approximate (fftisdf_tpu/basis/data.py);
-the ISDF-vs-exact comparison is exact regardless, absolute energies are not
-comparable to external codes until verified tables are dropped in.
+Note: the embedded Ni q18 GTH pseudo is an in-repo refit by the GTH-96
+procedure and the Ni basis columns are pseudo-atom-derived surrogates
+(provenance notes in fftisdf_tpu/basis/data.py); the ISDF-vs-exact
+comparison is exact regardless, absolute energies are not comparable to
+external codes until verified CP2K tables are dropped in
+(FFTISDF_TPU_CP2K_BASIS / FFTISDF_TPU_CP2K_POTENTIALS).
 
 Usage: python examples/nio_afm_kuhf.py [--ke 50] [--kmesh 1 1 2] [--c0 20]
 """
