@@ -553,11 +553,11 @@ def tda(mf, df=None, q=0, nroots=5, singlet=True, tol=1e-6,
         dense = op.size <= 800
     if dense:
         a = op.dense()
-        w = np.linalg.eigvals(a)
-        w = np.sort(w.real + 0.0)
         herm = float(np.abs(a - a.conj().T).max())
-        return w[:nroots] if nroots else w, {
-            "op": op, "nonhermiticity": herm, "dense": True}
+        w, x = np.linalg.eigh(0.5 * (a + a.conj().T))
+        sel = slice(None, nroots) if nroots else slice(None)
+        return w[sel], {"op": op, "nonhermiticity": herm, "dense": True,
+                        "x": x[:, sel]}
     w, x, conv = davidson(op.matvec, op.delta.ravel(), op.size,
                           nroots=nroots, tol=tol, max_cycle=max_cycle)
     return w, {"op": op, "converged": conv, "x": x, "dense": False}
@@ -607,6 +607,63 @@ def davidson(matvec, diag, n, nroots=4, tol=1e-6, max_space=60,
             break
         v = np.concatenate([v] + [c[:, None] for c in new], axis=1)
     return theta, xr, conv
+
+
+# ----------------------------------------------------------------------
+# spectra: velocity-gauge transition moments (q = 0 optical limit)
+
+def momentum_matrix(mf, nocc=None):
+    """Momentum (velocity-gauge) matrix elements p^d_{k,ia} =
+    <psi_ik| d/dr_d |psi_ak>, shape (3, nk, no, nv) — the PBC-legal
+    transition-dipole surrogate (the position operator is ill-defined
+    under periodic boundary conditions; velocity gauge needs only the
+    band-limited FFT gradient, scf.xc.bloch_ao_grad)."""
+    cell, kpts = mf.cell, np.asarray(mf.kpts)
+    nk = len(kpts)
+    if nocc is None:
+        mo_c, _, no = _mo_setup(mf)
+    else:
+        mo_c, no = np.asarray(mf.mo_coeff), nocc
+    ao = mf._ao
+    adt = ao.dtype
+    rdt = jnp.float64 if adt == jnp.complex128 else jnp.float32
+    fmesh = tuple(int(m) for m in cell.mesh)
+    ng = int(np.prod(fmesh))
+    weight = float(cell.vol) / ng
+    coords = jnp.asarray(cell.gen_uniform_grids(fmesh), dtype=rdt)
+    gv = jnp.asarray(cell.get_Gv(fmesh), dtype=rdt)
+    kpts_d = jnp.asarray(kpts, dtype=rdt)
+    co = to_device(np.asarray(mo_c)[:, :, :no].astype(complex), dtype=adt)
+    cv = to_device(np.asarray(mo_c)[:, :, no:].astype(complex), dtype=adt)
+
+    @jax.jit
+    def kernel(ao, co, cv, kpts_d, coords, gv):
+        dphi = xc_mod.bloch_ao_grad(ao, kpts_d, coords, gv, fmesh)
+        psio = jnp.einsum("kgm,kmi->kgi", ao, co)
+        dpsiv = jnp.einsum("dkgm,kma->dkga", dphi, cv)
+        return weight * jnp.einsum("kgi,dkga->dkia", psio.conj(), dpsiv)
+
+    return kernel(ao, co, cv, kpts_d, coords, gv)
+
+
+def oscillator_strengths(mf, omega, xvecs, restricted=True, nocc=None):
+    """Velocity-gauge oscillator strengths of q=0 TDA roots:
+    f_n = 2 |<0| p |n>|^2 / (3 omega_n), <0|p|n> = sqrt(2) sum X p
+    (the sqrt(2) is the closed-shell spin factor; drop with
+    restricted=False for spin-resolved vectors; supercell-normalized
+    orbitals make the Bloch cell matrix elements the supercell ones with
+    no extra nk factor, so sum_n f_n -> nk * nelec_cell under TRK).
+    xvecs: (size, nroots) normalized TDA eigenvectors in the operator's
+    flat layout."""
+    p = np.asarray(to_host(momentum_matrix(mf, nocc=nocc)))
+    xv = np.asarray(xvecs)
+    out = []
+    spin = 2.0 if restricted else 1.0
+    for n in range(xv.shape[1]):
+        x = xv[:, n].reshape(p.shape[1:])
+        m = np.einsum("dkia,kia->d", p, x) * np.sqrt(spin)
+        out.append(2.0 * float(np.vdot(m, m).real) / (3.0 * omega[n]))
+    return np.asarray(out)
 
 
 # ----------------------------------------------------------------------

@@ -21,7 +21,8 @@ from fftisdf_tpu.basis.eval import eval_ao_kpts
 from fftisdf_tpu.scf import KRHF, KUHF
 from fftisdf_tpu.scf.ks import KRKS, KUKS
 from fftisdf_tpu.scf import xc as xc_mod
-from fftisdf_tpu.scf.tddft import tda, tddft, utda
+from fftisdf_tpu.scf.tddft import (tda, tddft, utda, momentum_matrix,
+                                   oscillator_strengths)
 from fftisdf_tpu.isdf import FFTISDF
 from fftisdf_tpu.pw import get_eri_from_ao
 
@@ -186,6 +187,42 @@ def test_utda_closed_shell_reduction(gamma_setup, xc):
     assert info["nonhermiticity"] < 1e-10
     union = np.sort(np.concatenate([ws, wt]))
     np.testing.assert_allclose(wu, union, atol=1e-8)
+
+
+def test_momentum_matrix_local_potential_identity():
+    """Velocity-gauge matrix elements obey p_ia = (e_a - e_i) r_ia for a
+    local potential (LDA + the projector-free H pseudo) in the 0D box
+    where the position operator is legal — to finite-basis error.  Also
+    smokes oscillator_strengths (positive, dipole-allowed root
+    dominates)."""
+    from fftisdf_tpu.basis.eval import eval_ao_kpts
+
+    cell = h2_cell()
+    kpts = np.zeros((1, 3))
+    df = FFTISDF(cell, kpts, c0=60.0, m0=(11, 11, 13), verbose=0,
+                 trunc="0d", select_tol=1e-18, rcond=1e-12).build()
+    mf = KRKS(cell, kpts, xc="lda", with_df=df, trunc="0d", verbose=0,
+              conv_tol=1e-11)
+    mf.kernel()
+    assert mf.converged
+    p = np.asarray(momentum_matrix(mf))
+    coords = cell.gen_uniform_grids()
+    mo = np.asarray(eval_ao_kpts(cell, coords, kpts))[0] \
+        @ np.asarray(mf.mo_coeff)[0]
+    w = cell.vol / coords.shape[0]
+    e = np.asarray(mf.mo_energy)[0]
+    r0 = coords.mean(axis=0)
+    r_ia = np.stack([w * np.einsum("g,gi,ga->ia", coords[:, d] - r0[d],
+                                   mo[:, :1].conj(), mo[:, 1:])
+                     for d in range(3)])
+    de = e[None, 1:] - e[:1, None]
+    # 2-primitive basis: the commutator identity holds to ~9 %
+    assert np.abs(p[:, 0] - de[None] * r_ia).max() < 0.10 * np.abs(p).max()
+
+    wtda, info = tda(mf, df, q=0, nroots=3, dense=True)
+    f = oscillator_strengths(mf, wtda, info["x"])
+    assert np.all(f >= 0)
+    assert f[0] > 0.1 and f[0] > 100 * f[1]   # sigma->sigma* carries it
 
 
 def test_tddft_casida(gamma_setup):
