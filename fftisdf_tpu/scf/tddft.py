@@ -666,6 +666,72 @@ def oscillator_strengths(mf, omega, xvecs, restricted=True, nocc=None):
     return np.asarray(out)
 
 
+def density_fluctuation(mf, op):
+    """G = 0 Fourier components of the transition pair densities at the
+    operator's momentum transfer: rho_q(k,ia) = integral conj(psi_ik)
+    e^{-i q r} psi_{a,k+q} — the coupling of each excitation to a probe
+    of momentum q (EELS / dielectric matrix head).  As q -> 0 this obeys
+    rho_q -> -i q . p_ia / (e_a - e_i) (gated).  Returns (nk, no, nv)."""
+    cell, kpts = mf.cell, np.asarray(mf.kpts)
+    nk = len(kpts)
+    ao = mf._ao
+    adt = ao.dtype
+    rdt = jnp.float64 if adt == jnp.complex128 else jnp.float32
+    fmesh = tuple(int(m) for m in cell.mesh)
+    ng = int(np.prod(fmesh))
+    weight = float(cell.vol) / ng
+    coords = jnp.asarray(cell.gen_uniform_grids(fmesh), dtype=rdt)
+    qvec = jnp.asarray(kpts[op.q] - kpts[0], dtype=rdt)
+    mo_c, _, no = _mo_setup(mf)
+    co = to_device(mo_c[:, :, :no].astype(complex), dtype=adt)
+    cv = to_device(np.stack([mo_c[int(op.ka_of[k])][:, no:]
+                             for k in range(nk)]).astype(complex),
+                   dtype=adt)
+    ka = jnp.asarray(op.ka_of)
+
+    @jax.jit
+    def kernel(ao, co, cv, coords, qvec, ka):
+        phase = jnp.exp(-1j * (coords @ qvec)).astype(ao.dtype)
+        psio = jnp.einsum("kgm,kmi->kgi", ao, co)
+        psiva = jnp.einsum("kgm,kma->kga", jnp.take(ao, ka, axis=0), cv)
+        return weight * jnp.einsum("kgi,g,kga->kia", psio.conj(), phase,
+                                   psiva)
+
+    return kernel(ao, co, cv, coords, qvec, ka)
+
+
+def dielectric_tda(mf, df, q, omegas, eta=0.005, nroots=0, singlet=True):
+    """Macroscopic dielectric function eps_M(q, omega) and loss function
+    -Im 1/eps_M from the TDA spectral representation at momentum-transfer
+    index q (EELS at the mesh's finite q vectors; q=0 is the optical
+    head and requires |q| != 0, so pass a nonzero sector):
+
+        eps_M = 1 - (4 pi / |q|^2 V_sc) sum_n |m_n|^2
+                    [1/(w - w_n + i eta) - 1/(w + w_n + i eta)],
+        m_n = sqrt(2) sum X^n_kia rho_q(k,ia),  V_sc = nk vol.
+
+    Returns (eps (nw,) complex, detail dict)."""
+    kpts = np.asarray(mf.kpts)
+    qvec = kpts[int(q)] - kpts[0]
+    qn = float(np.linalg.norm(qvec))
+    assert qn > 1e-10, "q = 0 has no density head: use a finite-q sector"
+    w, info = tda(mf, df, q=q, nroots=nroots, singlet=singlet, dense=True)
+    rho = np.asarray(to_host(density_fluctuation(mf, info["op"])))
+    xv = np.asarray(info["x"])
+    # m_n = <0|rho_q|n> = sqrt(2) sum_kia X^n rho_q (momentum-conserving
+    # head: |n> carries +q, the probe removes it)
+    m2 = np.array([abs(np.sqrt(2.0) * np.sum(rho.ravel() * xv[:, n])) ** 2
+                   for n in range(xv.shape[1])])
+    vsc = len(kpts) * float(mf.cell.vol)
+    pref = 4.0 * np.pi / (qn * qn * vsc)
+    omegas = np.asarray(omegas)
+    eps = np.ones(len(omegas), dtype=complex)
+    for wn, mn in zip(w, m2):
+        eps -= pref * mn * (1.0 / (omegas - wn + 1j * eta)
+                            - 1.0 / (omegas + wn + 1j * eta))
+    return eps, {"omega_n": w, "m2": m2, "loss": -np.imag(1.0 / eps)}
+
+
 # ----------------------------------------------------------------------
 # full TDDFT / TDHF (Casida)
 

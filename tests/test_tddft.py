@@ -22,7 +22,9 @@ from fftisdf_tpu.scf import KRHF, KUHF
 from fftisdf_tpu.scf.ks import KRKS, KUKS
 from fftisdf_tpu.scf import xc as xc_mod
 from fftisdf_tpu.scf.tddft import (tda, tddft, utda, momentum_matrix,
-                                   oscillator_strengths)
+                                   oscillator_strengths, TDAOperator,
+                                   density_fluctuation, dielectric_tda)
+from fftisdf_tpu.utils.device import to_host
 from fftisdf_tpu.isdf import FFTISDF
 from fftisdf_tpu.pw import get_eri_from_ao
 
@@ -223,6 +225,39 @@ def test_momentum_matrix_local_potential_identity():
     f = oscillator_strengths(mf, wtda, info["x"])
     assert np.all(f >= 0)
     assert f[0] > 0.1 and f[0] > 100 * f[1]   # sigma->sigma* carries it
+
+
+def test_density_fluctuation_and_dielectric():
+    """EELS machinery at finite q: (a) the density head obeys the
+    small-q dipole limit |rho_q| ~= |q.p|/de; (b) the independent-
+    particle f-sum 2 sum de |rho_q|^2 = |q|^2 N_sc / 2 holds to the
+    basis error of the local-potential identity (~9 %); (c) eps_M(0) > 1
+    and the loss function is non-negative."""
+    cell = h2_cell(nz=1, lz=7.0)
+    kpts = cell.get_kpts([1, 1, 4])
+    df = FFTISDF(cell, kpts, c0=60.0, m0=(11, 11, 13), verbose=0,
+                 select_tol=1e-18, rcond=1e-12).build()
+    mf = KRKS(cell, kpts, xc="lda", with_df=df, verbose=0,
+              conv_tol=1e-10)
+    mf.kernel()
+    assert mf.converged
+    q = 1                                 # smallest mesh q, 2pi/28
+    op = TDAOperator(mf, df, q=q)
+    rho = np.asarray(to_host(density_fluctuation(mf, op)))
+    p = np.asarray(to_host(momentum_matrix(mf)))
+    qvec = kpts[q] - kpts[0]
+    approx = np.einsum("d,dkia->kia", qvec, p) / op.delta
+    sel = np.abs(rho).ravel() > 0.3 * np.abs(rho).max()
+    ratio = (np.abs(rho).ravel() / np.abs(approx).ravel())[sel]
+    assert np.all((ratio > 0.85) & (ratio < 1.15))
+
+    ipsum = 2.0 * float(np.sum(op.delta * np.abs(rho) ** 2))
+    trk = 0.5 * np.linalg.norm(qvec) ** 2 * cell.nelectron * len(kpts)
+    assert 0.85 < ipsum / trk < 1.15
+
+    eps, d = dielectric_tda(mf, df, q=q, omegas=np.linspace(0, 2, 9))
+    assert eps[0].real > 1.0 and abs(eps[0].imag) < 1e-8
+    assert np.all(d["loss"] > -1e-12)
 
 
 def test_tddft_casida(gamma_setup):
