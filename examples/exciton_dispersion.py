@@ -8,7 +8,11 @@ capability far beyond the reference (it stops at ground-state HF,
 ``/root/reference/fftisdf.py:437-466``).
 
 Usage: python examples/exciton_dispersion.py [--tpu] [--ke 50]
-       [--kmesh 2 2 2] [--c0 40] [--xc pbe] [--nroots 3]
+       [--kmesh 2 2 2] [--c0 40] [--xc pbe] [--nroots 3] [--eels]
+
+--eels additionally prints the macroscopic dielectric function
+eps_M(q, omega) and the EELS loss function -Im 1/eps_M at every finite-q
+sector (dielectric_tda).
 """
 import argparse
 import os
@@ -28,6 +32,8 @@ def main():
     p.add_argument("--xc", default=None,
                    help="None = KRHF (CIS); else a scf.xc functional")
     p.add_argument("--nroots", type=int, default=3)
+    p.add_argument("--eels", action="store_true",
+                   help="print eps_M(q, omega) / loss at finite q")
     args = p.parse_args()
 
     import jax
@@ -41,7 +47,8 @@ def main():
     from fftisdf_tpu.isdf import FFTISDF
     from fftisdf_tpu.scf import KRHF
     from fftisdf_tpu.scf.ks import KRKS
-    from fftisdf_tpu.scf.tddft import tda, oscillator_strengths
+    from fftisdf_tpu.scf.tddft import (tda, oscillator_strengths,
+                                       dielectric_tda)
 
     dtype = jnp.float32 if args.tpu else jnp.float64
     cell = structure.to_cell(*structure.bulk_diamond(), basis="gth-szv",
@@ -74,6 +81,12 @@ def main():
             f = oscillator_strengths(mf, ws, np.asarray(info_s["x"]))
             print("    q=0 velocity-gauge oscillator strengths:",
                   " ".join(f"{v:.4f}" for v in f))
+        elif args.eels and qn > 1e-10:
+            om = np.linspace(0.0, float(ws[-1]) + 0.3, 13)
+            eps, d = dielectric_tda(mf, df, q=q, omegas=om)
+            print("    eps_M(0) = %.4f; EELS loss peak %.4f at w = %.3f"
+                  % (eps[0].real, d["loss"].max(),
+                     om[int(np.argmax(d["loss"]))]))
 
 
 if __name__ == "__main__":
