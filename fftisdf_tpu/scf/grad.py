@@ -98,6 +98,10 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         _ao_grad = xc_mod.bloch_ao_grad
         _get_tau = xc_mod.get_tau
     hyb = spec.hyb if spec is not None else 1.0
+    if spec is not None and getattr(spec, "hyb_sr", 0.0):
+        raise NotImplementedError(
+            "screened-hybrid (hyb_sr) derivatives: the SR-exchange "
+            "Pulay terms are not traced yet")
     hub_sites = None
     if hubbard:
         from fftisdf_tpu.scf import hubbard as hub_mod

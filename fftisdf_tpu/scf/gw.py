@@ -208,6 +208,11 @@ def _static_correction(df, mf, orbs):
     vk = np.asarray(to_host(vk))
     _, vxc, _ = mf._xc_eval(mf._dm_device(dm[None]), nspin=1)
     corr_mat = -0.5 * (1.0 - hyb) * vk - vxc[0]
+    if getattr(spec, "hyb_sr", 0.0):
+        # screened-hybrid reference (HSE06): its Fock carried
+        # -0.5*hyb_sr*K_SR, which is part of v_xc^eff, not of Sigma_x
+        _, vk_sr = df.get_jk(dm_dev, with_j=False, omega=-spec.omega)
+        corr_mat = corr_mat + 0.5 * spec.hyb_sr * np.asarray(to_host(vk_sr))
     if getattr(mf, "_hub_sites", None) is not None:
         _, vu = mf._hubbard_eu_vu(np.stack([dm, dm]) * 0.5)
         corr_mat = corr_mat - vu[0]

@@ -44,19 +44,26 @@ class PWDF:
             trunc = trunc_for_cell(cell, trunc)
         self.trunc = trunc
 
-    def get_jk(self, dm, with_j=True, with_k=True, exxdiv=None):
+    def get_jk(self, dm, with_j=True, with_k=True, exxdiv=None, omega=None):
         if exxdiv not in (None, "ewald"):
             raise NotImplementedError(f"exxdiv={exxdiv!r} not supported")
+        omega = float(omega or 0.0)
+        if omega != 0.0 and exxdiv is not None:
+            # range-separated kernels carry no q+G=0 divergence to correct
+            raise NotImplementedError("exxdiv with omega")
         dm = to_device(dm)
         if dm.ndim == 4:  # spin/set axis
-            out = [self.get_jk(d, with_j, with_k, exxdiv) for d in dm]
+            out = [self.get_jk(d, with_j, with_k, exxdiv, omega=omega)
+                   for d in dm]
             vj = jnp.stack([o[0] for o in out]) if with_j else None
             vk = jnp.stack([o[1] for o in out]) if with_k else None
             return vj, vk
-        vj = (self._jk.get_j_kpts(self.cell, dm, self.ao, trunc=self.trunc)
+        vj = (self._jk.get_j_kpts(self.cell, dm, self.ao, omega=omega,
+                                  trunc=self.trunc)
               if with_j else None)
         vk = (self._jk.get_k_kpts(self.cell, dm, self.ao, self.kpts,
-                                  coords=self.coords, trunc=self.trunc)
+                                  coords=self.coords, omega=omega,
+                                  trunc=self.trunc)
               if with_k else None)
         if exxdiv == "ewald" and with_k:
             from fftisdf_tpu.isdf.jk import add_ewald_exx

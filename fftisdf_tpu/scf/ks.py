@@ -176,6 +176,47 @@ class _KSCommon:
             aob, v, self._xc_weight, vt=vt, kpts_b=kb,
             coords=self._coords, gv=self._gv, fmesh=self._fmesh))
 
+    def _exx_matrices(self, dm_dev):
+        """(vj, vk_eff) on host: Hartree plus the functional's TOTAL scaled
+        exact-exchange matrix ``hyb*K + hyb_sr*K_SR(omega)`` (zeros for
+        pure functionals).  Folding the fractions in here keeps one code
+        path for global hybrids (PBE0) and screened hybrids (HSE06): the
+        Fock term is always ``-0.5*vk_eff`` (restricted) / ``-vk_eff[s]``
+        (unrestricted) and the energy ``-0.25`` / ``-0.5`` tr(D vk_eff).
+        The erfc-screened exchange (omega < 0, linalg.coulomb convention)
+        is finite at q+G=0, so no exxdiv correction applies to it."""
+        spec = self._spec
+        need_k = spec.hyb != 0.0
+        vj, vk = self.with_df.get_jk(dm_dev, with_k=need_k,
+                                     exxdiv=self.exxdiv if need_k else None)
+        vj = to_host(vj)
+        vk_eff = spec.hyb * to_host(vk) if need_k else np.zeros_like(vj)
+        if spec.hyb_sr != 0.0:
+            _, vk_sr = self.with_df.get_jk(dm_dev, with_j=False,
+                                           omega=-spec.omega)
+            vk_eff = vk_eff + spec.hyb_sr * to_host(vk_sr)
+        return vj, vk_eff
+
+    def _band_k_sr(self, kpts_band, dm, aob, omega):
+        """erfc-screened exact exchange at band k-points via the exact
+        plane-wave (band, mesh) pair sweep — the SR kernel is finite at
+        q+G=0, so no argmin exclusion / exxdiv handling applies.  Serves
+        screened hybrids' band structure (HSE06 gaps)."""
+        from fftisdf_tpu.pw import jk as pw_jk
+
+        kpts_band = np.asarray(kpts_band).reshape(-1, 3)
+        coords = self.cell.gen_uniform_grids()
+        dm = to_device(np.asarray(dm).astype(np.complex128),
+                       dtype=self._ao.dtype)
+        kw = dict(coords=coords, ao_band=aob, kpts_band=kpts_band,
+                  omega=omega, trunc=self.trunc)
+        if dm.ndim == 4:
+            vk = jnp.stack([pw_jk.get_k_kpts(self.cell, d, self._ao,
+                                             self.kpts, **kw) for d in dm])
+        else:
+            vk = pw_jk.get_k_kpts(self.cell, dm, self._ao, self.kpts, **kw)
+        return to_host(vk)
+
 
 @dataclass
 class KRKS(_KSCommon, KRHF):
@@ -190,28 +231,23 @@ class KRKS(_KSCommon, KRHF):
         self._ks_setup()
 
     def get_fock(self, dm):
-        hyb = self._spec.hyb
         dm_dev = self._dm_device(dm)
-        vj, vk = self.with_df.get_jk(dm_dev, with_k=hyb != 0.0,
-                                     exxdiv=self.exxdiv if hyb else None)
-        vj = to_host(vj)
-        vk = to_host(vk) if vk is not None else np.zeros_like(vj)
+        vj, vk_eff = self._exx_matrices(dm_dev)
         exc, vxc, _ = self._xc_eval(dm_dev[None], nspin=1)
         self._exc_last = exc
         dm = np.asarray(dm)
         eu, vu = self._hubbard_eu_vu(np.stack([dm, dm]) * 0.5)
         self._eu_last = eu
-        fock = self.h1e + vj + vxc[0] - 0.5 * hyb * vk
+        fock = self.h1e + vj + vxc[0] - 0.5 * vk_eff
         if self._hub_sites is not None:
             fock = fock + vu[0]
-        return fock, vj, vk
+        return fock, vj, vk_eff
 
-    def energy_elec(self, dm, vj, vk):
+    def energy_elec(self, dm, vj, vk_eff):
         nk = len(self.kpts)
-        hyb = self._spec.hyb
         e1 = np.einsum("kmn,knm->", dm, self.h1e).real / nk
         ej = 0.5 * np.einsum("kmn,knm->", dm, vj).real / nk
-        ex = -0.25 * hyb * np.einsum("kmn,knm->", dm, vk).real / nk
+        ex = -0.25 * np.einsum("kmn,knm->", dm, vk_eff).real / nk
         return e1 + ej + ex + self._exc_last + getattr(self, "_eu_last", 0.0)
 
     def get_bands(self, kpts_band, dm=None):
@@ -226,9 +262,13 @@ class KRKS(_KSCommon, KRHF):
         hyb = self._spec.hyb
         s1e_b, h1e_b, vj_b, vk_b, aob = self._band_ingredients(
             kpts_band, dm, with_k=hyb != 0.0, return_ao=True)
+        vk_eff_b = hyb * vk_b
+        if self._spec.hyb_sr != 0.0:
+            vk_eff_b = vk_eff_b + self._spec.hyb_sr * self._band_k_sr(
+                kpts_band, dm, aob, -self._spec.omega)
         vxc_b = self._band_vxc(self._dm_device(dm)[None], aob, nspin=1,
                                kpts_band=kpts_band)
-        fock = h1e_b + vj_b + vxc_b[0] - 0.5 * hyb * vk_b
+        fock = h1e_b + vj_b + vxc_b[0] - 0.5 * vk_eff_b
         if self._hub_sites is not None:
             fock = fock + self._hubbard_vu_bands(
                 np.stack([dm, dm]) * 0.5, s1e_b)[0]
@@ -255,30 +295,25 @@ class KUKS(_KSCommon, KUHF):
         self._ks_setup()
 
     def get_fock(self, dm):
-        hyb = self._spec.hyb
         dm_dev = self._dm_device(dm)
-        vj, vk = self.with_df.get_jk(dm_dev, with_k=hyb != 0.0,
-                                     exxdiv=self.exxdiv if hyb else None)
-        vj = to_host(vj)
-        vk = to_host(vk) if vk is not None else np.zeros_like(vj)
+        vj, vk_eff = self._exx_matrices(dm_dev)
         exc, vxc, _ = self._xc_eval(dm_dev, nspin=2)
         self._exc_last = exc
         eu, vu = self._hubbard_eu_vu(np.asarray(dm))
         self._eu_last = eu
         vj_tot = vj[0] + vj[1]
-        fock = np.stack([self.h1e + vj_tot + vxc[0] - hyb * vk[0],
-                         self.h1e + vj_tot + vxc[1] - hyb * vk[1]])
+        fock = np.stack([self.h1e + vj_tot + vxc[0] - vk_eff[0],
+                         self.h1e + vj_tot + vxc[1] - vk_eff[1]])
         if self._hub_sites is not None:
             fock = fock + vu
-        return fock, vj, vk
+        return fock, vj, vk_eff
 
-    def energy_elec(self, dm, vj, vk):
+    def energy_elec(self, dm, vj, vk_eff):
         nk = len(self.kpts)
-        hyb = self._spec.hyb
         vj_tot = vj[0] + vj[1]
         e1 = np.einsum("skmn,knm->", dm, self.h1e).real / nk
         ej = 0.5 * np.einsum("skmn,knm->", dm, vj_tot).real / nk
-        ex = -0.5 * hyb * np.einsum("skmn,sknm->", dm, vk).real / nk
+        ex = -0.5 * np.einsum("skmn,sknm->", dm, vk_eff).real / nk
         return e1 + ej + ex + self._exc_last + getattr(self, "_eu_last", 0.0)
 
     def get_bands(self, kpts_band, dm=None):
@@ -290,6 +325,12 @@ class KUKS(_KSCommon, KUHF):
         hyb = self._spec.hyb
         s1e_b, h1e_b, vj_b, vk_b, aob = self._band_ingredients(
             kpts_band, dm, with_k=hyb != 0.0, return_ao=True)
+        vk_eff_b = hyb * np.asarray(vk_b) if hyb != 0.0 else None
+        if self._spec.hyb_sr != 0.0:
+            vk_sr_b = self._spec.hyb_sr * self._band_k_sr(
+                kpts_band, dm, aob, -self._spec.omega)
+            vk_eff_b = (vk_sr_b if vk_eff_b is None
+                        else vk_eff_b + vk_sr_b)
         vxc_b = self._band_vxc(self._dm_device(dm), aob, nspin=2,
                                kpts_band=kpts_band)
         vu_b = (self._hubbard_vu_bands(dm, s1e_b)
@@ -297,7 +338,8 @@ class KUKS(_KSCommon, KUHF):
         vj_tot = vj_b[0] + vj_b[1]
         es, cs = [], []
         for s in range(2):
-            fock = h1e_b + vj_tot + vxc_b[s] - hyb * vk_b[s]
+            fock = h1e_b + vj_tot + vxc_b[s] - (
+                vk_eff_b[s] if vk_eff_b is not None else 0.0)
             if vu_b is not None:
                 fock = fock + vu_b[s]
             es_s, cs_s = [], []
@@ -321,12 +363,17 @@ class _DeviceKSVeff:
     serve-side kernel from every DFT SCF iteration."""
 
     def _needs_exx(self):
-        return bool(self._spec.hyb)
+        return bool(self._spec.hyb or self._spec.hyb_sr)
 
     def _veff_args(self):
         extra = (self._ao, self._gv)
         if self._spec.is_mgga:
             extra = extra + (self._coords, self._kpts_arr)
+        if self._spec.hyb_sr:
+            # screened hybrids (HSE06): the erfc-screened image-space
+            # metric rides as a jit argument like ws (one extra metric
+            # pass per build, cached on the DF object)
+            extra = extra + (self.with_df.get_ws_omega(-self._spec.omega),)
         if self._hub_sites is not None:
             # +U stays on device too: shalf rides as a jit *argument*
             # (complex device array — closure constants round-trip through
@@ -337,9 +384,11 @@ class _DeviceKSVeff:
     def _trace_veff(self, dm, x_k, wq, ws, h1e, ao, gv, *extra):
         from fftisdf_tpu.isdf import jk as jk_mod
 
-        coords = kpts_arr = shalf = None
+        coords = kpts_arr = shalf = ws_sr = None
         if self._spec.is_mgga:
             coords, kpts_arr, *extra = extra
+        if self._spec.hyb_sr:
+            ws_sr, *extra = extra
         if extra:
             (shalf,) = extra
         nk = h1e.shape[0]
@@ -359,12 +408,17 @@ class _DeviceKSVeff:
             vxc = w * jnp.einsum("kgm,sg,kgn->skmn", ao.conj(), v, ao)
         e1 = jnp.einsum("skmn,knm->", dm, h1e).real / nk
         ecoul = jnp.einsum("skmn,knm->", dm, vj_tot).real / (2 * nk)
-        if hyb:
-            vk = jk_mod.get_k_kpts_img(x_k, ws, dm, self._kmesh_t)
-            exx = -0.5 * hyb * jnp.einsum("skmn,sknm->", dm,
-                                          vk).real / nk
-            fock = jnp.stack([h1e + vj_tot + vxc[0] - hyb * vk[0],
-                              h1e + vj_tot + vxc[1] - hyb * vk[1]])
+        if hyb or self._spec.hyb_sr:
+            vk_eff = 0.0
+            if hyb:
+                vk_eff = hyb * jk_mod.get_k_kpts_img(x_k, ws, dm,
+                                                     self._kmesh_t)
+            if self._spec.hyb_sr:
+                vk_eff = vk_eff + self._spec.hyb_sr * jk_mod.get_k_kpts_img(
+                    x_k, ws_sr, dm, self._kmesh_t)
+            exx = -0.5 * jnp.einsum("skmn,sknm->", dm, vk_eff).real / nk
+            fock = jnp.stack([h1e + vj_tot + vxc[0] - vk_eff[0],
+                              h1e + vj_tot + vxc[1] - vk_eff[1]])
         else:
             exx = 0.0
             fock = jnp.stack([h1e + vj_tot + vxc[0],

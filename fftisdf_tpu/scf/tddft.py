@@ -90,6 +90,10 @@ def _spec_of(mf):
     if spec.is_mgga:
         raise NotImplementedError(
             "adiabatic meta-GGA kernel (tau response) not implemented")
+    if getattr(spec, "hyb_sr", 0.0):
+        raise NotImplementedError(
+            "screened-hybrid (hyb_sr) response kernel: the SR-exchange "
+            "coupling block is not implemented")
     return spec.hyb, (spec if spec.terms else None)
 
 

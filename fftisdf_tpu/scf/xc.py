@@ -172,6 +172,75 @@ def _lda_x_term(rho, sigma, tau=None):
     return _uniform_x(rho)
 
 
+# ---- HJS short-range omega-PBE exchange (for screened hybrids) ---------
+
+# Henderson-Janesko-Scuseria model of the PBE exchange hole attenuated by
+# erfc(omega r) (JCP 128, 194105 (2008)): closed-form SR enhancement
+# F_x^SR(s, nu) with nu = omega / kF.  Constants A..D parameterize the
+# s=0 (LDA) model hole; the rational H(s) is the PBE-hole fit.  Checked
+# in-repo: F(0,0) = 1 and F(s,0) tracks the PBE enhancement to ~1e-4
+# (tests/test_hse.py), which is the fit accuracy HJS report.
+_HJS_A = 0.757211
+_HJS_B = -0.106364
+_HJS_C = -0.118649
+_HJS_D = 0.609650
+_HJS_POLY_A = (0.0159941, 0.0852995, -0.160368, 0.152645, -0.0971263,
+               0.0422061)                       # s^2 .. s^7 numerator
+_HJS_POLY_B = (5.33319, -12.4780, 11.0988, -5.11013, 1.71468, -0.610380,
+               0.307555, -0.0770547, 0.0334840)  # s^1 .. s^9 denominator
+
+
+def _hjs_fx_sr(s2, nu):
+    """HJS SR-PBE enhancement factor F_x^SR(s^2, nu) (elementwise)."""
+    # cap s^2: beyond s ~ 1e3 the rational H(s) sits at its s^{-2}
+    # asymptote (zeta -> a6/b9), but the raw s^9 denominator overflows
+    # f32 near s2 ~ 1e10 (inf/inf = NaN in vacuum grid regions where the
+    # floored density makes s enormous)
+    s2 = jnp.minimum(s2, 1e8)
+    s = jnp.sqrt(_floor(s2))    # clamped: d(sqrt)/ds2 finite at s2 = 0
+    num = s2 * sum(c * s ** i for i, c in enumerate(_HJS_POLY_A))
+    den = 1.0 + sum(c * s ** (i + 1) for i, c in enumerate(_HJS_POLY_B))
+    zeta = jnp.maximum(s2 * num / den, 0.0)     # zeta = s^2 H(s) >= 0
+    # (H itself already carries a leading s^2 in its numerator fit; the
+    # omega=0 limit then tracks F_x^PBE to ~1e-4 over s in [0, 8] —
+    # gated in tests/test_hse.py)
+    eta = _HJS_A + zeta
+    lam = _HJS_D + zeta
+    ff = (1.0 - s2 / (27.0 * _HJS_C * (1.0 + 0.25 * s2))
+          - zeta / (2.0 * _HJS_C))
+    eg = (-0.4 * _HJS_C * ff * lam
+          - (4.0 / 15.0) * _HJS_B * lam ** 2
+          - 1.2 * _HJS_A * lam ** 3
+          - 0.8 * np.sqrt(np.pi) * lam ** 3.5
+          - 2.4 * lam ** 3.5 * (jnp.sqrt(zeta) - jnp.sqrt(eta)))
+    nu2 = nu * nu
+    chi = nu / jnp.sqrt(lam + nu2)
+    srt_l = jnp.sqrt(nu2 + lam)
+    srt_z = jnp.sqrt(nu2 + zeta)
+    srt_e = jnp.sqrt(nu2 + eta)
+    return (_HJS_A
+            - (4.0 / 9.0) * _HJS_B / lam * (1.0 - chi)
+            - (4.0 / 9.0) * _HJS_C * ff / lam ** 2
+            * (1.0 - 1.5 * chi + 0.5 * chi ** 3)
+            - (8.0 / 9.0) * eg / lam ** 3
+            * (1.0 - 1.875 * chi + 1.25 * chi ** 3 - 0.375 * chi ** 5)
+            + 2.0 * nu * (srt_z - srt_e)
+            + 2.0 * zeta * jnp.log((nu + srt_z) / (nu + srt_l))
+            - 2.0 * eta * jnp.log((nu + srt_e) / (nu + srt_l)))
+
+
+def _wpbe_x(rho, sigma, tau=None, omega=0.11):
+    """Short-range (erfc-screened) omega-PBE exchange energy density via
+    spin scaling, HJS closed form.  HSE06 subtracts hyb_sr of this and
+    adds the same fraction of SR exact exchange."""
+    r = _floor(2.0 * rho)
+    sig = 4.0 * sigma[jnp.asarray([0, 2])]
+    kf = (3.0 * np.pi ** 2 * r) ** (1.0 / 3.0)
+    s2 = sig / _floor((2.0 * kf * r) ** 2)
+    fx = _hjs_fx_sr(s2, omega / kf)
+    return 0.5 * jnp.sum(-_CX * r ** (4.0 / 3.0) * fx, axis=0)
+
+
 def _pw92_c_term(rho, sigma, tau=None):
     return _pw92_c(rho)
 
@@ -367,6 +436,9 @@ _TERMS = {
     "vwn5": (_vwn5_c_term, 0),
     "pbex": (_pbe_x, 1),
     "pbec": (_pbe_c, 1),
+    # SR omega-PBE exchange at the HSE06 screening (omega fixed by the
+    # registry entry so term names stay hashable jit statics)
+    "wpbexhse": (partial(_wpbe_x, omega=0.11), 1),
     "b88": (_b88_x, 1),
     "lyp": (_lyp_c, 1),
     "scanx": (_scan_x, 2),
@@ -381,8 +453,11 @@ _TERMS = {
 class XCSpec:
     """Hashable functional description (usable as a jit static arg)."""
     name: str
-    hyb: float                       # exact-exchange fraction
+    hyb: float                       # exact-exchange fraction (full-range)
     terms: tuple                     # ((coeff, term_name), ...)
+    hyb_sr: float = 0.0              # SHORT-RANGE exact-exchange fraction
+    omega: float = 0.0               # range-separation parameter (bohr^-1)
+                                     # for the hyb_sr erfc-screened exchange
 
     @property
     def is_gga(self):
@@ -419,6 +494,16 @@ _FUNCTIONALS = {
     "scanc": XCSpec("scanc", 0.0, ((1.0, "scanc"),)),
     # SCAN0: 25% exact exchange on the SCAN base (Hui & Chai, JCP 2016)
     "scan0": XCSpec("scan0", 0.25, ((0.75, "scanx"), (1.0, "scanc"))),
+    # HSE06 screened hybrid (Krukau et al., JCP 125, 224106 (2006)):
+    # PBE + 0.25 (SR-HF(omega) - SR-PBE(omega)), omega = 0.11 bohr^-1.
+    # The erfc-screened exact exchange is served from the SAME ISDF
+    # interpolation basis (FFTISDF.get_jk(dm, omega=-0.11)); the screened
+    # kernel is finite at q+G=0, so no exxdiv correction applies — the
+    # reason HSE is the production hybrid for solids
+    "hse06": XCSpec("hse06", 0.0, ((1.0, "pbex"), (-0.25, "wpbexhse"),
+                                   (1.0, "pbec")),
+                    hyb_sr=0.25, omega=0.11),
+    "wpbexhse": XCSpec("wpbexhse", 0.0, ((1.0, "wpbexhse"),)),
     "hf": XCSpec("hf", 1.0, ()),
 }
 

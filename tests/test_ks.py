@@ -400,6 +400,8 @@ def test_pbe0_energy_decomposition(diamond):
     nk = len(kpts)
     e1 = np.einsum("kmn,knm->", dm, mf.h1e).real / nk
     ej = 0.5 * np.einsum("kmn,knm->", dm, vj).real / nk
+    # get_fock returns the EFFECTIVE scaled exchange matrix (hyb*K, plus
+    # any hyb_sr*K_SR for screened hybrids) — no extra 0.25 factor here
     ex_hf = -0.25 * np.einsum("kmn,knm->", dm, vk).real / nk
     dm_dev = mf._dm_device(dm)[None]
     from fftisdf_tpu.scf.ks import _xc_pot_kernel
@@ -407,7 +409,7 @@ def test_pbe0_energy_decomposition(diamond):
     kw = dict(fmesh=mf._fmesh, weight=mf._xc_weight, nk=nk, nspin=1)
     ex_pbe, _, _ = _xc_pot_kernel(*args, spec=xc_mod.parse_xc("pbex"), **kw)
     ec_pbe, _, _ = _xc_pot_kernel(*args, spec=xc_mod.parse_xc("pbec"), **kw)
-    manual = e1 + ej + 0.25 * ex_hf + 0.75 * float(ex_pbe) + float(ec_pbe)
+    manual = e1 + ej + ex_hf + 0.75 * float(ex_pbe) + float(ec_pbe)
     assert abs(e_pbe0 - manual) < 1e-9, (e_pbe0, manual)
 
 
