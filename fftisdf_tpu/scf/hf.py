@@ -228,6 +228,20 @@ class KRHF:
         vj, vk = to_host(vj), to_host(vk)
         return self.h1e + vj - 0.5 * vk, vj, vk
 
+    def save(self, path):
+        """Checkpoint the SCF state (density, orbitals, energies) to one
+        .npz — restartable across processes (utils.serialization)."""
+        from fftisdf_tpu.utils.serialization import save_scf
+
+        return save_scf(path, self)
+
+    def load_chk(self, path):
+        """Geometry-validated restart density from a checkpoint:
+        ``mf.kernel(dm0=mf.load_chk(path))``."""
+        from fftisdf_tpu.utils.serialization import load_scf
+
+        return load_scf(path, cell=self.cell, kpts=self.kpts)["dm"]
+
     def _occupations(self, es):
         """Per-k occupation vectors; fractional when smearing is on.
 

@@ -49,3 +49,66 @@ def load_isdf_state(path, cls, cell, kpts):
     df.wq = to_device(data["wq"])
     df.mask = data["mask"]
     return df
+
+
+# ----------------------------------------------------------------------
+# SCF checkpoint: the converged state of a scf.hf / scf.ks driver.
+# The reference cached only its GDF cderi to disk
+# (/root/reference/k_least_square.py:290-291); a restartable SCF state
+# (density + orbitals + energies) is the framework-grade version.
+
+def save_scf(path, mf):
+    """Checkpoint a (converged or mid-run) SCF driver to one .npz.
+
+    Stores the density matrix (the restart payload), orbital
+    energies/coefficients/occupations when they are regular arrays
+    (canonical-orthogonalization can make them ragged across k at tight
+    cutoffs — then only the dm is stored), and scalar results.  Restart:
+    ``mf.kernel(dm0=load_scf(path)["dm"])``.
+    """
+    assert getattr(mf, "dm", None) is not None, \
+        "nothing to save: run mf.kernel() first"
+    payload = {
+        "driver": type(mf).__name__,
+        "xc": str(getattr(mf, "xc", "")),
+        "kpts": np.asarray(mf.kpts),
+        "mesh": np.asarray(mf.cell.mesh),
+        "dm": np.asarray(mf.dm),
+        "e_tot": float(mf.e_tot),
+        "e_free": float(mf.e_free if mf.e_free is not None else mf.e_tot),
+        "entropy": float(getattr(mf, "entropy", 0.0)),
+        "converged": bool(mf.converged),
+        "smearing": float(getattr(mf, "smearing", 0.0)),
+    }
+    mu = getattr(mf, "mu", None)
+    if mu is not None:
+        payload["mu"] = np.atleast_1d(np.asarray(mu, dtype=float))
+    for name in ("mo_energy", "mo_coeff", "mo_occ"):
+        arr = getattr(mf, name, None)
+        if arr is None:
+            continue
+        arr = np.asarray(arr)
+        if arr.dtype != object:
+            payload[name] = arr
+    np.savez_compressed(path, **payload)
+    return path
+
+
+def load_scf(path, cell=None, kpts=None):
+    """Load an SCF checkpoint -> dict.  When ``cell``/``kpts`` are given,
+    the stored FFT mesh / k-points are validated against them (mismatched
+    geometry makes the stored dm a silent wrong-answer restart)."""
+    data = np.load(path, allow_pickle=False)
+    if kpts is not None and not np.allclose(
+            data["kpts"], np.asarray(kpts), atol=1e-10):
+        raise ValueError("stored k-points do not match")
+    if cell is not None and not np.array_equal(
+            data["mesh"], np.asarray(cell.mesh)):
+        raise ValueError("stored FFT mesh does not match cell")
+    out = {k: data[k] for k in data.files}
+    for k in ("e_tot", "e_free", "entropy", "smearing"):
+        out[k] = float(out[k])
+    out["converged"] = bool(out["converged"])
+    out["driver"] = str(out["driver"])
+    out["xc"] = str(out["xc"])
+    return out
