@@ -94,8 +94,35 @@ def _ridge_factor(a, rcond):
     solve has cond ~ 1/rcond, and a bitwise-different rematerialized factor
     perturbs the vjp by eps/rcond (measured 2e-5 absolute on f64 gradients)."""
     d, dinv, a_s = _jacobi(a)
-    lam = rcond * jnp.max(jnp.real(jnp.diagonal(a_s)))
-    a_r = a_s + lam * jnp.eye(a.shape[-1], dtype=a.dtype)
+    lam0 = rcond * jnp.max(jnp.real(jnp.diagonal(a_s)))
+    # PSD guard: the Jacobi-scaled gram is PSD in exact arithmetic, but at
+    # f32 its eigenvalue noise floor (~ n eps lam_max) can sit BELOW
+    # -lam0 = -rcond for heavily compressed (rank-deficient) quartics, and
+    # whether a marginal gram crosses depends on the backend's accumulation
+    # order (observed: CPU f32 fine, TPU f32 Cholesky all-NaN at diamond
+    # c0=40).  Escalate lam by 10x until the shifted Cholesky is finite —
+    # stop_gradient keeps the scalar search out of reverse sweeps (lam is
+    # a regularizer; its sensitivity is not part of the functional), so
+    # while_loop never needs a reverse rule.
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+    # stop_gradient on the loop INPUTS: no differentiated value may flow
+    # into a while_loop (it has no reverse rule)
+    a_sg = jax.lax.stop_gradient(a_s)
+
+    def _finite(lam):
+        c = jnp.linalg.cholesky(a_sg + lam * eye)
+        return jnp.all(jnp.isfinite(c.real) & jnp.isfinite(c.imag))
+
+    lam, nesc = jax.lax.while_loop(
+        lambda st: jnp.logical_and(~_finite(st[0]), st[1] < 8),
+        lambda st: (st[0] * 10.0, st[1] + 1),
+        (jax.lax.stop_gradient(lam0), jnp.asarray(0, jnp.int32)))
+    # one extra decade of margin when escalation fired: if lam landed just
+    # above |w_min| the refinement factor g = lam/(w+lam) would exceed 1 on
+    # the noise direction and the polynomial would AMPLIFY it; at 10x
+    # margin g <= 10/9 and refine=2 costs at most ~23% on pure noise
+    lam = jnp.where(nesc > 0, lam * 10.0, lam)
+    a_r = a_s + lam * eye
     chol = _save_in_remat(jnp.linalg.cholesky(a_r))
     return d, dinv, chol, lam
 

@@ -162,3 +162,42 @@ def test_pivoted_cholesky_np_matches_jax():
     assert int(r1) == r2
     assert np.array_equal(np.asarray(p1)[:r2], p2[:r2])
     np.testing.assert_allclose(np.asarray(h1)[:r2], h2[:r2], rtol=1e-10)
+
+
+def test_ridge_factor_survives_indefinite_f32_gram():
+    """PSD guard: an f32 gram whose eigenvalue noise floor sits below
+    -rcond (observed on TPU at heavy compression: backend accumulation
+    order tips the scaled quartic indefinite and Cholesky returns all-NaN)
+    must factor finitely via the adaptive-lambda escalation, keep a
+    near-exact solve on the healthy subspace, and stay differentiable."""
+    import jax
+    from fftisdf_tpu.linalg.solvers import half_factor_data, solve_fitting
+
+    rng = np.random.default_rng(7)
+    n = 48
+    q, _ = np.linalg.qr(rng.standard_normal((n, n))
+                        + 1j * rng.standard_normal((n, n)))
+    w = np.linspace(0.3, 2.0, n)
+    w[0] = -3e-5                      # below -rcond*diagmax, noise-scale
+    a = (q * w) @ q.conj().T
+    a32 = jnp.asarray((a + a.conj().T) / 2, dtype=jnp.complex64)
+    _, data = half_factor_data(a32, method="ridge", rcond=1e-5, refine=2)
+    chol = data[1]
+    assert bool(jnp.isfinite(chol.real).all() & jnp.isfinite(chol.imag).all())
+    b = jnp.asarray(rng.standard_normal((n, 3))
+                    + 1j * rng.standard_normal((n, 3)), dtype=jnp.complex64)
+    z, _ = solve_fitting(a32, b, method="ridge", rcond=1e-5)
+    res = np.asarray(a32 @ z - b)
+    res_h = (q[:, 1:] @ q[:, 1:].conj().T) @ res   # healthy subspace
+    # floor: the noise direction carries ~|b|/lam of junk (1e3 at the
+    # escalated lam ~ 1e-3), and the f32 matmul of the residual leaks
+    # eps * lam_max * |junk| ~ 1e-3 of it into the healthy subspace —
+    # the gate is NaN-freeness plus a healthy solve at that leakage scale
+    assert np.abs(res_h).max() < 5e-2
+
+    def loss(m):
+        return jnp.sum(jnp.abs(solve_fitting(m, b, method="ridge",
+                                             rcond=1e-5)[0]) ** 2).real
+
+    g = jax.grad(loss)(a32)
+    assert bool(jnp.isfinite(g.real).all() & jnp.isfinite(g.imag).all())
