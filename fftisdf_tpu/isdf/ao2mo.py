@@ -17,20 +17,24 @@ from fftisdf_tpu.utils.device import to_device, jit_take
 _proj = jax.jit(lambda x, c: x @ c)
 
 
-def mo_eri(df, mo_coeffs, kidx):
+def mo_eri(df, mo_coeffs, kidx, wq=None):
     """MO ERI for one momentum-conserving quadruple.
 
     mo_coeffs: (C1, C2, C3, C4), each (nao, nmo_i) for the k-points of
     kidx = (k1, k2, k3, k4).  Returns (n1, n2, n3, n4):
     (i k1, j k2 | k k3, l k4) = sum_IJ w^q_IJ conj(xmo1_Ii) xmo2_Ij
                                              conj(xmo3_Jk) xmo4_Jl.
+
+    ``wq``: alternative metric tensor (nk, nip, nip) over the same
+    interpolation basis — e.g. df.get_wq_omega(...) for screened (SR/LR)
+    integrals.  Defaults to the bare-Coulomb df.wq.
     """
     k1, k2, k3, k4 = kidx
     q = df.kconserv2()[k1, k2]
     assert df.kconserv3()[k1, k2, k3] == k4, "quadruple not conserving"
     xs = [_proj(jit_take(df.x_k, k), to_device(c, dtype=df.x_k.dtype))
           for k, c in zip(kidx, mo_coeffs)]
-    return assemble_eri(jit_take(df.wq, int(q)), *xs)
+    return assemble_eri(jit_take(df.wq if wq is None else wq, int(q)), *xs)
 
 
 def trans_2e(df, c_ao_lo=None):

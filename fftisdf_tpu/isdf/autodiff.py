@@ -85,7 +85,7 @@ def make_evaluator_diff(cell, kpts=None, precision=None, dtype=jnp.float64,
 
 def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
                   dtype=jnp.float64, remat=None, dev_mesh=None,
-                  use_trs=True, max_memory_gb=None):
+                  use_trs=True, max_memory_gb=None, omegas=None):
     """Differentiable (x_k, w_q) builder for a frozen interpolation-point set.
 
     Returns ``state(positions) -> (x_k, wq)``, jit/grad-compatible.  The
@@ -123,7 +123,17 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
     reverse pass, bounding live memory at ~one chunk's pipeline.  This is
     what lets the reference's 4x4x4 target-mesh force sweep fit one 16 GB
     chip.  None (default): single-shot sweep (the fastest path when y
-    fits).  Chunk solves keep the ``fit_factor`` save policy."""
+    fits).  Chunk solves keep the ``fit_factor`` save policy.
+
+    ``omegas``: extra range-separation parameters (linalg.coulomb
+    convention: omega < 0 is erfc-screened SR) to build ADDITIONAL metrics
+    for — needed by screened-hybrid (HSE06) derivatives, whose Lagrangian
+    carries both the Hartree (bare) and the SR-exchange (screened) metric.
+    When given, ``state`` returns ``(x_k, wq)`` with wq of shape
+    ``(1 + len(omegas), nk, nip, nip)`` (kernel 0 = bare).  The extra
+    metrics are nearly free in the forward AND reverse sweep: w_q is
+    linear in the kernel, so every kernel reuses the sector's fitting
+    solve and forward FFT, differing only in the spectral scale."""
     if remat is None:
         remat = dtype != jnp.float64
     m0 = cell.mesh if m0 is None else m0
@@ -138,9 +148,38 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
     ngrid = coords.shape[0]
     vol = float(cell.vol)
     gv = cell.get_Gv(mesh)
-    coulG = np.stack([np.asarray(get_coulG(cell, q=q, gv=gv)) for q in kpts])
+    kernels = (0.0,) + tuple(float(o) for o in (omegas or ()))
+    nker = len(kernels)
+    multi = omegas is not None
+    # (nker, nk, ng): kernel 0 is the bare Coulomb metric
+    coulG = np.stack([
+        np.stack([np.asarray(get_coulG(cell, q=q, gv=gv, omega=o))
+                  for q in kpts]) for o in kernels])
+    if not multi:
+        coulG = coulG[0]
     # q-phase angles as a real host constant; complex built on device
     tqr = (coords @ np.asarray(kpts).T).T
+
+    def _wq_of_solve(z_q, cg, ph):
+        """Sector metric(s) from the fitted z_q: one forward FFT shared by
+        every kernel (w_q is linear in the kernel — the spectral scale is
+        the only per-kernel work)."""
+        spec = fft3(z_q * ph.conj()[None, :], mesh)
+        if not multi:
+            zeta = ifft3(spec * cg, mesh) * ph[None, :] * (vol / ngrid)
+            return zeta @ z_q.conj().T
+        outs = []
+        for i in range(nker):
+            zeta = ifft3(spec * cg[i], mesh) * ph[None, :] * (vol / ngrid)
+            outs.append(zeta @ z_q.conj().T)
+        return jnp.stack(outs)
+
+    def _trs_expand(wq_sel):
+        """Scatter canonical sectors (+ conjugate mirrors) back to all q
+        (leading axis = q; extra trailing axes broadcast)."""
+        wq = wq_sel[jnp.asarray(trs_order)]
+        flag = jnp.asarray(trs_conj).reshape((-1,) + (1,) * (wq.ndim - 1))
+        return jnp.where(flag, wq.conj(), wq)
     fn = make_evaluator_diff(cell, kpts=kpts, dtype=dtype)
     # rematerialization: without checkpoints the reverse sweep stores (a)
     # the evaluator's (ngrid, nimages, nfunc) chi tensors, (b) three extra
@@ -200,7 +239,8 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
         if nq_all * per_sector_gb > max_memory_gb / 4:
             qchunk = max(1, int((max_memory_gb / 4) / per_sector_gb))
         qs_full = np.arange(nk) if qsel is None else np.asarray(qsel)
-        cg_np = coulG
+        # q-leading layout so per-sector slicing/mapping is kernel-agnostic
+        cg_np = coulG if not multi else np.moveaxis(coulG, 0, 1)
         # grid-block streaming INSIDE each chunk (the differentiable analog
         # of the build pipeline's block sweep): a full-grid stripe sweep
         # materializes (2 nimg + nq) x ngrid x nip intermediates, which
@@ -234,9 +274,7 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
                 x4_q, y_q, cg, ph = args
                 z_q, _ = solve_fitting(x4_q, y_q.T, method=solver,
                                        rcond=rcond)
-                zeta = fft3(z_q * ph.conj()[None, :], mesh) * cg
-                zeta = ifft3(zeta, mesh) * ph[None, :] * (vol / ngrid)
-                return zeta @ z_q.conj().T
+                return _wq_of_solve(z_q, cg, ph)
 
             pq = (jax.checkpoint(per_q, policy=FIT_FACTOR_POLICY)
                   if remat else per_q)
@@ -262,12 +300,9 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
                     cg_all[qs], eiqr[qs]))
             wq_sel = (jnp.concatenate(parts, axis=0) if len(parts) > 1
                       else parts[0])
-            if qsel is not None:
-                wq = wq_sel[jnp.asarray(trs_order)]
-                wq = jnp.where(jnp.asarray(trs_conj)[:, None, None],
-                               wq.conj(), wq)
-            else:
-                wq = wq_sel
+            wq = _trs_expand(wq_sel) if qsel is not None else wq_sel
+            if multi:
+                wq = jnp.moveaxis(wq, 1, 0)    # (nker, nk, nip, nip)
             return x_k, wq
 
         return state_chunked
@@ -290,24 +325,23 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
         def per_q(args):
             x4_q, y_q, cg, ph = args
             z_q, _ = solve_fitting(x4_q, y_q.T, method=solver, rcond=rcond)
-            zeta = fft3(z_q * ph.conj()[None, :], mesh) * cg
-            zeta = ifft3(zeta, mesh) * ph[None, :] * (vol / ngrid)
-            return zeta @ z_q.conj().T
+            return _wq_of_solve(z_q, cg, ph)
 
         from fftisdf_tpu.linalg.solvers import FIT_FACTOR_POLICY
         pq = (jax.checkpoint(per_q, policy=FIT_FACTOR_POLICY) if remat
               else per_q)
-        cg_all = jnp.asarray(coulG, dtype=dtype)
+        cg_all = jnp.asarray(coulG if not multi
+                             else np.moveaxis(coulG, 0, 1), dtype=dtype)
         if dev_mesh is None:
             if qsel is not None:
                 qs = jnp.asarray(qsel)
                 wq_sel = jax.lax.map(pq, (x4_k[qs], y[qs], cg_all[qs],
                                           eiqr[qs]))
-                wq = wq_sel[jnp.asarray(trs_order)]
-                wq = jnp.where(jnp.asarray(trs_conj)[:, None, None],
-                               wq.conj(), wq)
+                wq = _trs_expand(wq_sel)
             else:
                 wq = jax.lax.map(pq, (x4_k, y, cg_all, eiqr))
+            if multi:
+                wq = jnp.moveaxis(wq, 1, 0)    # (nker, nk, nip, nip)
             return x_k, wq
         # sharded: grid-layout y -> all-to-all -> sector layout; local
         # sectors vmapped (same GSPMD design as parallel.build)
@@ -315,6 +349,10 @@ def isdf_state_fn(cell, kpts, mask, m0=None, solver="ridge", rcond=1e-10,
         y = with_sharding_constraint(y, sshard)
         wq = jax.vmap(lambda x4_q, y_q, cg, ph: pq((x4_q, y_q, cg, ph)))(
             x4_k, y, cg_all, eiqr)
+        if multi:
+            return x_k, jnp.stack([
+                with_sharding_constraint(wq[:, i], sshard)
+                for i in range(nker)])
         return x_k, with_sharding_constraint(wq, sshard)
 
     return state

@@ -98,10 +98,12 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         _ao_grad = xc_mod.bloch_ao_grad
         _get_tau = xc_mod.get_tau
     hyb = spec.hyb if spec is not None else 1.0
-    if spec is not None and getattr(spec, "hyb_sr", 0.0):
-        raise NotImplementedError(
-            "screened-hybrid (hyb_sr) derivatives: the SR-exchange "
-            "Pulay terms are not traced yet")
+    # screened hybrids (HSE06): the SR exact-exchange term rides the same
+    # Lagrangian with the erfc-screened kernel (omega < 0, linalg.coulomb
+    # convention); its semilocal SR-wPBE partner is just another spec term
+    # inside exc_and_vxc, so the xc Pulay force needs nothing extra
+    hyb_sr = float(getattr(spec, "hyb_sr", 0.0)) if spec is not None else 0.0
+    omg_sr = -float(spec.omega) if hyb_sr else None
     hub_sites = None
     if hubbard:
         from fftisdf_tpu.scf import hubbard as hub_mod
@@ -153,7 +155,8 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         assert mask is not None, "isdf backend needs the frozen mask"
         state = isdf_state_fn(cell, kpts, mask, m0=m0, solver=solver,
                               rcond=rcond, dtype=dtype, dev_mesh=dev_mesh,
-                              max_memory_gb=max_memory_gb)
+                              max_memory_gb=max_memory_gb,
+                              omegas=(omg_sr,) if hyb_sr else None)
         # phase kept as REAL host parts; the complex array is built inside
         # the trace (complex host constants embedded as jit closures
         # round-trip through the host and fail on the TPU tunnel)
@@ -194,49 +197,59 @@ def make_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         return h, s
 
     def e2_pw(positions, f_k, dm):
+        def ek_term(dmat, fac):
+            """-fac * [hyb*tr(D K) + hyb_sr*tr(D K_SR)] for one channel."""
+            e = 0.0
+            if hyb != 0.0:
+                vk = pw_jk.get_k_kpts(cell, dmat, f_k, kpts)
+                e += -fac * hyb * jnp.sum(jnp.einsum(
+                    "kmn,knm->k", dmat, vk)).real / nk
+            if hyb_sr != 0.0:
+                vk = pw_jk.get_k_kpts(cell, dmat, f_k, kpts, omega=omg_sr)
+                e += -fac * hyb_sr * jnp.sum(jnp.einsum(
+                    "kmn,knm->k", dmat, vk)).real / nk
+            return e
+
         if dm.ndim == 4:
             dm_tot = dm[0] + dm[1]
             vj = pw_jk.get_j_kpts(cell, dm_tot, f_k)
             ej = 0.5 * jnp.sum(jnp.einsum(
                 "kmn,knm->k", dm_tot, vj)).real / nk
-            ek = 0.0
-            for s in range(2):
-                if hyb == 0.0:
-                    break
-                vk = pw_jk.get_k_kpts(cell, dm[s], f_k, kpts)
-                ek += -0.5 * hyb * jnp.sum(jnp.einsum(
-                    "kmn,knm->k", dm[s], vk)).real / nk
-            return ej + ek
+            return ej + ek_term(dm[0], 0.5) + ek_term(dm[1], 0.5)
         vj = pw_jk.get_j_kpts(cell, dm, f_k)
         ej = 0.5 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vj)).real / nk
-        if hyb == 0.0:
-            return ej
-        vk = pw_jk.get_k_kpts(cell, dm, f_k, kpts)
-        return ej - 0.25 * hyb * jnp.sum(
-            jnp.einsum("kmn,knm->k", dm, vk)).real / nk
+        return ej + ek_term(dm, 0.25)
 
     def e2_isdf(positions, dm):
         x_k, wq = state(positions)
+        wq_sr = None
+        if hyb_sr:
+            wq, wq_sr = wq[0], wq[1]    # (nker, nk, nip, nip) unpack
         from fftisdf_tpu.isdf import jk as jkm
         phase_j = jax.lax.complex(phase_re, phase_im).astype(cdtype)
+
+        def ek_term(dm_s, fac):
+            """dm_s: (nset, nk, nao, nao) spin/set-stacked densities."""
+            e = 0.0
+            if hyb != 0.0:
+                vk = jkm.get_k_kpts(x_k, wq, phase_j, dm_s)
+                e += -fac * hyb * jnp.sum(jnp.einsum(
+                    "skmn,sknm->sk", dm_s, vk)).real / nk
+            if hyb_sr != 0.0:
+                vk = jkm.get_k_kpts(x_k, wq_sr, phase_j, dm_s)
+                e += -fac * hyb_sr * jnp.sum(jnp.einsum(
+                    "skmn,sknm->sk", dm_s, vk)).real / nk
+            return e
+
         if dm.ndim == 4:
             dm_tot = dm[0] + dm[1]
             vj = jkm.get_j_kpts(x_k, wq[0], dm_tot[None])[0]
             ej = 0.5 * jnp.sum(jnp.einsum(
                 "kmn,knm->k", dm_tot, vj)).real / nk
-            if hyb == 0.0:
-                return ej
-            vk = jkm.get_k_kpts(x_k, wq, phase_j, dm)
-            ek = -0.5 * hyb * jnp.sum(jnp.einsum(
-                "skmn,sknm->sk", dm, vk)).real / nk
-            return ej + ek
+            return ej + ek_term(dm, 0.5)
         vj = jkm.get_j_kpts(x_k, wq[0], dm[None])[0]
         ej = 0.5 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vj)).real / nk
-        if hyb == 0.0:
-            return ej
-        vk = jkm.get_k_kpts(x_k, wq, phase_j, dm[None])[0]
-        return ej - 0.25 * hyb * jnp.sum(
-            jnp.einsum("kmn,knm->k", dm, vk)).real / nk
+        return ej + ek_term(dm[None], 0.25)
 
     def energy(positions, dm, wdm, w_trace):
         # remat the AO evaluation (chi residuals dominate reverse memory)

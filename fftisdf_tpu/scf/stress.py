@@ -225,10 +225,14 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
         _ao_grad = xc_mod.bloch_ao_grad
         _get_tau = xc_mod.get_tau
     hyb = spec.hyb if spec is not None else 1.0
-    if spec is not None and getattr(spec, "hyb_sr", 0.0):
-        raise NotImplementedError(
-            "screened-hybrid (hyb_sr) stress: the SR-exchange "
-            "strain terms are not traced yet")
+    # screened hybrids (HSE06): the SR exchange is traced with the
+    # strain-dependent erfc-screened kernel — the screen factor
+    # exp(-|q+G|^2/4w^2) depends on strain through the reciprocal vectors,
+    # so it contributes to the stress beyond the bare 4pi/G^2 piece; the
+    # finite pi/w^2 value at q+G=0 is strain-independent.  The semilocal
+    # SR-wPBE term is an ordinary spec term inside exc_and_vxc.
+    hyb_sr = float(getattr(spec, "hyb_sr", 0.0)) if spec is not None else 0.0
+    omg_hse = float(spec.omega) if hyb_sr else None
     hub_sites = None
     if hubbard:
         from fftisdf_tpu.scf import hubbard as hub_mod
@@ -328,9 +332,22 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                 cg = jnp.where(zero, 0.0,
                                4.0 * jnp.pi / jnp.where(zero, 1.0, absg2))
                 ph = jax.lax.complex(jnp.cos(tq), jnp.sin(tq)).astype(cdt)
-                zeta = fft3(z_q * ph.conj()[None, :], mesh) * cg
-                zeta = ifft3(zeta, mesh) * ph[None, :] * (vol / ngrid)
-                return zeta @ z_q.conj().T
+                spec_f = fft3(z_q * ph.conj()[None, :], mesh)
+
+                def w_of(c):
+                    zeta = ifft3(spec_f * c, mesh) * ph[None, :] * (
+                        vol / ngrid)
+                    return zeta @ z_q.conj().T
+
+                if hyb_sr == 0.0:
+                    return w_of(cg)
+                # erfc-screened SR kernel under strain: 1 - exp(-G^2/4w^2)
+                # is traced through absg2(B); the q+G=0 sample pi/w^2 is
+                # kernel-finite and strain-independent
+                cg_sr = jnp.where(
+                    zero, jnp.pi / omg_hse ** 2,
+                    cg * -jnp.expm1(-absg2 / (4.0 * omg_hse ** 2)))
+                return jnp.stack([w_of(cg), w_of(cg_sr)])
 
             from fftisdf_tpu.linalg.solvers import FIT_FACTOR_POLICY
             # remat the sector pipeline only below f64 (memory vs the
@@ -339,24 +356,31 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
             pq = (jax.checkpoint(per_q, policy=FIT_FACTOR_POLICY)
                   if dtype != jnp.float64 else per_q)
             wq = jax.lax.map(pq, (x4_k, y, kscaled_j, tk.T))
+            wq_sr = None
+            if hyb_sr != 0.0:
+                wq, wq_sr = wq[:, 0], wq[:, 1]
+
+            def ek_term(dm_s, fac):
+                e = 0.0
+                if hyb != 0.0:
+                    vk = jkm.get_k_kpts(x_k, wq, phase, dm_s)
+                    e += -fac * hyb * jnp.sum(jnp.einsum(
+                        "skmn,sknm->sk", dm_s, vk)).real / nk
+                if hyb_sr != 0.0:
+                    vk = jkm.get_k_kpts(x_k, wq_sr, phase, dm_s)
+                    e += -fac * hyb_sr * jnp.sum(jnp.einsum(
+                        "skmn,sknm->sk", dm_s, vk)).real / nk
+                return e
+
             if dm.ndim == 4:
                 dm_t = dm[0] + dm[1]
                 vj = jkm.get_j_kpts(x_k, wq[0], dm_t[None])[0]
                 ej = 0.5 * jnp.sum(jnp.einsum(
                     "kmn,knm->k", dm_t, vj)).real / nk
-                if hyb == 0.0:
-                    return ej
-                vk = jkm.get_k_kpts(x_k, wq, phase, dm)
-                ek = -0.5 * hyb * jnp.sum(jnp.einsum(
-                    "skmn,sknm->sk", dm, vk)).real / nk
-                return ej + ek
+                return ej + ek_term(dm, 0.5)
             vj = jkm.get_j_kpts(x_k, wq[0], dm[None])[0]
             ej = 0.5 * jnp.sum(jnp.einsum("kmn,knm->k", dm, vj)).real / nk
-            if hyb == 0.0:
-                return ej
-            vk = jkm.get_k_kpts(x_k, wq, phase, dm[None])[0]
-            return ej - 0.25 * hyb * jnp.sum(
-                jnp.einsum("kmn,knm->k", dm, vk)).real / nk
+            return ej + ek_term(dm[None], 0.25)
 
     def energy(eps, dfrac, dm, wdm, w_trace):
         A = a0_j @ (eye3 + eps)
@@ -469,7 +493,10 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
             coulG * (nG.real ** 2 + nG.imag ** 2))
 
         # ---- exchange: pairwise Poisson solves, energy-only contraction
-        def ex_pairs(dmat):
+        # (omega: erfc-screened SR variant — the screen factor is traced
+        # through the strained |q+G|^2, the q+G=0 value pi/omega^2 is
+        # finite and strain-independent)
+        def ex_pairs(dmat, omega=None):
             def pair_body(idx):
                 k1 = idx // nk
                 k2 = idx % nk
@@ -491,6 +518,10 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
                 zero = absg2 < 1e-12
                 cg = jnp.where(zero, 0.0,
                                4.0 * jnp.pi / jnp.where(zero, 1.0, absg2))
+                if omega is not None:
+                    cg = jnp.where(
+                        zero, jnp.pi / omega ** 2,
+                        cg * -jnp.expm1(-absg2 / (4.0 * omega ** 2)))
                 rho = (ao1.conj()[:, :, None] * ao2[:, None, :]).reshape(
                     ngrid, -1)
                 work = fft3((rho * eiqr.conj()[:, None]).T, mesh) * cg
@@ -502,12 +533,20 @@ def make_cell_energy_fn(cell, kpts, dtype=jnp.float64, two_electron="pw",
             return jnp.sum(jax.lax.map(
                 pair_body, jnp.arange(nk * nk))) * (w / nk ** 2)
 
-        if hyb == 0.0:
+        def ex_all(dmat, fac):
+            e = 0.0
+            if hyb != 0.0:
+                e += -fac * hyb * ex_pairs(dmat)
+            if hyb_sr != 0.0:
+                e += -fac * hyb_sr * ex_pairs(dmat, omega=omg_hse)
+            return e
+
+        if hyb == 0.0 and hyb_sr == 0.0:
             e_k = 0.0         # pure functional: no pairwise Poisson loop
         elif dm.ndim == 4:
-            e_k = -0.5 * hyb * (ex_pairs(dm[0]) + ex_pairs(dm[1]))
+            e_k = ex_all(dm[0], 0.5) + ex_all(dm[1], 0.5)
         else:
-            e_k = -0.25 * hyb * ex_pairs(dm)
+            e_k = ex_all(dm, 0.25)
 
         return (e_kin + e_loc + e_nl + e_pulay + e_j + e_k + e_mad + e_xtra
                 + w_trace + e_nn(A, dfrac))

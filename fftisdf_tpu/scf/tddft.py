@@ -83,18 +83,17 @@ def _mo_setup(mf):
 
 
 def _spec_of(mf):
-    """(hyb, spec-or-None): exact-exchange fraction and xc terms."""
+    """(hyb, hyb_sr, omega, spec-or-None): exchange fractions (full-range
+    and erfc-screened SR with its range parameter) and xc terms."""
     spec = getattr(mf, "_spec", None)
     if spec is None:                      # KRHF
-        return 1.0, None
+        return 1.0, 0.0, 0.0, None
     if spec.is_mgga:
         raise NotImplementedError(
             "adiabatic meta-GGA kernel (tau response) not implemented")
-    if getattr(spec, "hyb_sr", 0.0):
-        raise NotImplementedError(
-            "screened-hybrid (hyb_sr) response kernel: the SR-exchange "
-            "coupling block is not implemented")
-    return spec.hyb, (spec if spec.terms else None)
+    hyb_sr = float(getattr(spec, "hyb_sr", 0.0))
+    return (spec.hyb, hyb_sr, float(getattr(spec, "omega", 0.0)),
+            spec if spec.terms else None)
 
 
 # ----------------------------------------------------------------------
@@ -269,8 +268,8 @@ class TDAOperator:
         cell, kpts = mf.cell, np.asarray(mf.kpts)
         nk = len(kpts)
         self.nk, self.q, self.singlet = nk, int(q), bool(singlet)
-        self.hyb, self.spec = _spec_of(mf)
-        if df is None and self.hyb != 0.0:
+        self.hyb, self.hyb_sr, self.omega, self.spec = _spec_of(mf)
+        if df is None and (self.hyb != 0.0 or self.hyb_sr != 0.0):
             raise ValueError("exact-exchange coupling (CIS/hybrid TDA) "
                              "needs a built FFTISDF: pass df=")
         mo_c, mo_e, nocc = _mo_setup(mf)
@@ -298,6 +297,10 @@ class TDAOperator:
             self.xo = jax.jit(lambda *a: jnp.stack(a))(*xo)
             self.xva = jax.jit(lambda *a: jnp.stack(a))(*xva)
             self.wq = df.wq
+            # screened hybrids (HSE06): the SR exchange block uses the
+            # erfc-screened metric from the same interpolation basis
+            self.wq_sr = (df.get_wq_omega(-self.omega)
+                          if self.hyb_sr != 0.0 else None)
             # Coulomb sector: pair (conj a at k_a, i at k_i) carries -q
             self.qc = int(k2c[self.ka_of[0], 0])
             # exchange sectors: pair (conj a at k_a, b at k_b) carries
@@ -368,6 +371,10 @@ class TDAOperator:
             ex = _exch_piece(self.xo, self.xva, self.wq, self.qx, xd,
                              self.nk)
             terms.append(_scale(ex, float(self.hyb)))
+        if self.hyb_sr != 0.0:
+            ex = _exch_piece(self.xo, self.xva, self.wq_sr, self.qx, xd,
+                             self.nk)
+            terms.append(_scale(ex, float(self.hyb_sr)))
         if self.spec is not None:
             terms.append(_xc_piece(self.psio, self.psiva, self.psio,
                                    self.psiva, self.rho0, self.gv, xd,
@@ -412,7 +419,7 @@ class UTDAOperator:
         cell, kpts = mf.cell, np.asarray(mf.kpts)
         nk = len(kpts)
         self.nk, self.q = nk, int(q)
-        self.hyb, self.spec = _spec_of(mf)
+        self.hyb, self.hyb_sr, self.omega, self.spec = _spec_of(mf)
         if df is None:
             raise ValueError("UTDA needs a built FFTISDF (df=)")
         mo_c = np.asarray(mf.mo_coeff)
@@ -448,6 +455,8 @@ class UTDAOperator:
         self._delta_dev = [to_device(d.astype(float), dtype=rdt)
                            for d in self.deltas]
         self.wq = df.wq
+        self.wq_sr = (df.get_wq_omega(-self.omega)
+                      if self.hyb_sr != 0.0 else None)
         self.qc = int(k2c[self.ka_of[0], 0])
         self.qx = to_device(k2c.astype(np.int32))
         if self.spec is not None:
@@ -503,6 +512,10 @@ class UTDAOperator:
                 ex = _exch_piece(self.xo[s], self.xva[s], self.wq,
                                  self.qx, xd[s], self.nk)
                 outs[s].append(_scale(ex, float(self.hyb)))
+            if self.hyb_sr != 0.0:
+                ex = _exch_piece(self.xo[s], self.xva[s], self.wq_sr,
+                                 self.qx, xd[s], self.nk)
+                outs[s].append(_scale(ex, float(self.hyb_sr)))
         if self.spec is not None:
             ya, yb = _xc_piece_u(self.psio[0], self.psiva[0],
                                  self.psio[1], self.psiva[1], self.rho0,
@@ -777,7 +790,7 @@ def _b_dense(mf, df, op, opm, k2c, singlet):
     b = np.zeros((n, n), dtype=complex)
     idx = lambda k, i, a_: (k * no + i) * nv + a_
 
-    if singlet or op.hyb != 0.0:
+    if singlet or op.hyb != 0.0 or op.hyb_sr != 0.0:
         assert df is not None, "Casida B couplings need df"
         for ki in range(nk):
             ka = int(op.ka_of[ki])
@@ -799,6 +812,14 @@ def _b_dense(mf, df, op, opm, k2c, singlet):
                     v = np.asarray(to_host(mo_eri(
                         df, (cv_a, co_j, cv_b, co_i), (ka, kj, kb, ki))))
                     blk -= op.hyb * v.transpose(3, 0, 1, 2).reshape(
+                        no * nv, no * nv)
+                if op.hyb_sr != 0.0:
+                    # screened-hybrid SR exchange block: same quadruple
+                    # through the erfc-screened metric
+                    v = np.asarray(to_host(mo_eri(
+                        df, (cv_a, co_j, cv_b, co_i), (ka, kj, kb, ki),
+                        wq=op.wq_sr)))
+                    blk -= op.hyb_sr * v.transpose(3, 0, 1, 2).reshape(
                         no * nv, no * nv)
                 r0, c0 = idx(ki, 0, 0), idx(kj, 0, 0)
                 b[r0:r0 + no * nv, c0:c0 + no * nv] += blk / nk

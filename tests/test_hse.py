@@ -205,3 +205,189 @@ def test_hse06_bands_reproduce_scf_eigenvalues(diamond_hse):
     # band-path SR-K comes from the exact pair sweep while the SCF serves
     # it from the compressed ISDF metric: agreement to compression error
     assert np.max(np.abs(es[:, :nocc + 1] - ref[:, :nocc + 1])) < 5e-5
+
+
+# ---- screened-hybrid derivatives ---------------------------------------
+
+def _he2_cell(dz=0.0, a_mat=None, box=8.0, mesh=14):
+    from fftisdf_tpu.lattice.cell import Cell, Shell
+
+    shells = [Shell(l=0, exps=np.array([0.8, 0.3]),
+                    coeffs=np.array([[0.4], [0.7]]))]
+    a = np.diag([box, box, box]) if a_mat is None else a_mat
+    frac = np.array([[0.5, 0.5, 0.35], [0.5, 0.5, 0.65 + dz / box]])
+    return Cell(
+        a=a,
+        atom=[("He", frac[0] @ a), ("He", frac[1] @ a)],
+        basis={"He": shells},
+        pseudo=None,
+        mesh=np.array([mesh] * 3),
+        unit="bohr",
+        precision=1e-12,
+    ).build()
+
+
+def test_hse06_forces_vs_finite_difference():
+    """Central-difference force gate for the screened hybrid: the
+    SR-exchange term (erfc kernel, incl. its finite q+G=0 sample) and the
+    SR-wPBE Pulay force must both be exact in the traced Lagrangian."""
+    from fftisdf_tpu.scf import grad as scf_grad
+
+    kmesh = [1, 1, 2]
+
+    def scf(dz=0.0):
+        cell = _he2_cell(dz=dz)
+        mf = KRKS(cell, cell.get_kpts(kmesh), xc="hse06", verbose=0,
+                  conv_tol=1e-12)
+        mf.kernel()
+        assert mf.converged
+        return mf
+
+    mf0 = scf()
+    g, val = scf_grad.kernel(mf0, two_electron="pw")
+    np.testing.assert_allclose(val, mf0.e_tot, atol=1e-9)
+
+    h = 2e-3
+    fd = (scf(+h).e_tot - scf(-h).e_tot) / (2 * h)
+    # 1e-6 like the SCAN gate: central-difference truncation at h=2e-3
+    # (measured 6e-7 on this fixture) dominates the analytic error
+    np.testing.assert_allclose(g[1, 2], fd, atol=1e-6)
+    np.testing.assert_allclose(g[0, 2], -g[1, 2], atol=5e-6)
+
+
+def test_hse06_stress_vs_fd():
+    """Strain gate for the screened hybrid: the SR kernel's screen factor
+    exp(-|q+G|^2/4w^2) is strain-dependent (unlike the q+G=0 value
+    pi/w^2), and its contribution must match central FD of re-converged
+    energies."""
+    from fftisdf_tpu.scf import stress as scf_stress
+
+    def scf_ks(a_mat=None):
+        cell = _he2_cell(a_mat=a_mat)
+        mf = KRKS(cell, cell.get_kpts([1, 1, 2]), xc="hse06", verbose=0,
+                  conv_tol=1e-11)
+        mf.kernel()
+        assert mf.converged
+        return mf
+
+    mf = scf_ks()
+    a0 = np.asarray(mf.cell.a)
+    vol = float(mf.cell.vol)
+    sigma, pressure, val = scf_stress.kernel(mf)
+    np.testing.assert_allclose(val, mf.e_tot, atol=1e-9)
+
+    h = 1e-4
+    exx = np.zeros((3, 3))
+    exx[0, 0] = 1.0
+    es = [scf_ks(a0 @ (np.eye(3) + s * exx)).e_tot for s in (+h, -h)]
+    fd_xx = (es[0] - es[1]) / (2 * h)
+    np.testing.assert_allclose(vol * sigma[0, 0], fd_xx,
+                               rtol=2e-5, atol=5e-7)
+
+
+def test_isdf_state_multi_kernel_matches_build():
+    """isdf_state_fn(omegas=...) returns (bare, screened) metrics that
+    match the non-differentiable build's wq / get_wq_omega at the same
+    frozen interpolation points (incl. the TRS mirror scatter)."""
+    from fftisdf_tpu.isdf.autodiff import isdf_state_fn
+    from fftisdf_tpu.lattice.cell import Cell
+
+    cell = Cell(
+        a=np.diag([5.0, 5.0, 7.0]),
+        atom=[("He", (2.5, 2.5, 2.0)), ("He", (2.5, 2.5, 4.5))],
+        basis="sto-3g",
+        pseudo=None,
+        mesh=np.array([15, 15, 21]),
+        unit="bohr",
+        precision=1e-12,
+    ).build()
+    kpts = cell.get_kpts([1, 1, 2])
+    df = FFTISDF(cell, kpts, c0=20.0, m0=(7, 7, 9), verbose=0).build()
+    wq_sr_ref = np.asarray(df.get_wq_omega(-0.6))
+    state = isdf_state_fn(cell, kpts, df.mask, m0=df.m0, solver=df.solver,
+                          rcond=df.rcond, omegas=(-0.6,))
+    x_k, wq = state(jnp.asarray(cell.atom_coords()))
+    assert wq.shape[0] == 2
+    # vs the build: 5e-6*scale, the state-vs-streaming-pipeline agreement
+    # of test_autodiff (different solve path through an ill-conditioned
+    # x4); vs the single-kernel state: near-exact (identical path)
+    scale = np.abs(np.asarray(df.wq)).max()
+    assert np.abs(np.asarray(wq[0]) - np.asarray(df.wq)).max() < 5e-6 * scale
+    assert np.abs(np.asarray(wq[1]) - wq_sr_ref).max() < 5e-6 * scale
+    state1 = isdf_state_fn(cell, kpts, df.mask, m0=df.m0, solver=df.solver,
+                           rcond=df.rcond)
+    _, wq_single = state1(jnp.asarray(cell.atom_coords()))
+    assert np.abs(np.asarray(wq[0]) - np.asarray(wq_single)).max() \
+        < 1e-10 * scale
+
+
+# ---- screened-hybrid response (TDA/TDDFT) -------------------------------
+
+@pytest.fixture(scope="module")
+def h2_gamma():
+    from fftisdf_tpu.lattice.cell import Cell, Shell
+
+    cell = Cell(
+        a=np.diag([6.0, 6.0, 7.0]),
+        atom=[("H", (3.0, 3.0, 1.8)), ("H", (3.0, 3.0, 3.2))],
+        basis={"H": [Shell(l=0, exps=np.array([1.2, 0.4]),
+                           coeffs=np.eye(2))]},
+        pseudo="gth-pade",
+        mesh=np.array([14, 14, 15]),
+        unit="bohr",
+        precision=1e-12,
+    ).build()
+    kpts = np.zeros((1, 3))
+    df = FFTISDF(cell, kpts, c0=60.0, m0=(11, 11, 13), verbose=0,
+                 select_tol=1e-18, rcond=1e-12).build()
+    return cell, kpts, df
+
+
+def test_hse06_utda_closed_shell_reduction(h2_gamma):
+    """Unrestricted HSE06 TDA on a closed-shell reference == the union of
+    the restricted singlet and triplet spectra — exercises the SR-exchange
+    coupling block (erfc-screened metric) in both operators, plus
+    hermiticity of the assembled response matrix."""
+    from fftisdf_tpu.scf.tddft import tda, utda
+
+    cell, kpts, df = h2_gamma
+    mf_r = KRKS(cell, kpts, xc="hse06", with_df=df, verbose=0,
+                conv_tol=1e-10)
+    mf_r.kernel()
+    assert mf_r.converged
+    mf_u = KUKS(cell, kpts, xc="hse06", with_df=df, verbose=0,
+                conv_tol=1e-10)
+    mf_u.kernel()
+    np.testing.assert_allclose(mf_u.e_tot, mf_r.e_tot, atol=1e-9)
+    ws, _ = tda(mf_r, df, q=0, nroots=0, dense=True)
+    wt, _ = tda(mf_r, df, q=0, singlet=False, nroots=0, dense=True)
+    wu, info = utda(mf_u, df, q=0, nroots=0, dense=True)
+    assert info["nonhermiticity"] < 1e-10
+    union = np.sort(np.concatenate([ws, wt]))
+    np.testing.assert_allclose(wu, union, atol=1e-8)
+
+
+def test_hse_tda_large_omega_reduces_to_pbe(h2_gamma):
+    """TDA spectrum of the HSE form at omega = 25 == PBE TDA: both the
+    SR-exchange coupling block and the SR-wPBE kernel term vanish."""
+    from fftisdf_tpu.scf.tddft import tda
+
+    cell, kpts, df = h2_gamma
+    key_t, key_f = "_wpbex25_tda_test", "_hse25_tda_test"
+    xc_mod._TERMS[key_t] = (partial(xc_mod._wpbe_x, omega=25.0), 1)
+    xc_mod._FUNCTIONALS[key_f] = xc_mod.XCSpec(
+        key_f, 0.0, ((1.0, "pbex"), (-0.25, key_t), (1.0, "pbec")),
+        hyb_sr=0.25, omega=25.0)
+    try:
+        mf_p = KRKS(cell, kpts, xc="pbe", with_df=df, verbose=0,
+                    conv_tol=1e-10)
+        mf_p.kernel()
+        mf_h = KRKS(cell, kpts, xc=key_f, with_df=df, verbose=0,
+                    conv_tol=1e-10)
+        mf_h.kernel()
+        w_p, _ = tda(mf_p, df, q=0, nroots=3, dense=True)
+        w_h, _ = tda(mf_h, df, q=0, nroots=3, dense=True)
+    finally:
+        xc_mod._TERMS.pop(key_t)
+        xc_mod._FUNCTIONALS.pop(key_f)
+    np.testing.assert_allclose(w_h, w_p, atol=3e-4)
