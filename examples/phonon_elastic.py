@@ -1,0 +1,100 @@
+"""Phonon dispersion + elastic constants driver.
+
+Frozen-phonon force constants on a supercell (scf.phonon: home-cell
+displacements, analytic force response on every supercell atom), harmonic
+thermodynamics on a BZ q-sample, and the Voigt elastic tensor by central
+FD of the analytic stress (scf.elastic).  Second-derivative capabilities
+the reference (single-point numpy scripts on PySCF) does not have at all.
+
+Runs on CPU (f64) by default; pass --tpu to use the default backend in f32.
+
+Usage: python examples/phonon_elastic.py [--nrep 2] [--mesh 12] [--temp 300]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mesh", type=int, default=12, help="transverse FFT mesh")
+    p.add_argument("--a", type=float, default=2.2, help="chain spacing, bohr")
+    p.add_argument("--box", type=float, default=7.0)
+    p.add_argument("--nrep", type=int, default=2, help="supercell along z")
+    p.add_argument("--temp", type=float, default=300.0)
+    p.add_argument("--tpu", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from fftisdf_tpu.lattice.cell import Cell, Shell
+    from fftisdf_tpu.scf import KRHF
+    from fftisdf_tpu.scf import elastic, phonon
+    from fftisdf_tpu.scf.hessian import HARTREE_TO_CM1  # noqa: F401
+
+    shells = [Shell(l=0, exps=np.array([2.5, 0.7]),
+                    coeffs=np.array([[0.6], [0.5]]))]
+    b, az = args.box, args.a
+    mz = max(6, int(round(args.mesh * az / b)) // 2 * 2)
+    cell = Cell(a=np.diag([b, b, az]),
+                atom=[("He", np.array([b / 2, b / 2, 0.0]))],
+                basis={"He": shells}, pseudo=None,
+                mesh=np.array([args.mesh, args.mesh, mz]),
+                unit="bohr", precision=1e-12).build()
+    mf = KRHF(cell, cell.get_kpts([1, 1, 1]), verbose=0, conv_tol=1e-11)
+
+    t0 = time.time()
+    nrep = (1, 1, args.nrep)
+    res = phonon.kernel(mf, nrep, step=2e-3)
+    print(f"[phonon] supercell {nrep} SCF+FC in {time.time()-t0:.1f} s, "
+          f"E_sc = {res.e_sc:.8f} Ha")
+    qline = np.linspace(0.0, 0.5, 6)[:, None] * \
+        cell.reciprocal_vectors()[2][None, :]
+    w = res.frequencies(qline)
+    for frac, wq in zip(np.linspace(0.0, 0.5, 6), w):
+        print(f"  q = {frac:4.2f} * b3 : " +
+              " ".join(f"{x:9.2f}" for x in wq) + "  cm^-1")
+    try:
+        th = res.thermodynamics((1, 1, 8), args.temp)
+    except ValueError:
+        # a free-standing chain buckles: the transverse branches are
+        # genuinely imaginary (no harmonic free energy exists for them);
+        # report the stable longitudinal subspace instead
+        print("[thermo] transverse branches imaginary (free-standing "
+              "chain buckles) - longitudinal subspace only:")
+        fc_l = res.fc[:, 2:, :, :, 2:]
+        th = phonon.thermodynamics(fc_l, res.masses_me, res.images,
+                                   cell, (1, 1, 8), args.temp)
+    print(f"[thermo] T={args.temp:.0f} K  ZPE={th['zpe']*1e3:.3f} mHa  "
+          f"F_vib={th['f_vib']*1e3:.3f} mHa  Cv/kB="
+          f"{th['cv']/phonon.KB_HA:.3f}")
+
+    # --- elastic constants of the simple-cubic He crystal
+    a0 = 4.0
+    cub = Cell(a=np.diag([a0] * 3), atom=[("He", np.zeros(3))],
+               basis={"He": shells}, pseudo=None,
+               mesh=np.array([10, 10, 10]), unit="bohr",
+               precision=1e-12).build()
+    mfc = KRHF(cub, cub.get_kpts([1, 1, 1]), verbose=0, conv_tol=1e-11)
+    mfc.kernel()
+    t0 = time.time()
+    er = elastic.kernel(mfc, step=3e-3, components=(0, 3))
+    print(f"[elastic] 2 Voigt components in {time.time()-t0:.1f} s")
+    cg = er.c_gpa
+    print(f"  C11 = {cg[0, 0]:9.3f} GPa   C12 = {cg[1, 0]:9.3f} GPa   "
+          f"C44 = {cg[3, 3]:9.3f} GPa")
+    print(f"  sigma0 diag (GPa): " +
+          " ".join(f"{x*elastic.HA_PER_BOHR3_TO_GPA:8.3f}"
+                   for x in np.diag(er.sigma0)))
+
+
+if __name__ == "__main__":
+    main()

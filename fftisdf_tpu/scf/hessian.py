@@ -85,7 +85,8 @@ class _FrozenPointDF:
                        ewald=ewald)
 
 
-def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
+def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True,
+           rows=None):
     """Nuclear Hessian d2E/dR2, shape (3*natm, 3*natm), Ha/bohr^2.
 
     ``mf`` must be converged at the reference geometry.  Each displaced SCF
@@ -99,6 +100,14 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
     difference as a step-independent Hessian bias.
     Returns ``(hess, g0)`` with ``g0`` the analytic gradient at the
     reference geometry.
+
+    ``rows`` (optional) restricts the displaced coordinates to the given
+    flat indices into ``(3*natm,)``; the result then has shape
+    ``(len(rows), 3*natm)`` — the mixed-derivative rows
+    ``d(grad_j)/d(x_i)`` for ``i in rows``.  This is the supercell
+    force-constant entry point (scf.phonon displaces home-cell atoms only
+    but needs force responses on every supercell atom); ``symmetrize`` is
+    ignored for partial rows.
     """
     assert getattr(mf, "dm", None) is not None and mf.converged
     if getattr(mf, "trunc", None) is not None:
@@ -151,14 +160,15 @@ def kernel(mf, step=1e-3, two_electron="pw", df=None, symmetrize=True):
         return np.asarray(g, dtype=np.float64).ravel()
 
     g0, _ = grad_fn(mf)
-    hess = np.empty((n, n))
-    for i in range(n):
+    idx = list(range(n)) if rows is None else [int(i) for i in rows]
+    hess = np.empty((len(idx), n))
+    for r, i in enumerate(idx):
         dx = np.zeros(n)
         dx[i] = step
         gp = grad_at((x0.ravel() + dx).reshape(-1, 3))
         gm = grad_at((x0.ravel() - dx).reshape(-1, 3))
-        hess[i] = (gp - gm) / (2.0 * step)
-    if symmetrize:
+        hess[r] = (gp - gm) / (2.0 * step)
+    if symmetrize and rows is None:
         hess = 0.5 * (hess + hess.T)
     return hess, np.asarray(g0)
 
