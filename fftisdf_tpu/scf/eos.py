@@ -1,0 +1,169 @@
+"""Equation of state: E(V) volume scans and Birch-Murnaghan fits.
+
+``kernel`` re-converges the SCF on isotropically scaled cells
+(A = s a0, atoms co-deformed at fixed fractions, FFT mesh unchanged — the
+exact functional scf.stress traces) and measures dE/dV ANALYTICALLY at
+every point through scf.stress's reusable cell-gradient evaluator, traced
+ONCE at the reference lattice and evaluated at eps = (s-1) I (the same
+shared-strain-coordinate device as scf.elastic).  The Birch-Murnaghan fit
+then has a built-in cross-gate: its -dE/dV must reproduce the analytic
+pressures at the scan points (two independent derivative paths — the fit
+differentiates interpolated energies, the evaluator reverse-differentiates
+each point's Lagrangian).
+
+The third-order Birch-Murnaghan energy is EXACTLY a cubic polynomial in
+x = V^(-2/3):
+
+    E(V) = c0 + c1 x + c2 x^2 + c3 x^3,
+
+so the fit is LINEAR least squares (no iterative optimizer, no starting
+guess), and (E0, V0, B0, B') follow in closed form: dE/dx = 0 is a
+quadratic in x (the physical root has d2E/dV2 > 0), B0 = V d2E/dV2 and
+B' = -d(ln B)/d(ln V) - 1 evaluated at V0 by chain rule through x(V).
+
+Together with scf.phonon.thermodynamics this is the quasi-harmonic
+ingredient set: minimize E(V) + F_vib(V, T) over the same volume grid.
+The reference repository has no total-energy scanning or EOS capability.
+"""
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from fftisdf_tpu.scf import stress as scf_stress
+from fftisdf_tpu.scf.elastic import HA_PER_BOHR3_TO_GPA, strained_cell
+from fftisdf_tpu.scf.optimize import _clone_mf
+
+
+def birch_murnaghan(v, e0, v0, b0, bp):
+    """Third-order Birch-Murnaghan energy at volume(s) ``v``."""
+    eta = (np.asarray(v, dtype=np.float64) / v0) ** (-2.0 / 3.0)
+    return e0 + 9.0 * v0 * b0 / 16.0 * (
+        (eta - 1.0) ** 3 * bp + (eta - 1.0) ** 2 * (6.0 - 4.0 * eta))
+
+
+def _poly_to_params(c):
+    """(E0, V0, B0, B') from E = c0 + c1 x + c2 x^2 + c3 x^3, x = V^(-2/3).
+
+    Returns NaNs when no physical stationary point (x > 0 with
+    d2E/dV2 > 0) lies on the fitted branch."""
+    c0, c1, c2, c3 = [float(x) for x in c]
+    # dE/dx = c1 + 2 c2 x + 3 c3 x^2 = 0
+    disc = 4.0 * c2 * c2 - 12.0 * c3 * c1
+    nan4 = (np.nan,) * 4
+    if disc < 0.0:
+        return nan4
+    roots = []
+    if abs(c3) > 1e-300:
+        sq = np.sqrt(disc)
+        roots = [(-2.0 * c2 + s * sq) / (6.0 * c3) for s in (+1.0, -1.0)]
+    elif abs(c2) > 1e-300:
+        roots = [-c1 / (2.0 * c2)]
+    best = None
+    for x in roots:
+        if x <= 0.0:
+            continue
+        v = x ** (-1.5)
+        # B = V d2E/dV2; with dE/dx = 0 at x0:
+        #   d2E/dV2 = (dx/dV)^2 d2E/dx2,  dx/dV = -(2/3) x / V
+        d2x = 2.0 * c2 + 6.0 * c3 * x
+        b = v * (2.0 / 3.0 * x / v) ** 2 * d2x
+        if b > 0.0 and (best is None or b > 0.0):
+            e = c0 + x * (c1 + x * (c2 + x * c3))
+            # B' = dB/dP at V0.  With E_x = 0 there:
+            #   B0 = (4/9) E_xx x^2 / V,
+            #   dB/dV = -(16/9) E_xx x^2/V^2 - (8/27) E_xxx x^3/V^2
+            #   (from x' = -(2/3) x/V, x'' = (10/9) x/V^2), hence
+            #   B' = -(dB/dV) V / B = 4 + (2/3) E_xxx x / E_xx.
+            bp = 4.0 + (2.0 / 3.0) * (6.0 * c3) * x / d2x
+            best = (e, v, b, bp)
+    return best if best is not None else nan4
+
+
+def fit_birch_murnaghan(volumes, energies):
+    """Linear BM3 fit.  Returns dict with e0, v0, b0 (Ha/bohr^3), b0_gpa,
+    bp, the raw cubic coefficients ``poly`` (in x = V^(-2/3)), and the
+    rms fit residual."""
+    v = np.asarray(volumes, dtype=np.float64)
+    e = np.asarray(energies, dtype=np.float64)
+    assert v.size >= 4, "BM3 has 4 parameters"
+    x = v ** (-2.0 / 3.0)
+    basis = np.stack([np.ones_like(x), x, x * x, x ** 3], axis=1)
+    c, *_ = np.linalg.lstsq(basis, e, rcond=None)
+    resid = basis @ c - e
+    e0, v0, b0, bp = _poly_to_params(c)
+    return {"e0": e0, "v0": v0, "b0": b0,
+            "b0_gpa": b0 * HA_PER_BOHR3_TO_GPA, "bp": bp,
+            "poly": np.asarray(c),
+            "rms": float(np.sqrt(np.mean(resid ** 2)))}
+
+
+def bm_pressure(poly, v):
+    """Analytic -dE/dV of the fitted cubic at volume(s) ``v``."""
+    v = np.asarray(v, dtype=np.float64)
+    x = v ** (-2.0 / 3.0)
+    dedx = poly[1] + 2.0 * poly[2] * x + 3.0 * poly[3] * x * x
+    return -dedx * (-(2.0 / 3.0) * x / v)
+
+
+@dataclass
+class EOSResult:
+    scales: np.ndarray       # linear scale factors s (V = s^3 V0_ref)
+    volumes: np.ndarray      # bohr^3
+    energies: np.ndarray     # Ha (SCF total energies at each volume)
+    pressures: np.ndarray    # Ha/bohr^3, ANALYTIC -dE/dV at each point
+    fit: dict = field(default_factory=dict)   # fit_birch_murnaghan output
+
+    @property
+    def pressures_gpa(self):
+        return self.pressures * HA_PER_BOHR3_TO_GPA
+
+
+def kernel(mf, scales=None, energy_tol=1e-7):
+    """E(V) scan + analytic pressures + BM3 fit for a converged ``mf``.
+
+    ``scales`` are LINEAR lattice scale factors (default 5 points over
+    +/- 3%); each point re-converges the SCF warm-started from ``mf.dm``
+    on the scaled cell and evaluates dE/dV through the one
+    reference-traced strain evaluator at eps = (s-1) I.  ``mf.xc`` /
+    ``mf.hubbard`` / ``mf.exxdiv`` are honored."""
+    assert getattr(mf, "dm", None) is not None and mf.converged
+    if getattr(mf, "trunc", None) is not None:
+        raise NotImplementedError("EOS with a truncated Coulomb kernel")
+    cell = mf.cell
+    vol0 = float(cell.vol)
+    scales = np.linspace(0.97, 1.03, 5) if scales is None \
+        else np.asarray(scales, dtype=np.float64)
+
+    fn = scf_stress.make_cell_grad_fn(
+        cell, mf.kpts, exxdiv=getattr(mf, "exxdiv", None),
+        xc=getattr(mf, "xc", None), hubbard=getattr(mf, "hubbard", None))
+
+    vols, es, ps = [], [], []
+    for s in scales:
+        eps = (float(s) - 1.0) * np.eye(3)
+        if abs(s - 1.0) < 1e-14:
+            nmf, val = mf, float(mf.e_tot)
+        else:
+            nmf = _clone_mf(mf, strained_cell(cell, eps))
+            nmf.kernel(dm0=mf.dm)
+            if not nmf.converged:
+                raise RuntimeError(
+                    f"SCF did not converge at scale {s}; narrow `scales` "
+                    "or loosen conv_tol")
+        val, geps, _ = fn(nmf, eps=eps)
+        if abs(val - nmf.e_tot) > energy_tol * max(1.0, abs(val)):
+            raise RuntimeError(
+                f"strain-Lagrangian value {val:.10f} != scaled SCF energy "
+                f"{nmf.e_tot:.10f} at scale {s}: outside the frozen "
+                "image-list validity region (narrow `scales`)")
+        # dE/dV: E(s) with V = s^3 V0; dE/ds = tr(dE/deps0) (isotropic
+        # direction), dV/ds = 3 s^2 V0
+        dedv = float(np.trace(geps)) / (3.0 * float(s) ** 2 * vol0)
+        vols.append(float(s) ** 3 * vol0)
+        es.append(float(val))
+        ps.append(-dedv)
+    vols = np.asarray(vols)
+    es = np.asarray(es)
+    return EOSResult(scales=scales, volumes=vols, energies=es,
+                     pressures=np.asarray(ps),
+                     fit=fit_birch_murnaghan(vols, es))

@@ -1,0 +1,82 @@
+"""Equation-of-state gates (scf.eos).
+
+* the linear BM3 fit recovers synthetic Birch-Murnaghan parameters
+  (e0, v0, b0, bp) to machine precision — the closed-form x = V^(-2/3)
+  parameter extraction is exact, not an optimizer;
+* on a real SCF volume scan, the fitted -dE/dV must reproduce the
+  ANALYTIC pressures measured point-by-point through the reference-traced
+  strain evaluator (two independent derivative paths: interpolation of
+  energies vs reverse-mode of each point's Lagrangian);
+* the unscaled point reuses the converged reference (energy bit-equal).
+"""
+import numpy as np
+
+from fftisdf_tpu.lattice.cell import Cell, Shell
+from fftisdf_tpu.scf import KRHF
+from fftisdf_tpu.scf import eos
+
+A0 = 4.0
+
+
+def he_sc_cell():
+    shells = [Shell(l=0, exps=np.array([2.5, 0.7]),
+                    coeffs=np.array([[0.6], [0.5]]))]
+    return Cell(
+        a=np.diag([A0, A0, A0]),
+        atom=[("He", np.zeros(3))],
+        basis={"He": shells},
+        pseudo=None,
+        mesh=np.array([10, 10, 10]),
+        unit="bohr",
+        precision=1e-12,
+    ).build()
+
+
+def test_bm3_fit_exact_recovery():
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        e0 = rng.uniform(-10.0, 10.0)
+        v0 = rng.uniform(50.0, 300.0)
+        b0 = rng.uniform(1e-3, 5e-2)
+        bp = rng.uniform(2.0, 7.0)
+        v = np.linspace(0.85 * v0, 1.15 * v0, 9)
+        fit = eos.fit_birch_murnaghan(v, eos.birch_murnaghan(v, e0, v0,
+                                                             b0, bp))
+        assert fit["rms"] < 1e-12 * max(1.0, abs(e0))
+        np.testing.assert_allclose(fit["e0"], e0, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(fit["v0"], v0, rtol=1e-9)
+        np.testing.assert_allclose(fit["b0"], b0, rtol=1e-7)
+        np.testing.assert_allclose(fit["bp"], bp, rtol=1e-6)
+        # fitted pressure == analytic BM3 pressure everywhere on the scan
+        h = 1e-6 * v0
+        p_fd = -(eos.birch_murnaghan(v + h, e0, v0, b0, bp)
+                 - eos.birch_murnaghan(v - h, e0, v0, b0, bp)) / (2 * h)
+        np.testing.assert_allclose(eos.bm_pressure(fit["poly"], v), p_fd,
+                                   rtol=1e-5, atol=1e-12)
+
+
+def test_eos_scan_pressure_crossgate():
+    cell = he_sc_cell()
+    mf = KRHF(cell, cell.get_kpts([1, 1, 1]), verbose=0, conv_tol=1e-11)
+    mf.kernel()
+    assert mf.converged
+
+    res = eos.kernel(mf, scales=np.linspace(0.97, 1.03, 5))
+    assert np.isfinite(res.energies).all()
+    np.testing.assert_allclose(res.volumes,
+                               res.scales ** 3 * float(cell.vol),
+                               rtol=1e-14)
+    # the s = 1 point reuses the converged reference SCF
+    i1 = int(np.argmin(np.abs(res.scales - 1.0)))
+    assert abs(res.energies[i1] - mf.e_tot) < 1e-9
+
+    # fit quality: BM3 represents a smooth E(V) over +/-3% essentially
+    # exactly relative to the energy variation across the scan
+    de = res.energies.max() - res.energies.min()
+    assert res.fit["rms"] < 1e-4 * de
+
+    # cross-gate: fitted -dE/dV vs the analytic per-point pressures
+    p_fit = eos.bm_pressure(res.fit["poly"], res.volumes)
+    scale = np.abs(res.pressures).max()
+    assert scale > 0.0
+    np.testing.assert_allclose(p_fit, res.pressures, atol=5e-3 * scale)
