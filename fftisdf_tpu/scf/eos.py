@@ -118,6 +118,41 @@ class EOSResult:
         return self.pressures * HA_PER_BOHR3_TO_GPA
 
 
+def qha(volumes, e_el, f_vib, temperatures):
+    """Quasi-harmonic approximation on a volume grid: minimize
+    F(V; T) = E_el(V) + F_vib(V; T) per temperature via the BM3 fit.
+
+    ``e_el`` (nv,) are the SCF energies of an E(V) scan (EOSResult.energies)
+    and ``f_vib`` (nt, nv) the harmonic vibrational free energies at the
+    same volumes (scf.phonon.thermodynamics per scan point, 'f_vib' entry).
+
+    Returns dict of (nt,) arrays: ``v0`` equilibrium volume, ``b0`` /
+    ``b0_gpa`` isothermal bulk modulus, ``f0`` free energy at the minimum,
+    and ``alpha_v`` the volumetric thermal-expansion coefficient
+    d ln V0 / dT by central differences over ``temperatures`` (one-sided
+    at the ends; NaN for a single temperature)."""
+    volumes = np.asarray(volumes, dtype=np.float64)
+    e_el = np.asarray(e_el, dtype=np.float64)
+    f_vib = np.atleast_2d(np.asarray(f_vib, dtype=np.float64))
+    ts = np.asarray(temperatures, dtype=np.float64)
+    assert f_vib.shape == (ts.size, volumes.size)
+    v0 = np.empty(ts.size)
+    b0 = np.empty(ts.size)
+    f0 = np.empty(ts.size)
+    for i in range(ts.size):
+        fit = fit_birch_murnaghan(volumes, e_el + f_vib[i])
+        v0[i], b0[i], f0[i] = fit["v0"], fit["b0"], fit["e0"]
+    alpha = np.full(ts.size, np.nan)
+    if ts.size >= 2:
+        lnv = np.log(v0)
+        alpha[1:-1] = (lnv[2:] - lnv[:-2]) / (ts[2:] - ts[:-2])
+        alpha[0] = (lnv[1] - lnv[0]) / (ts[1] - ts[0])
+        alpha[-1] = (lnv[-1] - lnv[-2]) / (ts[-1] - ts[-2])
+    return {"temperatures": ts, "v0": v0, "b0": b0,
+            "b0_gpa": b0 * HA_PER_BOHR3_TO_GPA, "f0": f0,
+            "alpha_v": alpha}
+
+
 def kernel(mf, scales=None, energy_tol=1e-7):
     """E(V) scan + analytic pressures + BM3 fit for a converged ``mf``.
 

@@ -80,3 +80,41 @@ def test_eos_scan_pressure_crossgate():
     scale = np.abs(res.pressures).max()
     assert scale > 0.0
     np.testing.assert_allclose(p_fit, res.pressures, atol=5e-3 * scale)
+
+
+def test_qha_grueneisen_oracle():
+    """QHA on a synthetic model: BM3 electronic energy + one Einstein mode
+    with Grueneisen scaling w(V) = w0 (V/v0)^(-gamma).  The qha-fitted
+    V0(T) must track a dense direct minimization of the exact F(V, T), and
+    thermal expansion must be positive for gamma > 0."""
+    from fftisdf_tpu.scf.phonon import KB_HA
+
+    e0, v0, b0, bp = -2.0, 150.0, 5e-3, 4.3
+    w0, gamma = 1.5e-3, 1.8
+
+    def f_vib_exact(v, t):
+        w = w0 * (v / v0) ** (-gamma)
+        f = w / 2.0
+        if t > 0:
+            f = f + KB_HA * t * np.log1p(-np.exp(-w / (KB_HA * t)))
+        return f
+
+    vols = np.linspace(0.92 * v0, 1.12 * v0, 9)
+    e_el = eos.birch_murnaghan(vols, e0, v0, b0, bp)
+    ts = np.array([0.0, 150.0, 300.0, 600.0])
+    f_vib = np.array([[f_vib_exact(v, t) for v in vols] for t in ts])
+
+    out = eos.qha(vols, e_el, f_vib, ts)
+
+    vfine = np.linspace(vols[0], vols[-1], 20001)
+    for i, t in enumerate(ts):
+        f_exact = eos.birch_murnaghan(vfine, e0, v0, b0, bp) \
+            + f_vib_exact(vfine, t)
+        v_oracle = vfine[np.argmin(f_exact)]
+        np.testing.assert_allclose(out["v0"][i], v_oracle, rtol=2e-3)
+    # ZPE alone already expands the lattice for gamma > 0, and heating
+    # expands it further while softening the bulk modulus
+    assert out["v0"][0] > v0
+    assert np.all(np.diff(out["v0"]) > 0)
+    assert out["b0"][-1] < out["b0"][0]
+    assert np.all(out["alpha_v"][1:] > 0)
