@@ -31,7 +31,9 @@ import numpy as np
 
 from fftisdf_tpu.scf import stress as scf_stress
 from fftisdf_tpu.scf.elastic import HA_PER_BOHR3_TO_GPA, strained_cell
+from fftisdf_tpu.scf.hessian import HARTREE_TO_CM1
 from fftisdf_tpu.scf.optimize import _clone_mf
+from fftisdf_tpu.scf.phonon import KB_HA
 
 
 def birch_murnaghan(v, e0, v0, b0, bp):
@@ -151,6 +153,64 @@ def qha(volumes, e_el, f_vib, temperatures):
     return {"temperatures": ts, "v0": v0, "b0": b0,
             "b0_gpa": b0 * HA_PER_BOHR3_TO_GPA, "f0": f0,
             "alpha_v": alpha}
+
+
+def gruneisen(volumes, freqs_cm, temperature=None, b0=None, v0=None):
+    """Mode-Grueneisen parameters from a volume scan of the phonon
+    spectrum: ``gamma_i = -d ln w_i / d ln V``, by linear least squares of
+    ln w_i against ln V over the scan (EXACT for power-law w(V) — the
+    quasi-harmonic ansatz — for any volume spacing).
+
+    ``freqs_cm``: (nv, nq, nmode) or (nv, nmode) frequencies in cm^-1 at
+    each scan volume (``scf.phonon.frequencies`` on each scaled cell's
+    force constants; mode ordering must be consistent across the scan,
+    which sorted dynamical-matrix eigenvalues give away from band
+    crossings).  Modes nonpositive anywhere in the scan (acoustic Gamma
+    modes, ASR residue) get gamma = 0 and zero weight.
+
+    With ``temperature`` (K), ``b0`` (Ha/bohr^3) and ``v0`` (bohr^3, the
+    equilibrium volume the relation is evaluated at — defaults to the scan
+    midpoint), also returns the Grueneisen thermal expansion
+
+        alpha_V(T) = sum_{q,i} gamma_{q,i} c_{q,i}(T) / (B0 V0 nq),
+
+    the closed-form QHA limit that ``qha`` obtains by explicit F(V, T)
+    minimization — the two must agree near equilibrium (gated in
+    tests/test_eos.py), and per-mode c_{q,i} is the Einstein heat capacity
+    of the mid-scan frequency.  The reference repository has no phonon or
+    EOS capability at all.
+    """
+    volumes = np.asarray(volumes, dtype=np.float64)
+    w = np.asarray(freqs_cm, dtype=np.float64)
+    assert w.shape[0] == volumes.size and volumes.size >= 2
+    shape = w.shape[1:]
+    nq = shape[0] if w.ndim == 3 else 1
+    w = w.reshape(volumes.size, -1)
+    ok = (w > 0.0).all(axis=0)
+    lnv = np.log(volumes) - np.log(volumes).mean()
+    denom = (lnv * lnv).sum()
+    gamma = np.zeros(w.shape[1])
+    lnw = np.log(np.where(ok[None, :], w, 1.0))
+    gamma[ok] = -(lnv @ (lnw - lnw.mean(axis=0)))[ok] / denom
+    out = {"gamma": gamma.reshape(shape), "mask": ok.reshape(shape)}
+    iv = int(np.argmin(np.abs(volumes - np.median(volumes))))
+    if temperature is not None:
+        t = float(temperature)
+        cv = np.zeros(w.shape[1])
+        if t > 0.0:
+            x = w[iv, ok] / HARTREE_TO_CM1 / (KB_HA * t)
+            ex = np.exp(-x)   # exp(x) overflows for stiff modes at low T
+            cv[ok] = KB_HA * x * x * ex / (1.0 - ex) ** 2
+        out["cv_modes"] = cv.reshape(shape)
+        wsum = cv.sum()
+        out["gamma_mean"] = (float((gamma * cv).sum() / wsum) if wsum > 0.0
+                             else float(gamma[ok].mean()) if ok.any()
+                             else 0.0)
+        if b0 is not None:
+            vref = float(volumes[iv]) if v0 is None else float(v0)
+            out["alpha_v"] = float((gamma * cv).sum() / (float(b0) * vref
+                                                         * nq))
+    return out
 
 
 def kernel(mf, scales=None, energy_tol=1e-7):

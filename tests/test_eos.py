@@ -118,3 +118,48 @@ def test_qha_grueneisen_oracle():
     assert np.all(np.diff(out["v0"]) > 0)
     assert out["b0"][-1] < out["b0"][0]
     assert np.all(out["alpha_v"][1:] > 0)
+
+
+def test_gruneisen_einstein_oracle():
+    """Power-law mode scaling w_i(V) = w0_i (V/v0)^(-g_i): mode gammas
+    recovered to machine precision (ln w is exactly linear in ln V), a
+    zero acoustic column masked out, and the closed-form Grueneisen
+    alpha_V = sum gamma_i cv_i / (B0 V0) matching the explicit qha
+    F(V, T) minimization on the same model."""
+    from fftisdf_tpu.scf.hessian import HARTREE_TO_CM1
+    from fftisdf_tpu.scf.phonon import KB_HA
+
+    e0, v0, b0, bp = -2.0, 150.0, 5e-3, 4.3
+    w0_cm = np.array([300.0, 700.0, 1100.0])
+    g_true = np.array([1.2, 1.8, 0.9])
+
+    vols = np.linspace(0.95 * v0, 1.05 * v0, 7)
+    # (nv, nq=1, nmode), with a zero acoustic column that must be masked
+    freqs = np.array([
+        np.concatenate([[0.0], w0_cm * (v / v0) ** (-g_true)])[None, :]
+        for v in vols])
+
+    out = eos.gruneisen(vols, freqs)
+    np.testing.assert_allclose(out["gamma"][0, 1:], g_true, atol=1e-12)
+    assert out["gamma"][0, 0] == 0.0 and not bool(out["mask"][0, 0])
+
+    # Grueneisen relation vs explicit QHA minimization at T = 300 K
+    t = 300.0
+
+    def f_vib(v, ti):
+        w = w0_cm * (v / v0) ** (-g_true) / HARTREE_TO_CM1
+        f = w.sum() / 2.0
+        if ti > 0:
+            f = f + KB_HA * ti * np.log1p(-np.exp(-w / (KB_HA * ti))).sum()
+        return f
+
+    e_el = eos.birch_murnaghan(vols, e0, v0, b0, bp)
+    ts = np.array([t - 5.0, t, t + 5.0])
+    fv = np.array([[f_vib(v, ti) for v in vols] for ti in ts])
+    ref = eos.qha(vols, e_el, fv, ts)
+
+    out = eos.gruneisen(vols, freqs, temperature=t, b0=ref["b0"][1],
+                        v0=ref["v0"][1])
+    assert out["alpha_v"] > 0.0
+    np.testing.assert_allclose(out["alpha_v"], ref["alpha_v"][1], rtol=0.05)
+    assert 0.9 < out["gamma_mean"] < 1.8
