@@ -27,6 +27,10 @@ def main():
     p.add_argument("--box", type=float, default=7.0)
     p.add_argument("--nrep", type=int, default=2, help="supercell along z")
     p.add_argument("--temp", type=float, default=300.0)
+    p.add_argument("--qha", action="store_true",
+                   help="quasi-harmonic thermal expansion of an H2 "
+                        "molecular chain (E(V) scan + Gamma phonons per "
+                        "volume + F(V,T) minimization + Grueneisen)")
     p.add_argument("--tpu", action="store_true")
     args = p.parse_args()
 
@@ -39,6 +43,61 @@ def main():
     from fftisdf_tpu.scf import KRHF
     from fftisdf_tpu.scf import elastic, phonon
     from fftisdf_tpu.scf.hessian import HARTREE_TO_CM1  # noqa: F401
+
+    if args.qha:
+        from fftisdf_tpu.lattice import structure
+        from fftisdf_tpu.scf import eos
+
+        # GTH H2 chain with the bond tuned so p = 0 falls inside the scan
+        # (co-scaled bond tension vs intermolecular chain repulsion)
+        axy, az, dz = 6.0, 4.5, 0.54
+        cell = structure.to_cell(
+            np.diag([axy, axy, az]),
+            [("H", np.array([axy / 2, axy / 2, az / 2 - dz])),
+             ("H", np.array([axy / 2, axy / 2, az / 2 + dz]))],
+            basis="gth-szv", pseudo="gth-pade", ke_cutoff=30.0)
+        mf = KRHF(cell, cell.get_kpts([1, 1, 1]), verbose=0, conv_tol=1e-11)
+        mf.kernel()
+        t0 = time.time()
+        out = eos.qha_kernel(mf, [0.0, args.temp],
+                             scales=np.linspace(0.94, 1.06, 5),
+                             nrep=(1, 1, 1), step=2e-3)
+        print(f"[qha] 5-volume scan + Gamma phonons in "
+              f"{time.time()-t0:.1f} s")
+        g = out["gamma"][0]
+        mask = out["gamma_mask"]
+        print("  mode gammas (optical): " +
+              " ".join(f"{x:7.3f}" for x in g[mask[0]]))
+
+        # this stiff toy's optical modes are frozen at room temperature
+        # (w ~ 2000+ cm^-1), so also report at kT = hbar*w_min where the
+        # expansion is actually active — recomputed from the recorded
+        # spectra, no new SCF
+        freqs, res = out["freqs_cm"], out["eos"]
+        w_ha = np.clip(freqs, 0.0, None) / HARTREE_TO_CM1
+        t1 = freqs[:, mask].min() / HARTREE_TO_CM1 / phonon.KB_HA
+        ts = [0.0, args.temp, 0.7 * t1, t1, 1.3 * t1]
+
+        def f_vib(iv, t):
+            w = w_ha[iv][w_ha[iv] > 0.0]
+            if t <= 0.0:
+                return w.sum() / 2.0 / w_ha.shape[1]
+            return (w / 2.0 + phonon.KB_HA * t
+                    * np.log1p(-np.exp(-w / (phonon.KB_HA * t)))
+                    ).sum() / w_ha.shape[1]
+
+        fv = np.array([[f_vib(iv, t) for iv in range(res.volumes.size)]
+                       for t in ts])
+        ref = eos.qha(res.volumes, res.energies, fv, np.asarray(ts))
+        for i, t in enumerate(ts):
+            ag = (eos.gruneisen(res.volumes, freqs, temperature=float(t),
+                                b0=ref["b0"][i], v0=ref["v0"][i])["alpha_v"]
+                  if t > 0 else float("nan"))
+            print(f"  T={t:7.1f} K  V0={ref['v0'][i]:9.4f} bohr^3  "
+                  f"B0={ref['b0_gpa'][i]:8.3f} GPa  "
+                  f"alpha_V(FD)={ref['alpha_v'][i]:11.4e}  "
+                  f"alpha_V(Grueneisen)={ag:11.4e} 1/K")
+        return
 
     shells = [Shell(l=0, exps=np.array([2.5, 0.7]),
                     coeffs=np.array([[0.6], [0.5]]))]

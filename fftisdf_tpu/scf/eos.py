@@ -155,7 +155,8 @@ def qha(volumes, e_el, f_vib, temperatures):
             "alpha_v": alpha}
 
 
-def gruneisen(volumes, freqs_cm, temperature=None, b0=None, v0=None):
+def gruneisen(volumes, freqs_cm, temperature=None, b0=None, v0=None,
+              freq_floor_cm=1.0):
     """Mode-Grueneisen parameters from a volume scan of the phonon
     spectrum: ``gamma_i = -d ln w_i / d ln V``, by linear least squares of
     ln w_i against ln V over the scan (EXACT for power-law w(V) — the
@@ -165,8 +166,10 @@ def gruneisen(volumes, freqs_cm, temperature=None, b0=None, v0=None):
     each scan volume (``scf.phonon.frequencies`` on each scaled cell's
     force constants; mode ordering must be consistent across the scan,
     which sorted dynamical-matrix eigenvalues give away from band
-    crossings).  Modes nonpositive anywhere in the scan (acoustic Gamma
-    modes, ASR residue) get gamma = 0 and zero weight.
+    crossings).  Modes below ``freq_floor_cm`` anywhere in the scan
+    (acoustic Gamma modes and ASR/FD residue, which the force-constant
+    noise can leave at either sign near zero) get gamma = 0 and zero
+    weight.
 
     With ``temperature`` (K), ``b0`` (Ha/bohr^3) and ``v0`` (bohr^3, the
     equilibrium volume the relation is evaluated at — defaults to the scan
@@ -186,7 +189,7 @@ def gruneisen(volumes, freqs_cm, temperature=None, b0=None, v0=None):
     shape = w.shape[1:]
     nq = shape[0] if w.ndim == 3 else 1
     w = w.reshape(volumes.size, -1)
-    ok = (w > 0.0).all(axis=0)
+    ok = (w > float(freq_floor_cm)).all(axis=0)
     lnv = np.log(volumes) - np.log(volumes).mean()
     denom = (lnv * lnv).sum()
     gamma = np.zeros(w.shape[1])
@@ -210,6 +213,58 @@ def gruneisen(volumes, freqs_cm, temperature=None, b0=None, v0=None):
             vref = float(volumes[iv]) if v0 is None else float(v0)
             out["alpha_v"] = float((gamma * cv).sum() / (float(b0) * vref
                                                          * nq))
+    return out
+
+
+def qha_kernel(mf, temperatures, scales=None, nrep=(1, 1, 1), qmesh=None,
+               step=1e-3, masses=None, energy_tol=1e-7):
+    """Full quasi-harmonic pipeline on a converged primitive-cell SCF:
+    E(V) scan (``kernel``), frozen-phonon force constants and harmonic
+    free energies per scan volume (``scf.phonon.kernel`` on each scaled
+    cell), F(V, T) minimization (``qha``), and mode-Grueneisen analysis
+    (``gruneisen``) over the same scan — first-principles thermal
+    expansion in one call.
+
+    ``nrep`` is the phonon supercell and ``qmesh`` the BZ sample for the
+    vibrational free energy (defaults to ``nrep``, the exactly-folded
+    set).  At least 4 scan points are needed for the per-temperature BM3
+    fit.  Returns the ``qha`` dict extended with ``eos`` (EOSResult),
+    ``freqs_cm`` (nv, nq, nmode) phonon scans, ``gamma`` / ``gamma_mask``
+    mode-Grueneisen parameters, and ``alpha_v_gruneisen`` (nt,) — the
+    closed-form Grueneisen thermal expansion, an internal cross-check on
+    the FD ``alpha_v`` from the explicit minimization."""
+    from fftisdf_tpu.scf import phonon as scf_phonon
+
+    res = kernel(mf, scales=scales, energy_tol=energy_tol)
+    if res.scales.size < 4:
+        raise ValueError("qha_kernel needs >= 4 scan points for the "
+                         "per-temperature BM3 fit")
+    ts = np.atleast_1d(np.asarray(temperatures, dtype=np.float64))
+    qmesh = tuple(int(n) for n in (nrep if qmesh is None else qmesh))
+    cell = mf.cell
+    fvib = np.empty((ts.size, res.scales.size))
+    freqs = []
+    for j, s in enumerate(res.scales):
+        tmpl = mf if abs(float(s) - 1.0) < 1e-14 else _clone_mf(
+            mf, strained_cell(cell, (float(s) - 1.0) * np.eye(3)))
+        ph = scf_phonon.kernel(tmpl, nrep, step=step, masses=masses)
+        freqs.append(ph.frequencies(ph.cell.get_kpts(list(qmesh))))
+        for i, t in enumerate(ts):
+            fvib[i, j] = ph.thermodynamics(qmesh, float(t))["f_vib"]
+    freqs = np.asarray(freqs)
+
+    out = qha(res.volumes, res.energies, fvib, ts)
+    out["eos"] = res
+    out["f_vib"] = fvib
+    out["freqs_cm"] = freqs
+    g0 = gruneisen(res.volumes, freqs)
+    out["gamma"], out["gamma_mask"] = g0["gamma"], g0["mask"]
+    ag = np.full(ts.size, np.nan)
+    for i, t in enumerate(ts):
+        if t > 0.0:
+            ag[i] = gruneisen(res.volumes, freqs, temperature=float(t),
+                              b0=out["b0"][i], v0=out["v0"][i])["alpha_v"]
+    out["alpha_v_gruneisen"] = ag
     return out
 
 

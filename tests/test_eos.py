@@ -163,3 +163,69 @@ def test_gruneisen_einstein_oracle():
     assert out["alpha_v"] > 0.0
     np.testing.assert_allclose(out["alpha_v"], ref["alpha_v"][1], rtol=0.05)
     assert 0.9 < out["gamma_mean"] < 1.8
+
+
+def test_qha_kernel_h2_chain():
+    """End-to-end quasi-harmonic pipeline on an H2 molecular chain:
+    E(V) scan + frozen Gamma phonons per volume + F(V,T) minimization.
+    (GTH-pseudopotential H2 with the bond tuned so the co-scaled-bond
+    tension balances the intermolecular chain repulsion: p crosses zero
+    INSIDE the scan, so the BM3 minimum is interior and physical.
+    All-electron toys fail here — the bare -Z/r potential on the FFT grid
+    gives a quadrature-dominated E(V) slope that swamps the physics.)
+    Gates: the 3 ASR-pinned acoustic columns masked out of the Grueneisen
+    analysis, V0(T) inside the scan, and the closed-form Grueneisen
+    thermal expansion consistent (sign and magnitude) with the explicit
+    qha FD alpha_V — two independent routes through the same scan."""
+    from fftisdf_tpu.lattice import structure
+
+    axy, az, d = 6.0, 4.5, 0.54
+    cell = structure.to_cell(
+        np.diag([axy, axy, az]),
+        [("H", np.array([axy / 2, axy / 2, az / 2 - d])),
+         ("H", np.array([axy / 2, axy / 2, az / 2 + d]))],
+        basis="gth-szv", pseudo="gth-pade", ke_cutoff=30.0)
+    mf = KRHF(cell, cell.get_kpts([1, 1, 1]), verbose=0, conv_tol=1e-11)
+    mf.kernel()
+    assert mf.converged
+
+    from fftisdf_tpu.scf.hessian import HARTREE_TO_CM1
+    from fftisdf_tpu.scf.phonon import KB_HA
+
+    out = eos.qha_kernel(mf, [0.0, 300.0],
+                         scales=np.linspace(0.94, 1.06, 5),
+                         nrep=(1, 1, 1), step=2e-3)
+
+    assert out["freqs_cm"].shape == (5, 1, 6)
+    # ASR pins the 3 Gamma acoustic modes to ~0 -> excluded from gammas
+    mask = out["gamma_mask"][0]
+    assert mask.sum() == 3 and not mask[:3].any()
+    assert np.isfinite(out["v0"]).all()
+    assert out["eos"].volumes[0] < out["v0"][0] < out["eos"].volumes[-1]
+
+    # thermal-expansion cross-gate at a temperature where the optical
+    # modes are ACTIVE (kT ~ hbar*w of the softest optical mode; at 300 K
+    # every ~2000+ cm^-1 mode of this stiff toy is frozen, cv ~ 0, and
+    # both routes correctly report ~zero expansion — nothing to compare).
+    # No new SCF needed: f_vib recomputed from the recorded spectra.
+    vols, e_el = out["eos"].volumes, out["eos"].energies
+    freqs = out["freqs_cm"]
+    w_ha = np.clip(freqs, 0.0, None) / HARTREE_TO_CM1     # (nv, nq, nmode)
+    w_min = freqs[:, out["gamma_mask"]].min() / HARTREE_TO_CM1
+    t1 = w_min / KB_HA                                    # kT = hbar w_min
+    ts = np.array([0.7 * t1, t1, 1.3 * t1])
+
+    def f_vib(iv, t):
+        w = w_ha[iv][w_ha[iv] > 0.0]
+        nq = w_ha.shape[1]
+        return (w / 2.0 + KB_HA * t
+                * np.log1p(-np.exp(-w / (KB_HA * t)))).sum() / nq
+
+    fv = np.array([[f_vib(iv, t) for iv in range(vols.size)] for t in ts])
+    ref = eos.qha(vols, e_el, fv, ts)
+    a_fd = ref["alpha_v"][1]                              # central FD at t1
+    a_gr = eos.gruneisen(vols, freqs, temperature=float(t1),
+                         b0=ref["b0"][1], v0=ref["v0"][1])["alpha_v"]
+    assert np.isfinite(a_fd) and np.isfinite(a_gr)
+    assert a_fd * a_gr > 0.0
+    assert 0.3 < abs(a_gr / a_fd) < 3.0
