@@ -76,10 +76,13 @@ def main():
         freqs, res = out["freqs_cm"], out["eos"]
         w_ha = np.clip(freqs, 0.0, None) / HARTREE_TO_CM1
         t1 = freqs[:, mask].min() / HARTREE_TO_CM1 / phonon.KB_HA
-        ts = [0.0, args.temp, 0.7 * t1, t1, 1.3 * t1]
+        # qha's central differences assume strictly increasing temperatures
+        # (--temp above 0.7*t1 would otherwise scramble the stencil)
+        ts = sorted({0.0, float(args.temp), 0.7 * t1, t1, 1.3 * t1})
+        floor = 1.0 / HARTREE_TO_CM1   # drop ASR/noise residue modes
 
         def f_vib(iv, t):
-            w = w_ha[iv][w_ha[iv] > 0.0]
+            w = w_ha[iv][w_ha[iv] > floor]
             if t <= 0.0:
                 return w.sum() / 2.0 / w_ha.shape[1]
             return (w / 2.0 + phonon.KB_HA * t

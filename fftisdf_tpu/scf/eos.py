@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from fftisdf_tpu.scf import phonon as scf_phonon
 from fftisdf_tpu.scf import stress as scf_stress
 from fftisdf_tpu.scf.elastic import HA_PER_BOHR3_TO_GPA, strained_cell
 from fftisdf_tpu.scf.hessian import HARTREE_TO_CM1
@@ -198,21 +199,32 @@ def gruneisen(volumes, freqs_cm, temperature=None, b0=None, v0=None,
     out = {"gamma": gamma.reshape(shape), "mask": ok.reshape(shape)}
     iv = int(np.argmin(np.abs(volumes - np.median(volumes))))
     if temperature is not None:
-        t = float(temperature)
-        cv = np.zeros(w.shape[1])
-        if t > 0.0:
-            x = w[iv, ok] / HARTREE_TO_CM1 / (KB_HA * t)
-            ex = np.exp(-x)   # exp(x) overflows for stiff modes at low T
-            cv[ok] = KB_HA * x * x * ex / (1.0 - ex) ** 2
-        out["cv_modes"] = cv.reshape(shape)
-        wsum = cv.sum()
-        out["gamma_mean"] = (float((gamma * cv).sum() / wsum) if wsum > 0.0
-                             else float(gamma[ok].mean()) if ok.any()
-                             else 0.0)
-        if b0 is not None:
-            vref = float(volumes[iv]) if v0 is None else float(v0)
-            out["alpha_v"] = float((gamma * cv).sum() / (float(b0) * vref
-                                                         * nq))
+        out.update(_gruneisen_thermal(
+            gamma, w[iv], ok, nq, float(temperature), b0=b0,
+            v0=float(volumes[iv]) if v0 is None else float(v0),
+            shape=shape))
+    return out
+
+
+def _gruneisen_thermal(gamma, w_mid_cm, ok, nq, t, b0=None, v0=None,
+                       shape=None):
+    """Per-temperature part of :func:`gruneisen` (Einstein mode heat
+    capacities of the mid-scan frequencies, cv-weighted mean gamma and the
+    closed-form alpha_V) — factored out so a caller scanning temperatures
+    fits the gammas ONCE (qha_kernel)."""
+    cv = np.zeros(gamma.size)
+    if t > 0.0:
+        x = w_mid_cm[ok] / HARTREE_TO_CM1 / (KB_HA * t)
+        ex = np.exp(-x)   # exp(x) overflows for stiff modes at low T
+        cv[ok] = KB_HA * x * x * ex / (1.0 - ex) ** 2
+    out = {"cv_modes": cv.reshape(shape) if shape is not None else cv}
+    wsum = cv.sum()
+    out["gamma_mean"] = (float((gamma * cv).sum() / wsum) if wsum > 0.0
+                         else float(gamma[ok].mean()) if ok.any()
+                         else 0.0)
+    if b0 is not None:
+        out["alpha_v"] = float((gamma * cv).sum() / (float(b0) * float(v0)
+                                                     * nq))
     return out
 
 
@@ -233,8 +245,6 @@ def qha_kernel(mf, temperatures, scales=None, nrep=(1, 1, 1), qmesh=None,
     mode-Grueneisen parameters, and ``alpha_v_gruneisen`` (nt,) — the
     closed-form Grueneisen thermal expansion, an internal cross-check on
     the FD ``alpha_v`` from the explicit minimization."""
-    from fftisdf_tpu.scf import phonon as scf_phonon
-
     res = kernel(mf, scales=scales, energy_tol=energy_tol)
     if res.scales.size < 4:
         raise ValueError("qha_kernel needs >= 4 scan points for the "
@@ -259,11 +269,19 @@ def qha_kernel(mf, temperatures, scales=None, nrep=(1, 1, 1), qmesh=None,
     out["freqs_cm"] = freqs
     g0 = gruneisen(res.volumes, freqs)
     out["gamma"], out["gamma_mask"] = g0["gamma"], g0["mask"]
+    # per-T alpha reuses the ONE log-log gamma fit above (only the Einstein
+    # cv weights depend on T)
+    gam = g0["gamma"].reshape(-1)
+    ok = g0["mask"].reshape(-1)
+    nq = freqs.shape[1]
+    iv = int(np.argmin(np.abs(res.volumes - np.median(res.volumes))))
+    w_mid = freqs[iv].reshape(-1)
     ag = np.full(ts.size, np.nan)
     for i, t in enumerate(ts):
         if t > 0.0:
-            ag[i] = gruneisen(res.volumes, freqs, temperature=float(t),
-                              b0=out["b0"][i], v0=out["v0"][i])["alpha_v"]
+            ag[i] = _gruneisen_thermal(gam, w_mid, ok, nq, float(t),
+                                       b0=out["b0"][i],
+                                       v0=out["v0"][i])["alpha_v"]
     out["alpha_v_gruneisen"] = ag
     return out
 

@@ -142,7 +142,7 @@ KB_HA = 3.166811563e-6   # Boltzmann constant, Ha / K
 
 
 def thermodynamics(fc, masses_me, images, cell, qmesh, temperature,
-                   imag_tol=-5.0):
+                   imag_tol=-5.0, freq_floor_cm=1.0):
     """Harmonic vibrational thermodynamics per primitive cell, from the
     phonon spectrum Fourier-interpolated on a uniform ``qmesh`` BZ sample.
 
@@ -151,9 +151,15 @@ def thermodynamics(fc, masses_me, images, cell, qmesh, temperature,
     quasi-harmonic ingredients (E(V) + f_vib(V, T) minimization).
 
     Modes with wavenumber below ``imag_tol`` cm^-1 raise (a genuinely
-    unstable structure has no harmonic free energy); the [imag_tol, 0)
-    band — ASR residue and interpolation noise — is clamped to zero and
-    contributes nothing.
+    unstable structure has no harmonic free energy); the
+    [imag_tol, freq_floor_cm) band — acoustic Gamma modes, ASR residue and
+    interpolation noise, which force-constant noise leaves at EITHER sign
+    near zero — is excluded entirely.  The positive floor matters: a
+    spurious +1e-3 cm^-1 residue mode contributes ~0 ZPE but
+    kT ln(1 - e^{-x}) ~ kT ln x ~ -0.1 Ha of classical-limit entropy at
+    room temperature, an O(1) free-energy artifact whose presence flips
+    with the noise sign per geometry (observed to corrupt E(V)+F_vib QHA
+    scans; same floor semantics as eos.gruneisen).
     """
     w_cm = frequencies(fc, masses_me, images,
                        cell.get_kpts([int(m) for m in qmesh]))
@@ -163,7 +169,7 @@ def thermodynamics(fc, masses_me, images, cell, qmesh, temperature,
             f"{imag_tol}: unstable structure, no harmonic free energy")
     w = np.clip(w_cm, 0.0, None) / HARTREE_TO_CM1      # Ha, (nq, nmode)
     nq = w.shape[0]
-    pos = w[w > 0.0]
+    pos = w[w > float(freq_floor_cm) / HARTREE_TO_CM1]
     zpe = 0.5 * pos.sum() / nq
     t = float(temperature)
     out = {"zpe": zpe, "f_vib": zpe, "u_vib": zpe, "s_vib": 0.0, "cv": 0.0,
