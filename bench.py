@@ -2,20 +2,46 @@
 
 Recreates the reference's only benchmark harness (``/root/reference/
 fftisdf.py:441-467``: FFTDF JK vs ISDF build+JK on the same system, with the
-vj/vk accuracy printed) as a reproducible script.  Prints ONE JSON line:
+vj/vk accuracy printed) as a reproducible script.
 
-    {"metric": "isdf_build_jk_wall_s", "value": <s>, "unit": "s",
-     "vs_baseline": <exact_jk_s / isdf_total_s>, ...}
+STAGED, INCREMENTAL OUTPUT: the run is a sequence of stages and the script
+re-prints the (flushed) cumulative JSON line after EVERY completed stage —
+the driver parses the LAST line of stdout, so a timeout that kills the
+process anywhere loses only the unfinished stage, never the whole run
+(round-2 lesson: one print at the very end + a driver timeout = zero
+recorded numbers).  Stages, in value order:
 
-vs_baseline > 1 means ISDF (including its one-time build) beats the exact
-plane-wave J/K build it replaces, at the reported accuracy.  On TPU the run
-uses f32/complex64 (no c128 on TPU); on CPU f64.
+  1. core       — ISDF build + J/K serve at the headline config
+                  (NiO 4x4x4 gth-szv ke=100 c0=40)
+  2. exact      — exact plane-wave J/K baseline + vj/vk errors at 1.
+  3. c0_sweep   — ISDF errors vs the SAME exact baseline at extra c0
+                  values (accuracy-vs-compression convergence evidence)
+  4. production — the reference driver's exact config (NiO 4x4x4,
+                  gth-dzvp-molopt-sr, ke=200, c0=40, m0=15^3 —
+                  ``fftisdf.py:423-432,461-462``), build + serve time +
+                  roofline (the exact baseline is infeasible at this scale
+                  on one chip — the regime ISDF exists for)
+  5. production_accuracy — same basis/ke/c0 on a 2x2x2 sub-mesh, where the
+                  exact plane-wave oracle DOES fit one chip: vj/vk errors
+                  at the production compression regime, plus a c0=60 point
+                  for the convergence direction.
 
-Flags: --quick (smaller system), --system diamond|nio, --c0, --ke,
---production (the reference driver's exact config: NiO 4x4x4,
-gth-dzvp-molopt-sr, ke_cutoff=200, c0=40, m0=[15,15,15] —
-``/root/reference/fftisdf.py:423-432,461-462`` — which exercises the
-HBM-budgeted sector chunking), --basis.
+Each stage is gated on a wall-clock budget (``FFTISDF_BENCH_BUDGET_S`` env
+or --budget-s, default 2700 s): a stage whose estimated cost exceeds the
+remaining budget is skipped and recorded as such — the JSON always lands.
+
+The one-line schema: {"metric": "...", "value": N, "unit": "s",
+"vs_baseline": N, ...}; vs_baseline > 1 means ISDF (including its one-time
+build) beats the exact plane-wave J/K path it replaces over a 20-iteration
+SCF, at the reported accuracy.  On TPU the run uses f32/complex64 (no c128
+on TPU); on CPU f64.
+
+GDF arm status (reference harness's third column, ``fftisdf.py:446-457``):
+the reference times PySCF GDF, whose compact auxiliary basis (naux ~ 3-10x
+nao) this framework does not implement — the in-repo cderi machinery
+(isdf.thc.pw_cderi) is a FULL-RANK plane-wave oracle (naux = ngrid), so
+timing it would re-time the exact baseline, not a GDF analog.  Recorded
+in the JSON as ``gdf_arm`` with this reason.
 
 FLOP / bandwidth accounting: closed-form real-FLOP counts of the dense
 algebra (complex GEMM = 8 mn k real flops, 3D FFT = 5 n log2 n per row) for
@@ -27,6 +53,7 @@ for the big streamed tensors give a bandwidth utilization bound (819 GB/s).
 """
 import argparse
 import json
+import os
 import time
 from functools import partial
 
@@ -104,69 +131,157 @@ def _backend_alive(timeout=240.0):
         return False
 
 
+class _Budget:
+    """Wall-clock budget for stage gating.  ``allows(est)`` is consulted
+    BEFORE starting a stage; a started stage is never preempted (a stuck
+    remote compile cannot be interrupted anyway — incremental emission is
+    what bounds the damage)."""
+
+    def __init__(self, total_s):
+        self.t0 = time.monotonic()
+        self.total = float(total_s)
+
+    def elapsed(self):
+        return time.monotonic() - self.t0
+
+    def remaining(self):
+        return self.total - self.elapsed()
+
+    def allows(self, est_s):
+        return self.remaining() > est_s
+
+
+def _emit(out):
+    print(json.dumps(out), flush=True)
+
+
+def _r(x, nd=4):
+    """round() that maps nan/inf (skipped stage) to JSON null."""
+    if x is None:
+        return None
+    x = float(x)
+    return None if (x != x or x in (float("inf"), float("-inf"))) \
+        else round(x, nd)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--production", action="store_true",
-                   help="reference driver config: NiO 4x4x4 dzvp-molopt-sr "
-                        "ke=200 c0=40 m0=15^3")
+                   help="run ONLY the reference driver config: NiO 4x4x4 "
+                        "dzvp-molopt-sr ke=200 c0=40 m0=15^3")
     p.add_argument("--no-production", action="store_true",
-                   help="skip the production-config build that the default "
-                        "(flagless) run appends as the 'production' field")
+                   help="skip the production-config stages of the default "
+                        "(flagless) run")
     p.add_argument("--system", default="nio", choices=["diamond", "nio"])
     # c0=40 is the reference driver's accuracy point (fftisdf.py:461); the
     # flagless run therefore reports vj/vk errors in the production
-    # compression regime (round-1 verdict weak #4).  --quick drops to the
-    # c0=20 default (c0=40 on the coarse quick parent grid m0=13 is a
-    # pathological fit nobody runs: over-complete selection, f32-hostile)
+    # compression regime.  --quick drops to the c0=20 default (c0=40 on the
+    # coarse quick parent grid m0=13 is a pathological fit nobody runs:
+    # over-complete selection, f32-hostile)
     p.add_argument("--c0", type=float, default=None)
     p.add_argument("--ke", type=float, default=None)
     p.add_argument("--kmesh", type=int, nargs=3, default=None)
     p.add_argument("--basis", default=None)
     p.add_argument("--max-memory-gb", type=float, default=12.0)
-    p.add_argument("--build-reps", type=int, default=2,
-                   help="timed warm builds (best-of); 1 bounds the cost of "
-                        "production-size runs")
-    p.add_argument("--exact-reps", type=int, default=2,
-                   help="exact-baseline runs (first pays compile); 0 skips "
-                        "the baseline entirely (no vs_baseline/error "
-                        "fields), 1 reports compile-inclusive baseline time "
-                        "(conservative: favors the baseline)")
+    p.add_argument("--build-reps", type=int, default=1,
+                   help="timed warm builds (best-of) after the compile-"
+                        "paying warmup build")
+    p.add_argument("--exact-reps", type=int, default=1,
+                   help="exact-baseline runs; 0 skips the baseline "
+                        "entirely (no vs_baseline/error fields); with the "
+                        "persistent compile cache 1 rep is usually warm")
+    p.add_argument("--budget-s", type=float,
+                   default=float(os.environ.get("FFTISDF_BENCH_BUDGET_S",
+                                                2700.0)),
+                   help="wall-clock budget; stages whose estimated cost "
+                        "exceeds the remainder are skipped (JSON records "
+                        "them as skipped)")
+    p.add_argument("--no-c0-sweep", action="store_true")
     args = p.parse_args()
+    budget = _Budget(args.budget_s)
     if not _backend_alive():
         # dead accelerator transport: fall back to a small CPU run so
         # the driver still gets its JSON line (backend field says cpu)
         jax.config.update("jax_platforms", "cpu")
         args.quick = True
         args.exact_reps = min(args.exact_reps, 1)
-    out = run(args)
+
+    # stage 1+2(+3): the core config (or the production config under
+    # --production, or the small config under --quick)
+    sweep = None
+    if (not args.quick and not args.production and not args.no_c0_sweep):
+        sweep = [20.0]
+    out = run(args, budget=budget, c0_sweep=sweep)
+    _emit(out)
+
+    on_tpu = out.get("backend") == "tpu"
     if (not args.production and not args.quick and not args.no_production
-            and out.get("backend") == "tpu"):
-        # the flagless (driver) run also records the reference driver's
-        # production config (NiO 4x4x4 dzvp-molopt-sr ke=200 c0=40,
-        # fftisdf.py:423-432,461-462).  The exact plane-wave baseline is
-        # infeasible at this scale on one chip (the AO tensor alone
-        # exceeds HBM) — exactly the regime ISDF exists for — so the
-        # production entry reports build/serve time + roofline only.
+            and on_tpu):
+        # stage 4: the reference driver's production config, time+roofline
         import copy
-        pargs = copy.copy(args)
-        pargs.production, pargs.basis = True, None
-        pargs.build_reps, pargs.exact_reps = 1, 0
-        # 14.6 GB reaches qchunk=2 (two sectors per grid sweep) on the
-        # 15.75 GB v5e with the split-stage pipeline; run() falls back to
-        # 12 GB if the allocator disagrees
-        pargs.max_memory_gb = max(pargs.max_memory_gb, 14.6)
-        pout = run(pargs)
-        out["production"] = {k: pout.get(k) for k in (
-            "isdf_build_s", "isdf_jk_s", "nk", "nao", "ngrid", "nip",
-            "c0", "ke_cutoff", "basis", "nchunks", "max_memory_gb",
-            "build_tflops",
-            "build_mfu", "build_hbm_gb", "build_hbm_bw_util", "jk_tflops",
-            "jk_mfu")}
-    print(json.dumps(out))
+        if budget.allows(240.0):
+            pargs = copy.copy(args)
+            pargs.production, pargs.basis = True, None
+            pargs.build_reps, pargs.exact_reps = 1, 0
+            # 14.6 GB reaches qchunk=2 (two sectors per grid sweep) on the
+            # 15.75 GB v5e with the split-stage pipeline; run() falls back
+            # to 12 GB if the allocator disagrees
+            pargs.max_memory_gb = max(pargs.max_memory_gb, 14.6)
+            try:
+                pout = run(pargs, budget=budget)
+                out["production"] = {k: pout.get(k) for k in (
+                    "isdf_build_s", "isdf_jk_s", "nk", "nao", "ngrid",
+                    "nip", "c0", "ke_cutoff", "basis", "nchunks",
+                    "max_memory_gb", "build_tflops", "build_mfu",
+                    "build_hbm_gb", "build_hbm_bw_util", "jk_tflops",
+                    "jk_mfu")}
+            except Exception as e:  # noqa: BLE001 — record, keep emitting
+                out["production"] = {"error": f"{type(e).__name__}: {e}"}
+        else:
+            out["production"] = {"skipped": "budget"}
+        _emit(out)
+
+        # stage 5: production-regime ACCURACY on the 2x2x2 sub-mesh where
+        # the exact plane-wave oracle fits one chip (same basis/ke/c0/m0;
+        # oracle: pw.jk on the full ke=200 FFT mesh), plus a c0=60 point
+        # for the convergence direction
+        if budget.allows(300.0):
+            aargs = copy.copy(args)
+            aargs.production = False
+            aargs.quick = False
+            aargs.system = "nio"
+            aargs.c0, aargs.ke = 40.0, 200.0
+            aargs.kmesh = [2, 2, 2]
+            aargs.basis = "gth-dzvp-molopt-sr"
+            aargs.build_reps, aargs.exact_reps = 1, 1
+            aargs.max_memory_gb = 12.0
+            try:
+                aout = run(aargs, budget=budget, c0_sweep=[60.0])
+                out["production_accuracy"] = {
+                    "oracle": "exact plane-wave J/K at the full ke=200 "
+                              "FFT mesh, NiO 2x2x2 sub-mesh",
+                    **{k: aout.get(k) for k in (
+                        "isdf_build_s", "isdf_jk_s", "exact_jk_s", "nk",
+                        "nao", "ngrid", "nip", "c0", "vj_maxerr",
+                        "vj_scale", "vk_maxerr", "vk_scale", "c0_sweep")}}
+            except Exception as e:  # noqa: BLE001
+                out["production_accuracy"] = {
+                    "error": f"{type(e).__name__}: {e}"}
+        else:
+            out["production_accuracy"] = {"skipped": "budget"}
+        out["gdf_arm"] = {
+            "skipped": "no GDF analog in-repo: the reference's GDF arm "
+                       "(fftisdf.py:446-457) times PySCF GDF's compact "
+                       "auxiliary basis (naux ~ 3-10x nao); the in-repo "
+                       "cderi oracle (isdf.thc.pw_cderi) is full-rank "
+                       "plane-wave (naux = ngrid), so timing it would "
+                       "re-time the exact baseline column"}
+        _emit(out)
 
 
-def run(args):
+def run(args, budget=None, c0_sweep=None):
+    budget = budget or _Budget(float("inf"))
     if args.production:
         args.system = "nio"
         args.c0 = 40.0
@@ -193,10 +308,9 @@ def run(args):
         # TPU matmuls default to bf16 passes; scientific f32 needs the
         # 6-pass f32 path (measured: 170x accuracy difference on J/K).
         # FFTISDF_BENCH_PRECISION=high selects the 3-pass compromise.
-        import os as _os
         jax.config.update("jax_default_matmul_precision",
-                          _os.environ.get("FFTISDF_BENCH_PRECISION",
-                                          "highest"))
+                          os.environ.get("FFTISDF_BENCH_PRECISION",
+                                         "highest"))
 
     if args.system == "diamond":
         ke = args.ke or (50.0 if args.quick else 100.0)
@@ -232,61 +346,18 @@ def run(args):
     from fftisdf_tpu.utils.device import to_device
     dm_dev = to_device(dmc, dtype=cdtype)
 
-    # ---------------- ISDF: build + serve (the fast path) ----------------
     # parent-grid density drives selection quality: (7,7,7) starves NiO's
     # semicore Ni (nip capped at 343 -> ~8% J error); (13,13,13) reaches the
     # usual f32 floor in quick mode too
     m0 = (tuple(min(15, int(m)) for m in cell.mesh) if not args.quick
           else tuple(min(13, int(m)) for m in cell.mesh))
-    def make_df(budget):
-        return FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0,
-                       dtype=dtype, max_memory_gb=budget)
 
-    @jax.jit
-    def _wq_probe(w):
-        return jnp.sum(jnp.abs(jnp.real(w)))
-
-    # warmup build: pays XLA compilation (one-time per shape); the timed
-    # build below reuses the compile cache, measuring the actual pipeline.
-    # An aggressive HBM budget (the production sub-run asks for 14.6 GB to
-    # reach qchunk=2) can lose to allocator slack the per-stage peak model
-    # does not see — fall back to the conservative default instead of
-    # dying (the driver's flagless run must always emit its JSON line).
-    budget = args.max_memory_gb
-    try:
-        df = make_df(budget).build()
-        float(_wq_probe(df.wq))     # surface async execution-time OOM too
-    except Exception as e:
-        if budget <= 12.0 or "memory" not in str(e).lower():
-            raise
-        budget = 12.0
-        df = make_df(budget).build()
-    args.max_memory_gb = budget
-    nip_first = df.nip
-    # free the warmup state before the timed build: at production sizes the
-    # retained w_q (3+ GB) would steal the headroom the pipeline needs
-    df.x_k = df.wq = None
-    del df
     # NB: block_until_ready does not actually block on async tunnel
     # transports — sync through a jitted device-reduced scalar fetch (also
     # keeps complex math under jit, required on complex-hostile transports).
-    # Warm build timing is best-of-2 (remote dispatch varies ~20%).
     @jax.jit
     def _sync(*arrs):
         return sum(jnp.sum(jnp.abs(jnp.real(a))) for a in arrs)
-
-    t_build = float("inf")
-    for _ in range(max(args.build_reps, 1)):
-        t0 = time.perf_counter()
-        df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0,
-                     dtype=dtype, max_memory_gb=args.max_memory_gb).build()
-        float(_sync(df.wq))
-        t_build = min(t_build, time.perf_counter() - t0)
-    if df.nip != nip_first:  # shape change would retrigger compiles
-        t_build = float("nan")
-
-    kmesh_t = tuple(int(m) for m in df.kmesh)
-    ws = df.get_ws()   # density-independent image-space serve metric
 
     # NB: complex device arrays must be jit *arguments*, not closures —
     # closure constants are embedded via a host round-trip that complex-
@@ -297,16 +368,78 @@ def run(args):
         vk = jk_mod.get_k_kpts_img(x_k, ws, dm[None], kmesh)[0]
         return vj, vk
 
-    args_i = (df.x_k, df.wq[0], ws, dm_dev)
-    vj_i, vk_i = isdf_jk(*args_i, kmesh=kmesh_t)  # compile
-    float(_sync(vj_i, vk_i))
-    t0 = time.perf_counter()
-    vj_i, vk_i = isdf_jk(*args_i, kmesh=kmesh_t)
-    float(_sync(vj_i, vk_i))
-    t_isdf_jk = time.perf_counter() - t0
+    @jax.jit
+    def _errs(a, b):
+        return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
 
-    # ---------------- exact plane-wave baseline ----------------
+    def isdf_arm(c0, max_gb, build_reps, with_warmup=True):
+        """Build + serve at compression c0.  Returns timings, metadata and
+        the served (vj, vk) device arrays."""
+        def make_df(budget_gb):
+            return FFTISDF(cell, kpts, c0=c0, m0=m0, verbose=0,
+                           dtype=dtype, max_memory_gb=budget_gb)
+
+        @jax.jit
+        def _wq_probe(w):
+            return jnp.sum(jnp.abs(jnp.real(w)))
+
+        # warmup build: pays XLA compilation (one-time per shape); the
+        # timed build below reuses the compile cache, measuring the actual
+        # pipeline.  An aggressive HBM budget (the production sub-run asks
+        # for 14.6 GB to reach qchunk=2) can lose to allocator slack the
+        # per-stage peak model does not see — fall back to the
+        # conservative default instead of dying.
+        gb = max_gb
+        try:
+            df = make_df(gb).build()
+            float(_wq_probe(df.wq))  # surface async execution-time OOM too
+        except Exception as e:
+            if gb <= 12.0 or "memory" not in str(e).lower():
+                raise
+            gb = 12.0
+            df = make_df(gb).build()
+        nip_first = df.nip
+        # free the warmup state before the timed build: at production
+        # sizes the retained w_q (3+ GB) would steal the headroom the
+        # pipeline needs.  Warm timing is best-of-N (remote dispatch
+        # varies ~20%).
+        df.x_k = df.wq = None
+        del df
+        t_build = float("inf")
+        for _ in range(max(build_reps, 1)):
+            t0 = time.perf_counter()
+            df = make_df(gb).build()
+            float(_sync(df.wq))
+            t_build = min(t_build, time.perf_counter() - t0)
+        if df.nip != nip_first:  # shape change would retrigger compiles
+            t_build = float("nan")
+
+        kmesh_t = tuple(int(m) for m in df.kmesh)
+        ws = df.get_ws()  # density-independent image-space serve metric
+        args_i = (df.x_k, df.wq[0], ws, dm_dev)
+        vj_i, vk_i = isdf_jk(*args_i, kmesh=kmesh_t)  # compile
+        float(_sync(vj_i, vk_i))
+        t0 = time.perf_counter()
+        vj_i, vk_i = isdf_jk(*args_i, kmesh=kmesh_t)
+        float(_sync(vj_i, vk_i))
+        t_jk = time.perf_counter() - t0
+        meta = {"nip": int(df.nip),
+                "nchunks": int(getattr(df, "_nchunks", 1)),
+                "nsec": int(getattr(df, "_nsec_solved", nk)),
+                "rblk": getattr(df, "_rblk", None),
+                "max_gb": gb}
+        # drop the big build state before returning (vj/vk are small)
+        df.x_k = df.wq = None
+        del df, ws, args_i
+        return t_build, t_jk, vj_i, vk_i, meta
+
+    # ---------------- stage: core ISDF build + serve ----------------
+    t_build, t_isdf_jk, vj_i, vk_i, meta = isdf_arm(
+        args.c0, args.max_memory_gb, args.build_reps)
+
+    # ---------------- stage: exact plane-wave baseline ----------------
     ej = ek = sj = sk = t_exact = float("nan")
+    vj_e = vk_e = None
     if args.exact_reps > 0:
         fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
         coords = jnp.asarray(cell.gen_uniform_grids(), dtype=dtype)
@@ -325,44 +458,58 @@ def run(args):
             vj_e, vk_e = exact_jk(dm_dev, ao)
             float(_sync(vj_e, vk_e))
             t_exact = min(t_exact, time.perf_counter() - t0)
+        del ao
 
         # errors, reduced on device (host transfers are slow on the tunnel)
-        @jax.jit
-        def errs(a, b):
-            return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
-
-        ej, sj = errs(vj_i, vj_e)
-        ek, sk = errs(vk_i, vk_e)
+        ej, sj = _errs(vj_i, vj_e)
+        ek, sk = _errs(vk_i, vk_e)
         ej, ek, sj, sk = float(ej), float(ek), float(sj), float(sk)
+
+    # ---------------- stage: c0 sweep against the same oracle ----------
+    sweep_out = None
+    if c0_sweep and vj_e is not None:
+        sweep_out = [{"c0": args.c0, "nip": meta["nip"],
+                      "vj_maxerr": _r(ej, 8), "vk_maxerr": _r(ek, 8),
+                      "isdf_build_s": _r(t_build)}]
+        for c0x in c0_sweep:
+            if not budget.allows(120.0):
+                sweep_out.append({"c0": c0x, "skipped": "budget"})
+                continue
+            try:
+                tb, tj, vj_x, vk_x, mx = isdf_arm(
+                    c0x, args.max_memory_gb, 1)
+                eja, _ = _errs(vj_x, vj_e)
+                eka, _ = _errs(vk_x, vk_e)
+                sweep_out.append({"c0": c0x, "nip": mx["nip"],
+                                  "vj_maxerr": _r(float(eja), 8),
+                                  "vk_maxerr": _r(float(eka), 8),
+                                  "isdf_build_s": _r(tb)})
+                del vj_x, vk_x
+            except Exception as e:  # noqa: BLE001
+                sweep_out.append({"c0": c0x,
+                                  "error": f"{type(e).__name__}: {e}"})
+        sweep_out.sort(key=lambda d: d.get("c0", 0.0))
 
     # the north-star comparison (BASELINE.md): build + SCF-converged J/K.
     # An SCF needs ~n_scf J/K builds; ISDF pays the build once and serves
-    # each iteration from (x_k, w_q), the exact path pays t_exact every time.
-    def _r(x, nd=4):
-        """round() that maps nan/inf (skipped baseline) to JSON null."""
-        x = float(x)
-        return None if (x != x or x in (float("inf"), float("-inf"))) \
-            else round(x, nd)
-
+    # each iteration from (x_k, w_q), the exact path pays t_exact every
+    # time.
     n_scf = 20
     t_isdf_total = t_build + n_scf * t_isdf_jk
     t_exact_total = n_scf * t_exact
 
     # ---------------- roofline accounting ----------------
     nimg = nk  # BvK images == k-points
-    nip = int(df.nip)
+    nip = meta["nip"]
     fl_jk = jk_flops(nk, nao, nip, nimg)
-    fl_build = build_flops(nk, nao, nip, ngrid, nimg,
-                           getattr(df, "_nsec_solved", nk),
-                           getattr(df, "_nchunks", 1),
-                           rblk=getattr(df, "_rblk", None))
+    fl_build = build_flops(nk, nao, nip, ngrid, nimg, meta["nsec"],
+                           meta["nchunks"], rblk=meta["rblk"])
     peak = (V5E_PEAK_BF16 / V5E_F32_PASSES if backend == "tpu"
             else float("nan"))
     itemsize = 16 if dtype == jnp.float64 else 8
     # dominant streamed HBM traffic of the build: y written once, read
     # twice (half pass + gram) per sector + the FFT working set
-    hbm_build = (3.0 * getattr(df, "_nsec_solved", nk) * ngrid * nip
-                 * itemsize)
+    hbm_build = 3.0 * meta["nsec"] * ngrid * nip * itemsize
 
     out = {
         "metric": "isdf_build_jk_scf20_wall_s",
@@ -379,11 +526,11 @@ def run(args):
         "vk_scale": _r(sk, 6),
         "system": args.system,
         "backend": backend,
-        "nk": nk, "nao": nao, "ngrid": ngrid, "nip": int(df.nip),
+        "nk": nk, "nao": nao, "ngrid": ngrid, "nip": nip,
         "c0": args.c0, "ke_cutoff": ke,
         "basis": args.basis or "gth-szv",
-        "nchunks": int(getattr(df, "_nchunks", 1)),
-        "max_memory_gb": args.max_memory_gb,
+        "nchunks": meta["nchunks"],
+        "max_memory_gb": meta["max_gb"],
         # roofline: counted dense-algebra FLOPs (lower bounds; AO eval and
         # selection excluded) vs the f32-effective chip peak
         "jk_tflops": round(fl_jk / max(t_isdf_jk, 1e-9) / 1e12, 3),
@@ -397,6 +544,8 @@ def run(args):
             hbm_build / max(t_build, 1e-9) / V5E_HBM_BW, 4)
         if backend == "tpu" else None,
     }
+    if sweep_out is not None:
+        out["c0_sweep"] = sweep_out
     return out
 
 
