@@ -1,0 +1,168 @@
+"""North-star SCF artifact (BASELINE.md): converged NiO AFM KUHF on the TPU.
+
+Produces the committed evidence the round-2 verdict asked for (item 3):
+
+  part A — accuracy: ISDF-served KUHF vs exact plane-wave KUHF on a reduced
+           k-mesh (both fully converged; the BASELINE.md bar is
+           <1e-6 Ha/atom energy delta at matched settings — on the f32 TPU
+           the achievable bar is the f32 J/K noise floor, reported as-is);
+  part B — production: the reference driver's full config (NiO AFM 4x4x4,
+           gth-dzvp-molopt-sr, ke=200, c0=40, m0=15^3 —
+           ``/root/reference/fftisdf.py:423-432,461-462``) run to SCF
+           convergence with the device-resident loop, recording converged
+           energy, iteration count, wall/iteration and the ISDF build time.
+
+ONE process (CLAUDE.md: in-process jit reuse always works; cross-process
+compile-cache behavior is unreliable), incremental JSON lines per part to
+stdout AND appended to the artifact file, so a timeout loses only the
+unfinished part.
+
+Usage:  python examples/nio_northstar.py [--out artifacts/nio_scf_r03.json]
+        [--skip-a] [--skip-b] [--ke-a 100] [--kmesh-a 2 2 2] [--cpu]
+
+Note: absolute energies use the in-repo Ni q18 refit + surrogate molopt-sr
+columns (basis/data.py provenance); the ISDF-vs-exact DELTA in part A is
+exact regardless (same basis on both sides).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def emit(path, rec):
+    line = json.dumps(rec)
+    print(line, flush=True)
+    with open(path, "a") as f:
+        f.write(line + "\n")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="artifacts/nio_scf_r03.json")
+    p.add_argument("--skip-a", action="store_true")
+    p.add_argument("--skip-b", action="store_true")
+    p.add_argument("--ke-a", type=float, default=100.0)
+    p.add_argument("--kmesh-a", type=int, nargs=3, default=[2, 2, 2])
+    p.add_argument("--c0", type=float, default=40.0)
+    p.add_argument("--smearing", type=float, default=5e-3)
+    p.add_argument("--max-cycle", type=int, default=80)
+    p.add_argument("--cpu", action="store_true",
+                   help="CPU f64 debug run (tiny settings advised)")
+    args = p.parse_args()
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from fftisdf_tpu.lattice import structure
+    from fftisdf_tpu.isdf import FFTISDF
+    from fftisdf_tpu.utils.device import enable_persistent_cache
+
+    enable_persistent_cache()
+    backend = jax.default_backend()
+    emit(args.out, {"part": "meta", "backend": backend,
+                    "time": time.strftime("%Y-%m-%d %H:%M:%S")})
+
+    init_spin = {0: +1.0, 1: -1.0}   # AFM order on the two Ni sites
+
+    # ---------------- part A: ISDF vs exact, reduced mesh ----------------
+    if not args.skip_a:
+        from fftisdf_tpu.scf import KUHF
+        from fftisdf_tpu.scf.device import DeviceKUHF
+
+        cell = structure.to_cell(*structure.nio_afm(), basis="gth-szv",
+                                 pseudo="gth-pade", ke_cutoff=args.ke_a,
+                                 exp_to_discard=0.1)
+        kpts = cell.get_kpts(args.kmesh_a)
+        m0 = tuple(min(15, int(m)) for m in cell.mesh)
+        t0 = time.perf_counter()
+        df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0)
+        df.build()
+        t_build = time.perf_counter() - t0
+
+        cls = KUHF if backend == "cpu" else DeviceKUHF
+        conv = 1e-8 if backend == "cpu" else 1e-6
+        mf = cls(cell, kpts, with_df=df, verbose=0, conv_tol=conv,
+                 max_cycle=args.max_cycle, init_spin=init_spin,
+                 smearing=args.smearing)
+        t0 = time.perf_counter()
+        e_isdf = mf.kernel()
+        t_isdf = time.perf_counter() - t0
+
+        mf0 = cls(cell, kpts, verbose=0, conv_tol=conv,
+                  max_cycle=args.max_cycle, init_spin=init_spin,
+                  smearing=args.smearing)
+        t0 = time.perf_counter()
+        e_exact = mf0.kernel()
+        t_exact = time.perf_counter() - t0
+        emit(args.out, {
+            "part": "A_reduced_mesh_accuracy",
+            "system": "NiO AFM", "basis": "gth-szv",
+            "ke_cutoff": args.ke_a, "kmesh": args.kmesh_a,
+            "c0": args.c0, "nip": int(df.nip), "nao": cell.nao_nr(),
+            "isdf_build_s": round(t_build, 2),
+            "e_isdf_ha": e_isdf, "e_exact_ha": e_exact,
+            "isdf_converged": bool(mf.converged),
+            "exact_converged": bool(mf0.converged),
+            "de_per_atom_ha": abs(e_isdf - e_exact) / cell.natm,
+            "scf_isdf_s": round(t_isdf, 2),
+            "scf_exact_s": round(t_exact, 2),
+            "smearing_ha": args.smearing})
+        del df, mf, mf0
+
+    # ---------------- part B: production config to convergence ----------
+    if not args.skip_b:
+        from fftisdf_tpu.scf.device import DeviceKUHF
+        from fftisdf_tpu.scf import KUHF
+
+        cell = structure.to_cell(*structure.nio_afm(),
+                                 basis="gth-dzvp-molopt-sr",
+                                 pseudo="gth-pade", ke_cutoff=200.0,
+                                 exp_to_discard=0.1)
+        kpts = cell.get_kpts([4, 4, 4])
+        m0 = tuple(min(15, int(m)) for m in cell.mesh)
+        t0 = time.perf_counter()
+        df = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0,
+                     max_memory_gb=13.0)
+        df.build()
+        t_build = time.perf_counter() - t0
+        emit(args.out, {"part": "B_build", "isdf_build_s": round(t_build, 2),
+                        "nip": int(df.nip), "nao": cell.nao_nr(),
+                        "ngrid": int(np.prod(cell.mesh)),
+                        "nchunks": int(getattr(df, "_nchunks", 1))})
+
+        cls = KUHF if backend == "cpu" else DeviceKUHF
+        conv = 1e-8 if backend == "cpu" else 1e-6
+        mf = cls(cell, kpts, with_df=df, verbose=3, conv_tol=conv,
+                 max_cycle=args.max_cycle, init_spin=init_spin,
+                 smearing=args.smearing)
+        t0 = time.perf_counter()
+        e = mf.kernel()
+        t_scf = time.perf_counter() - t0
+        from fftisdf_tpu.scf.analysis import atom_charges_and_moments
+        _c, moments = atom_charges_and_moments(cell, mf.dm, mf.s1e)
+        ncyc = int(getattr(mf, "cycles", getattr(mf, "niter", -1)))
+        emit(args.out, {
+            "part": "B_production_scf",
+            "config": "NiO AFM 4x4x4 gth-dzvp-molopt-sr ke=200 c0=40 "
+                      "m0=15^3 (ref fftisdf.py:423-432,461-462)",
+            "e_tot_ha": e, "converged": bool(mf.converged),
+            "cycles": ncyc,
+            "scf_wall_s": round(t_scf, 2),
+            "s_per_cycle": round(t_scf / max(ncyc, 1), 3),
+            "ni_moments": [round(float(m), 3) for m in moments[:2]],
+            "smearing_ha": args.smearing,
+            "conv_tol": conv})
+    emit(args.out, {"part": "done"})
+
+
+if __name__ == "__main__":
+    main()

@@ -227,6 +227,7 @@ class DeviceKUHF(KUHF):
         veff_extra = self._veff_args()
         errs, focks, n = errs0, focks0, jnp.asarray(0, jnp.int32)
         e_last, self.converged = 0.0, False
+        it = -1
         for it in range(self.max_cycle):
             t0 = time.perf_counter()
             dm, errs, focks, n, stats = step(
@@ -245,6 +246,7 @@ class DeviceKUHF(KUHF):
                 break
             e_last = e_tot
             self.entropy = ent
+        self.cycles = it + 1   # iterations actually run
         # the on-device energy reduction is f32-granular (~6e-5 Ha at
         # |E|~340); recompute the final energy AND the molecular orbitals
         # from the converged density on the host in f64 (transfers once) so

@@ -270,6 +270,7 @@ class KRHF:
         diis = DIIS(self.diis_space)
         nk, nao = self.h1e.shape[:2]
         e_last = 0.0
+        it = -1
         for it in range(self.max_cycle):
             t0 = time.perf_counter()
             fock, vj, vk = self.get_fock(dm)
@@ -309,6 +310,7 @@ class KRHF:
                 e_last = e_tot
                 break
             e_last = e_tot
+        self.cycles = it + 1   # iterations actually run
         # final consistent quantities
         fock, vj, vk = self.get_fock(dm)
         self.e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
@@ -527,6 +529,7 @@ class KUHF(KRHF):
         nk, nao = self.h1e.shape[:2]
         na, nb = self.nocc_ab
         e_last = 0.0
+        it = -1
         for it in range(self.max_cycle):
             t0 = time.perf_counter()
             fock, vj, vk = self.get_fock(dm)
@@ -587,6 +590,7 @@ class KUHF(KRHF):
                 e_last = e_tot
                 break
             e_last = e_tot
+        self.cycles = it + 1   # iterations actually run
         fock, vj, vk = self.get_fock(dm)
         self.e_tot = self.energy_elec(dm, vj, vk) + self.e_nuc
         self.e_free = self.e_tot - self.smearing * self.entropy / nk
