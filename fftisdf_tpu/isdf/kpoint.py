@@ -58,14 +58,20 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
     log = log or Logger()
     t0 = time.perf_counter()
     coords0 = cell.gen_uniform_grids(m0)
+    ng0_est = int(np.prod(m0))
     if host_f64 is None:
-        # default: on-device selection.  On f32 devices rank *detection* is
-        # noise-limited, so the tolerance is dropped to zero there (keep all
-        # positive pivots up to the c0 cap): the ordering of sub-noise pivots
-        # is scrambled but the selected point sets remain well spread, and
-        # the fitting solve discards weak directions anyway.  host_f64=True
-        # forces the exact (but single-core-host) f64 path.
-        host_f64 = False
+        # default: on f32 devices run the SELECTION in f64 on the host.
+        # Pivot *ordering* degrades measurably in f32 — the greedy Schur
+        # diagonal is noise past the first few hundred pivots, and the
+        # scrambled tail picks near-duplicate points that ill-condition the
+        # fit metric (measured on the TPU, NiO 4x4x4 szv ke=100 c0=40:
+        # f32 device selection vj_rel 1.44e-3 vs f64 host selection
+        # 7.4e-4 — the single largest accuracy lever in the f32 regime).
+        # The parent-grid problem is small (ng0 <= ~3.4k for the capped
+        # m0=15^3), so the one-time host cost is seconds; guard against
+        # user-supplied huge parent grids where the 1-core host would
+        # crawl.
+        host_f64 = dtype != jnp.float64 and ng0_est <= 8192
     if host_f64:
         from fftisdf_tpu.basis.eval import eval_ao_numpy
         from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky_np
@@ -478,7 +484,11 @@ class FFTISDF:
                                # (auto rc from the cell) | ("0d"|"2d", rc).
                                # Truncated kernels are even in q+G, so TRS
                                # halving still applies (linalg.coulomb).
-    select_host_f64: bool = None  # force host-f64 selection (slow host path)
+    select_host_f64: bool = None  # None: f64 host selection on f32 devices
+                               # (pivot ordering degrades in f32: measured
+                               # 2x vj accuracy on NiO c0=40; device path
+                               # kept for f64 and huge parent grids).
+                               # True/False force either path.
     dtype: object = None       # None: f64 on CPU (x64), f32 otherwise.
                                # NB explicit f64 on an f32-only device would
                                # silently truncate arrays while keeping f64
