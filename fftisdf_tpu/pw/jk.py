@@ -56,13 +56,21 @@ def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None, omega=0.0,
 def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
                pair_chunk=256, ao_band=None, kpts_band=None,
                g0_thresh=1e-12, g0_argmin_thresh=None, omega=0.0,
-               trunc=None):
+               trunc=None, row_block=None):
     """Exchange matrix vk[k1] from AO values; exact pairwise Poisson solves.
 
     The nk^2 (k1, k2) pairs run through a compiled ``lax.map`` body
     (nao^2 batched 3D FFTs per pair), dispatched in chunks of ``pair_chunk``
     pairs so no single device kernel runs unboundedly long (large-nk runs
     fault the device otherwise), and reduced on device.
+
+    ``row_block``: bra-AO rows per inner step.  The pair density
+    (ng, nao^2) is the memory wall at production cutoffs (NiO dzvp ke=200:
+    250047 x 3844 complex64 = 7.7 GB, with FFT temps 2-3x that — the
+    device allocator, and hence the remote AOT compile, fails outright);
+    the body therefore sweeps bra rows in blocks of ``row_block``
+    (auto: ~1.2 GB of per-block pair-density+FFT temps), an exact
+    reorganization of the same sums.
 
     ``ao_band``/``kpts_band`` (nb, ng, nao)/(nb, 3): compute vk at band
     k-points instead — pairs become (band kb, mesh k2) and the result is
@@ -115,6 +123,16 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
     gv = jnp.asarray(cell.get_Gv(fmesh), dtype=jnp.real(ao_kpts).dtype)
     w = cell.vol / ng
 
+    if row_block is None:
+        # per-bra-row footprint: pair-density block + FFT work + v, all
+        # complex (~3 ng*nao-sized temps); target ~1.2 GB per block
+        itemsize = 8 if jnp.real(ao_kpts).dtype == jnp.float32 else 16
+        per_row = 3 * ng * nao * itemsize
+        row_block = max(1, min(nao, int(1.2e9 // max(per_row, 1))))
+    row_block = int(min(row_block, nao))
+    nmb = -(-nao // row_block)
+    nao_pad = nmb * row_block
+
     def pair_body(idx, ao_row, ao_kpts, dm):
         k1 = idx // nk
         k2 = idx % nk
@@ -123,7 +141,6 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
         dm2 = jax.lax.dynamic_index_in_dim(dm, k2, 0, keepdims=False)
         q = kpts_d[k2] - kpts_row[k1]
         eiqr = jnp.exp(1j * (coords_d @ q))
-        rho = (ao1.conj()[:, :, None] * ao2[:, None, :]).reshape(ng, -1)
         gk = gv + q[None, :]
         if trunc is not None:
             coulG = _coulG_vec(gk, 0.0, trunc)
@@ -145,10 +162,28 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
                     absg2 > g0_thresh,
                     coulG * (1.0 - jnp.exp(-absg2 / (4.0 * omega * omega))),
                     jnp.pi / (omega * omega))
-        work = fft3((rho * eiqr.conj()[:, None]).T, fmesh) * coulG
-        v = (ifft3(work, fmesh) * eiqr[None, :]).T.reshape(ng, nao, nao)
         u = jnp.einsum("ls,gs->gl", dm2, ao2.conj())
-        return (w / nk) * jnp.einsum("gml,gl,gn->mn", v, u, ao1)
+        # bra rows in blocks: exact reorganization of
+        # einsum("gml,gl,gn->mn", v_full, u, ao1) — see docstring
+        ao1p = (ao1 if nao_pad == nao
+                else jnp.pad(ao1, ((0, 0), (0, nao_pad - nao))))
+
+        def m_block(mb):
+            a1 = jax.lax.dynamic_slice_in_dim(ao1p, mb * row_block,
+                                              row_block, axis=1)
+            rho = (a1.conj()[:, :, None] * ao2[:, None, :]).reshape(ng, -1)
+            work = fft3((rho * eiqr.conj()[:, None]).T, fmesh) * coulG
+            v = (ifft3(work, fmesh) * eiqr[None, :]).T.reshape(
+                ng, row_block, nao)
+            t = jnp.einsum("gml,gl->gm", v, u)
+            return jnp.einsum("gm,gn->mn", t, ao1)
+
+        if nmb == 1:
+            vk1 = m_block(jnp.asarray(0))
+        else:
+            vk1 = jax.lax.map(m_block, jnp.arange(nmb)).reshape(
+                nao_pad, nao)[:nao]
+        return (w / nk) * vk1
 
     npair = nrow * nk
     chunk = min(pair_chunk, npair)
