@@ -150,3 +150,34 @@ def test_k_matches_eri_contraction():
                 cell, (ao[k1], ao[k2], ao[k2], ao[k1]), q, coords))
             vk_ref[k1] += np.einsum("ls,mlsn->mn", np.asarray(dm[k2]), eri) / nk
     np.testing.assert_allclose(vk, vk_ref, atol=1e-8)
+
+
+def test_k_row_blocking_exact():
+    """Bra-row blocking of the exact-K pair density (row_block) is an exact
+    reorganization: forced small blocks (with padding remainder) must match
+    the single-block path to machine precision.  The blocking is what lets
+    the production-cutoff oracle (NiO dzvp ke=200: 7.7 GB pair density)
+    fit device memory at all."""
+    rng = np.random.default_rng(3)
+    cell = gaussian_cell(alpha=1.2, L=8.0, mesh=12)
+    # 3 AOs -> row_block=2 exercises the padded remainder block
+    shells = [Shell(l=0, exps=np.array([1.2]), coeffs=np.array([[1.0]])),
+              Shell(l=1, exps=np.array([0.8]), coeffs=np.array([[1.0]]))]
+    cell = Cell(a=np.eye(3) * 8.0, atom=[("He", np.full(3, 4.0))],
+                basis={"He": shells}, pseudo=None,
+                mesh=np.array([12] * 3), unit="bohr",
+                precision=1e-12).build()
+    kpts = cell.get_kpts([1, 2, 1])
+    nk, nao = len(kpts), cell.nao_nr()
+    coords = cell.gen_uniform_grids()
+    ao = jnp.asarray(np.asarray(eval_ao_kpts(cell, coords, kpts)))
+    dm = rng.standard_normal((nk, nao, nao)) * 0.3 + np.eye(nao)[None]
+    dm = jnp.asarray((dm + dm.transpose(0, 2, 1)).astype(np.complex128))
+    vk_full = get_k_kpts(cell, dm, ao, kpts, coords=coords,
+                         row_block=nao)
+    vk_blk = get_k_kpts(cell, dm, ao, kpts, coords=coords, row_block=2)
+    vk_one = get_k_kpts(cell, dm, ao, kpts, coords=coords, row_block=1)
+    np.testing.assert_allclose(np.asarray(vk_blk), np.asarray(vk_full),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vk_one), np.asarray(vk_full),
+                               rtol=0, atol=1e-12)
