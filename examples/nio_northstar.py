@@ -97,9 +97,11 @@ def main():
         e_isdf = mf.kernel()
         t_isdf = time.perf_counter() - t0
 
-        mf0 = cls(cell, kpts, verbose=0, conv_tol=conv,
-                  max_cycle=args.max_cycle, init_spin=init_spin,
-                  smearing=args.smearing)
+        # exact arm: host driver (the device-resident loop serves from an
+        # ISDF state; the exact plane-wave J/K runs in the host loop)
+        mf0 = KUHF(cell, kpts, verbose=0, conv_tol=conv,
+                   max_cycle=args.max_cycle, init_spin=init_spin,
+                   smearing=args.smearing)
         t0 = time.perf_counter()
         e_exact = mf0.kernel()
         t_exact = time.perf_counter() - t0

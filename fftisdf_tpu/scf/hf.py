@@ -151,6 +151,8 @@ class KRHF:
     ovlp_cutoff: float = None  # canonical-orthogonalization threshold;
                                # None: dtype-aware (1e-10 f64, 2e-6 f32)
     dtype: object = None       # device dtype; None = f64 (f32 on TPU)
+    setup_chunk_gb: float = 2.0  # AO-block budget of the k-chunked
+                               # s1e/h1e setup (see __post_init__)
     verbose: int = 3
 
     e_tot: float = None
@@ -191,17 +193,53 @@ class KRHF:
             raise ValueError(
                 f"with_df truncation {df_trunc} != SCF truncation "
                 f"{self.trunc}")
-        fn = make_evaluator(cell, kpts=self.kpts, dtype=self.dtype)
+        # one-time s1e/h1e setup, CHUNKED over k-points: the full-grid AO
+        # tensor is nk*ngrid*nao complex (7.9 GB at NiO dzvp ke=200 4x4x4)
+        # and, held next to the ISDF state, OOMs the 16 GB chip — but the
+        # integrals are k-diagonal, so k-chunks of ~2 GB suffice.  The
+        # full tensor itself is only needed by the band-structure / exact-
+        # PW / xc paths and is evaluated LAZILY there (self._get_ao).
         coords = cell.gen_uniform_grids()
-        self._ao = fn(jnp.asarray(coords, dtype=self.dtype))
-        self.s1e = to_host(integrals.get_ovlp(cell, self._ao))
-        self.h1e = to_host(integrals.get_hcore(cell, self._ao, self.kpts,
-                                               coords, trunc=self.trunc))
+        ng = coords.shape[0]
+        nao = cell.nao_nr()
+        itemsize = 8 if self.dtype == jnp.float32 else 16
+        nk = len(self.kpts)
+        kchunk = int(max(1, min(nk, (self.setup_chunk_gb * 1e9)
+                                // max(3 * ng * nao * itemsize, 1))))
+        self._ao = None
+        if kchunk >= nk:
+            ao = self._get_ao()
+            self.s1e = to_host(integrals.get_ovlp(cell, ao))
+            self.h1e = to_host(integrals.get_hcore(
+                cell, ao, self.kpts, coords, trunc=self.trunc))
+        else:
+            coords_d = jnp.asarray(coords, dtype=self.dtype)
+            s_parts, h_parts = [], []
+            for k0 in range(0, nk, kchunk):
+                kp = self.kpts[k0:k0 + kchunk]
+                fn = make_evaluator(cell, kpts=kp, dtype=self.dtype)
+                ao = fn(coords_d)
+                s_parts.append(to_host(integrals.get_ovlp(cell, ao)))
+                h_parts.append(to_host(integrals.get_hcore(
+                    cell, ao, kp, coords, trunc=self.trunc)))
+                del ao
+            self.s1e = np.concatenate(s_parts, axis=0)
+            self.h1e = np.concatenate(h_parts, axis=0)
         self.e_nuc = (integrals.energy_nuc_trunc(cell, self.trunc)
                       if self.trunc is not None else integrals.ewald(cell))
         if self.with_df is None:
             self.with_df = PWDF(cell, self.kpts, dtype=self.dtype,
                                 trunc=self.trunc)
+
+    def _get_ao(self):
+        """Full-grid AO tensor (nk, ngrid, nao), lazily evaluated and
+        cached — used by the band-structure, exact-PW and xc paths; the
+        production ISDF-SCF path never materializes it."""
+        if self._ao is None:
+            fn = make_evaluator(self.cell, kpts=self.kpts, dtype=self.dtype)
+            coords = self.cell.gen_uniform_grids()
+            self._ao = fn(jnp.asarray(coords, dtype=self.dtype))
+        return self._ao
 
     # --------------------------------------------------------------
     @property
@@ -346,7 +384,7 @@ class KRHF:
         s1e_b = to_host(integrals.get_ovlp(cell, aob))
         h1e_b = to_host(integrals.get_hcore(cell, aob, kpts_band, coords,
                                             trunc=self.trunc))
-        dm = to_device(dm, dtype=self._ao.dtype)
+        dm = to_device(dm, dtype=self._get_ao().dtype)
         # exclude exactly the argmin-|q+G|^2 exchange-kernel sample of
         # each (band, mesh) pair when it is strictly inside dmin of the
         # singular lattice (at mesh points this reduces to dropping exactly
@@ -369,19 +407,19 @@ class KRHF:
             if vk_b is None:
                 vk_b = 0.0
         elif dm.ndim == 4:   # spin channels (KUHF)
-            vj_b = jnp.stack([pw_jk.get_j_kpts(cell, d, self._ao,
+            vj_b = jnp.stack([pw_jk.get_j_kpts(cell, d, self._get_ao(),
                                                ao_band=aob, trunc=self.trunc)
                               for d in dm])
             vk_b = jnp.stack([
-                pw_jk.get_k_kpts(cell, d, self._ao, self.kpts, coords=coords,
+                pw_jk.get_k_kpts(cell, d, self._get_ao(), self.kpts, coords=coords,
                                  ao_band=aob, kpts_band=kpts_band,
                                  g0_argmin_thresh=g0_argmin_thresh,
                                  trunc=self.trunc)
                 for d in dm]) if with_k else 0.0
         else:
-            vj_b = pw_jk.get_j_kpts(cell, dm, self._ao, ao_band=aob,
+            vj_b = pw_jk.get_j_kpts(cell, dm, self._get_ao(), ao_band=aob,
                                     trunc=self.trunc)
-            vk_b = (pw_jk.get_k_kpts(cell, dm, self._ao, self.kpts,
+            vk_b = (pw_jk.get_k_kpts(cell, dm, self._get_ao(), self.kpts,
                                      coords=coords, ao_band=aob,
                                      kpts_band=kpts_band,
                                      g0_argmin_thresh=g0_argmin_thresh,
@@ -409,7 +447,7 @@ class KRHF:
             # complex gather under jit (eager complex ops can be unsupported)
             dmb = jax.jit(lambda a, i: jnp.take(a, i, axis=-3))(
                 dm, jnp.asarray(idx))
-            s1e_dev = to_device(s1e_b, dtype=self._ao.dtype)
+            s1e_dev = to_device(s1e_b, dtype=self._get_ao().dtype)
             vk_b = add_ewald_exx(vk_b, s1e_dev, dmb, mad)
         vk_h = 0.0 if isinstance(vk_b, float) else to_host(vk_b)
         out = (s1e_b, h1e_b, to_host(vj_b), vk_h)

@@ -155,17 +155,17 @@ class _KSCommon:
 
     def _dm_device(self, dm):
         return to_device(np.asarray(dm).astype(np.complex128),
-                         dtype=self._ao.dtype)
+                         dtype=self._get_ao().dtype)
 
     def _xc_eval(self, dm_dev, nspin):
         exc, vxc, nelec = _xc_fock_kernel(
-            self._ao, dm_dev, self._gv, self._spec, self._fmesh,
+            self._get_ao(), dm_dev, self._gv, self._spec, self._fmesh,
             self._xc_weight, len(self.kpts), nspin,
             coords=self._coords, kpts=self._kpts_arr)
         return float(exc), to_host(vxc), float(nelec)
 
     def _band_vxc(self, dm_dev, aob, nspin, kpts_band=None):
-        _, v, vt = _xc_pot_kernel(self._ao, dm_dev, self._gv, self._spec,
+        _, v, vt = _xc_pot_kernel(self._get_ao(), dm_dev, self._gv, self._spec,
                                   self._fmesh, self._xc_weight,
                                   len(self.kpts), nspin,
                                   coords=self._coords, kpts=self._kpts_arr)
@@ -207,14 +207,14 @@ class _KSCommon:
         kpts_band = np.asarray(kpts_band).reshape(-1, 3)
         coords = self.cell.gen_uniform_grids()
         dm = to_device(np.asarray(dm).astype(np.complex128),
-                       dtype=self._ao.dtype)
+                       dtype=self._get_ao().dtype)
         kw = dict(coords=coords, ao_band=aob, kpts_band=kpts_band,
                   omega=omega, trunc=self.trunc)
         if dm.ndim == 4:
-            vk = jnp.stack([pw_jk.get_k_kpts(self.cell, d, self._ao,
+            vk = jnp.stack([pw_jk.get_k_kpts(self.cell, d, self._get_ao(),
                                              self.kpts, **kw) for d in dm])
         else:
-            vk = pw_jk.get_k_kpts(self.cell, dm, self._ao, self.kpts, **kw)
+            vk = pw_jk.get_k_kpts(self.cell, dm, self._get_ao(), self.kpts, **kw)
         return to_host(vk)
 
 
@@ -366,7 +366,7 @@ class _DeviceKSVeff:
         return bool(self._spec.hyb or self._spec.hyb_sr)
 
     def _veff_args(self):
-        extra = (self._ao, self._gv)
+        extra = (self._get_ao(), self._gv)
         if self._spec.is_mgga:
             extra = extra + (self._coords, self._kpts_arr)
         if self._spec.hyb_sr:
@@ -378,7 +378,7 @@ class _DeviceKSVeff:
             # +U stays on device too: shalf rides as a jit *argument*
             # (complex device array — closure constants round-trip through
             # the host on complex-hostile transports)
-            extra = extra + (to_device(self._shalf, dtype=self._ao.dtype),)
+            extra = extra + (to_device(self._shalf, dtype=self._get_ao().dtype),)
         return extra
 
     def _trace_veff(self, dm, x_k, wq, ws, h1e, ao, gv, *extra):
