@@ -129,4 +129,8 @@ def get_k_kpts_img(x_k, ws, dms, kmesh):
                                jnp.einsum("Rk,RIJ->kIJ", s, vs))
         return jnp.einsum("kIm,kIJ,kJn->kmn", x_k.conj(), vk_q, x_k)
 
-    return jax.vmap(per_dm)(dms)
+    # sequential (lax.map) over the set/spin axis: vmap materializes every
+    # O(nk nip^2) temp for ALL channels at once — at the production config
+    # a 2-spin serve is ~12 GB of temps and the SCF step cannot compile;
+    # mapped channels halve that, and the axis is tiny (1-2)
+    return jax.lax.map(per_dm, dms)

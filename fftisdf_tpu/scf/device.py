@@ -114,12 +114,14 @@ class DeviceKUHF(KUHF):
         overrides to False so the image-space metric is never materialized)."""
         return True
 
-    def _trace_veff(self, dm, x_k, wq, ws, h1e):
+    def _trace_veff(self, dm, x_k, w0, ws, h1e):
         """(fock (2, nk, nao, nao), e_elec) under trace.  UHF functional.
         ``ws`` is the precomputed image-space metric (df.get_ws()); K runs
-        the FFT serve path (isdf.jk.get_k_kpts_img)."""
+        the gemm serve path (isdf.jk.get_k_kpts_img).  Only w0 = wq[0]
+        ships into the step: the full (nk, nip, nip) wq is a 3 GB argument
+        the serve never reads (production HBM headroom)."""
         nk = h1e.shape[0]
-        vj = jk_mod.get_j_kpts(x_k, wq[0], dm)
+        vj = jk_mod.get_j_kpts(x_k, w0, dm)
         vk = jk_mod.get_k_kpts_img(x_k, ws, dm, self._kmesh_t)
         vj_tot = vj[0] + vj[1]
         fock = jnp.stack([h1e + vj_tot - vk[0], h1e + vj_tot - vk[1]])
@@ -151,7 +153,12 @@ class DeviceKUHF(KUHF):
             int(m) for m in kpt_mod.kpts_to_kmesh(self.cell, self.kpts))
         # image-space serve metric, built once; K-free functionals (pure
         # KS) never materialize it (dummy rides the jit signature unused)
-        ws = df.get_ws() if self._needs_exx() else df.wq[0]
+        # only the q=0 slice of wq feeds the traced step (the J metric) —
+        # shipping the full (nk, nip, nip) wq was a 3 GB dead argument at
+        # the production config; slice under jit (eager complex ops fail
+        # on complex-hostile transports)
+        w0 = jax.jit(lambda w: w[0])(df.wq)
+        ws = df.get_ws() if self._needs_exx() else w0
 
         # AFM on-site bias matrix (host, once)
         bias_np = np.zeros((2, nk, nao, nao), dtype=np.complex128)
@@ -187,9 +194,9 @@ class DeviceKUHF(KUHF):
         bias_cycles = int(self.bias_cycles)
 
         @partial(jax.jit, static_argnames=())
-        def step(dm, errs, focks, n, it, x_k, wq, h1e, s1e, xo, pen, bias,
+        def step(dm, errs, focks, n, it, x_k, w0, h1e, s1e, xo, pen, bias,
                  ws, *veff_extra):
-            fock, e_elec = self._trace_veff(dm, x_k, wq, ws, h1e,
+            fock, e_elec = self._trace_veff(dm, x_k, w0, ws, h1e,
                                             *veff_extra)
             e_tot = e_elec + e_nuc
 
@@ -232,7 +239,7 @@ class DeviceKUHF(KUHF):
             t0 = time.perf_counter()
             dm, errs, focks, n, stats = step(
                 dm, errs, focks, n, jnp.asarray(it, jnp.int32),
-                df.x_k, df.wq, consts["h1e"], consts["s1e"], consts["xo"],
+                df.x_k, w0, consts["h1e"], consts["s1e"], consts["xo"],
                 consts["pen"], bias, ws, *veff_extra)
             e_tot, ddm, ent = [float(v) for v in to_host(stats)]
             de = abs(e_tot - e_last)

@@ -381,7 +381,7 @@ class _DeviceKSVeff:
             extra = extra + (to_device(self._shalf, dtype=self._get_ao().dtype),)
         return extra
 
-    def _trace_veff(self, dm, x_k, wq, ws, h1e, ao, gv, *extra):
+    def _trace_veff(self, dm, x_k, w0, ws, h1e, ao, gv, *extra):
         from fftisdf_tpu.isdf import jk as jk_mod
 
         coords = kpts_arr = shalf = ws_sr = None
@@ -394,7 +394,7 @@ class _DeviceKSVeff:
         nk = h1e.shape[0]
         hyb = self._spec.hyb
         w = self._xc_weight
-        vj = jk_mod.get_j_kpts(x_k, wq[0], dm)
+        vj = jk_mod.get_j_kpts(x_k, w0, dm)
         vj_tot = vj[0] + vj[1]
         rho, tau, dphi = _xc_rho_tau(ao, dm, gv, self._spec, self._fmesh,
                                      nk, 2, coords, kpts_arr)
