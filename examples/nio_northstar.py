@@ -51,6 +51,9 @@ def main():
     p.add_argument("--kmesh-a", type=int, nargs=3, default=[2, 2, 2])
     p.add_argument("--c0", type=float, default=40.0)
     p.add_argument("--smearing", type=float, default=5e-3)
+    p.add_argument("--damp", type=float, default=0.0,
+                   help="linear density mixing (0.2-0.5 tames the "
+                        "production d-manifold oscillation)")
     p.add_argument("--max-cycle", type=int, default=80)
     p.add_argument("--cpu", action="store_true",
                    help="CPU f64 debug run (tiny settings advised)")
@@ -145,7 +148,7 @@ def main():
         conv = 1e-8 if backend == "cpu" else 1e-6
         mf = cls(cell, kpts, with_df=df, verbose=3, conv_tol=conv,
                  max_cycle=args.max_cycle, init_spin=init_spin,
-                 smearing=args.smearing)
+                 smearing=args.smearing, damp=args.damp)
         t0 = time.perf_counter()
         e = mf.kernel()
         t_scf = time.perf_counter() - t0
@@ -162,6 +165,7 @@ def main():
             "s_per_cycle": round(t_scf / max(ncyc, 1), 3),
             "ni_moments": [round(float(m), 3) for m in moments[:2]],
             "smearing_ha": args.smearing,
+            "damp": args.damp,
             "conv_tol": conv})
     emit(args.out, {"part": "done"})
 

@@ -15,9 +15,10 @@ same sense the sharded build is.  Parity gate:
 ``tests/test_scf_device.py`` — identical converged energies to the host
 driver on CPU/f64.
 
-Scope: KUHF/KRHF with fixed or smeared occupations and the AFM on-site bias;
-level shifting and density damping stay host-driver-only (smearing is the
-small-gap tool here).
+Scope: KUHF/KRHF with fixed or smeared occupations, the AFM on-site bias,
+and traced linear density damping (``damp``, the oscillation-killer for
+energy-flat d-manifold competitions at production scale); level shifting
+stays host-driver-only (smearing is the small-gap tool here).
 """
 from __future__ import annotations
 
@@ -183,15 +184,16 @@ class DeviceKUHF(KUHF):
             lambda: (jnp.zeros((m, L), dtype=cdtype),
                      jnp.zeros((m, L), dtype=cdtype)))()
 
-        if self.level_shift or self.damp:
+        if self.level_shift:
             raise NotImplementedError(
-                "DeviceKUHF does not implement level_shift/damp — use the "
+                "DeviceKUHF does not implement level_shift — use the "
                 "host driver (scf.hf.KUHF) or smearing, the small-gap tool")
         sigma = float(self.smearing)
         method_smear = sigma > 0.0
         smear_method = self.smearing_method
         e_nuc = float(self.e_nuc)
         bias_cycles = int(self.bias_cycles)
+        damp = float(self.damp)
 
         @partial(jax.jit, static_argnames=())
         def step(dm, errs, focks, n, it, x_k, w0, h1e, s1e, xo, pen, bias,
@@ -224,6 +226,11 @@ class DeviceKUHF(KUHF):
             mo = jnp.einsum("kmp,skpi->skmi", xo, c)
             dm_new = jnp.einsum("skmi,ski,skni->skmn", mo, occ.astype(
                 mo.dtype), mo.conj())
+            if damp:
+                # static python float: linear density mixing, the host
+                # driver's semantics — kills 2-state DIIS oscillations in
+                # energy-flat d-manifold directions (NiO dzvp production)
+                dm_new = (1.0 - damp) * dm_new + damp * dm
             ddm = jnp.max(jnp.abs(dm_new - dm))
             stats = jnp.stack([e_tot.astype(rdtype),
                                ddm.real.astype(rdtype), ent])
