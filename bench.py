@@ -266,11 +266,11 @@ def main():
                 out["production_accuracy"] = {
                     "oracle": "exact plane-wave J/K at the full ke=200 "
                               "FFT mesh, NiO 2x2x2 sub-mesh",
-                    **{k: aout.get(k) for k in (
+                    **{k: aout[k] for k in (
                         "isdf_build_s", "isdf_jk_s", "exact_jk_s", "nk",
                         "nao", "ngrid", "nip", "c0", "vj_maxerr",
                         "vj_scale", "vk_maxerr", "vk_scale", "c0_sweep",
-                        "exact_error")}}
+                        "exact_error") if aout.get(k) is not None}}
             except Exception as e:  # noqa: BLE001
                 out["production_accuracy"] = {
                     "error": f"{type(e).__name__}: {e}"}

@@ -125,10 +125,12 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
 
     if row_block is None:
         # per-bra-row footprint: pair-density block + FFT work + v, all
-        # complex (~3 ng*nao-sized temps); target ~1.2 GB per block
+        # complex (~3 ng*nao-sized temps); target ~2 GB per block (chosen
+        # so the bench's core config stays single-block — blocking is for
+        # production cutoffs where the full pair density cannot exist)
         itemsize = 8 if jnp.real(ao_kpts).dtype == jnp.float32 else 16
         per_row = 3 * ng * nao * itemsize
-        row_block = max(1, min(nao, int(1.2e9 // max(per_row, 1))))
+        row_block = max(1, min(nao, int(2.0e9 // max(per_row, 1))))
     row_block = int(min(row_block, nao))
     nmb = -(-nao // row_block)
     nao_pad = nmb * row_block
