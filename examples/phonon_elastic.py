@@ -100,6 +100,28 @@ def main():
                   f"B0={ref['b0_gpa'][i]:8.3f} GPa  "
                   f"alpha_V(FD)={ref['alpha_v'][i]:11.4e}  "
                   f"alpha_V(Grueneisen)={ag:11.4e} 1/K")
+
+        # cross-gate (the tests/test_eos.py regime): at T = 700 K on the
+        # crossing-free first 4 volumes the two independent
+        # thermal-expansion routes must agree in sign and decade
+        vols4, e4, f4 = res.volumes[:4], res.energies[:4], freqs[:4]
+        w4 = np.clip(f4, 0.0, None) / HARTREE_TO_CM1
+        floor4 = 1.0 / HARTREE_TO_CM1
+        tg = np.array([560.0, 700.0, 840.0])
+        fv4 = np.array([[ (w4[iv][w4[iv] > floor4] / 2.0
+                           + phonon.KB_HA * t * np.log1p(
+                               -np.exp(-w4[iv][w4[iv] > floor4]
+                                       / (phonon.KB_HA * t)))).sum()
+                          / w4.shape[1]
+                          for iv in range(vols4.size)] for t in tg])
+        rg = eos.qha(vols4, e4, fv4, tg)
+        a_fd = rg["alpha_v"][1]
+        a_gr = eos.gruneisen(vols4, f4, temperature=700.0, b0=rg["b0"][1],
+                             v0=rg["v0"][1])["alpha_v"]
+        assert a_fd > 1e-6 and a_gr > 1e-6 and 0.1 < a_gr / a_fd < 10.0, \
+            (a_fd, a_gr)
+        print(f"  [cross-gate] T=700 K: alpha_FD={a_fd:.3e} "
+              f"alpha_Grueneisen={a_gr:.3e} 1/K — sign+decade agreement OK")
         return
 
     shells = [Shell(l=0, exps=np.array([2.5, 0.7]),
