@@ -127,6 +127,19 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
     rank = int(rank)
     nip = min(int(nao * c0), rank)
     mask = piv[:nip]
+    if nip >= 0.9 * rank and rank < ng0:
+        # candidate-pool saturation: the requested compression is within
+        # 10% of the parent grid's numerical pair-density rank, so raising
+        # c0 buys almost nothing — densify m0 instead (measured at NiO
+        # dzvp ke=200: m0 15^3 -> 19^3 HALVES the served J error at fixed
+        # c0=40; PARITY.md production-accuracy notes)
+        import warnings
+
+        warnings.warn(
+            f"interpolation-point selection is pool-saturated: nip={nip} "
+            f"vs parent-grid rank {rank} (ng0={ng0}). Accuracy is limited "
+            f"by the m0={tuple(m0)} candidate pool, not by c0 — increase "
+            "m0 for more accuracy.", stacklevel=3)
     if log.verbose >= 3:  # residual fetch only when the line is printed
         hist = np.asarray(hist)
         err = float(hist[min(nip, len(hist) - 1)])
