@@ -250,8 +250,13 @@ def eval_ao_numpy(cell, coords, kpts=None, precision=None):
         if gamma:
             blocks.append(chi_all.sum(axis=1))
         else:
-            ph = np.exp(1j * images @ kpts_arr.T)          # (T, nk)
-            blocks.append(np.einsum("gTf,Tk->kgf", chi_all, ph))
+            t = images @ kpts_arr.T                        # (T, nk)
+            # image-phase contraction as two REAL dgemms (chi is real;
+            # einsum's c_einsum path ran this at interpreter speed —
+            # half the production selection cost)
+            re = np.tensordot(chi_all, np.cos(t), axes=([1], [0]))
+            im = np.tensordot(chi_all, np.sin(t), axes=([1], [0]))
+            blocks.append(np.moveaxis(re + 1j * im, 2, 0))  # (nk, g, f)
     out = np.concatenate(blocks, axis=-1)
     if not gamma:
         ptphase = np.exp(1j * (tvec @ kpts_arr.T))         # (g, nk)

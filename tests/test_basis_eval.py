@@ -142,3 +142,24 @@ def test_evaluator_jit_reuse():
     b = fn(jnp.asarray(cell.gen_uniform_grids([4, 4, 4])))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert a.shape == (2, 64, 4)  # s + p
+
+
+def test_eval_ao_numpy_matches_jitted():
+    """The host-side f64 evaluator (the f32-device selection path:
+    select_host_f64) must agree with the jitted evaluator to f64
+    round-off — multi-l shells, off-grid coords, k-phases included."""
+    from fftisdf_tpu.lattice import structure
+
+    cell = structure.to_cell(*structure.bulk_diamond(), basis="gth-szv",
+                             pseudo="gth-pade", ke_cutoff=40.0)
+    kpts = cell.get_kpts([1, 2, 2])
+    rng = np.random.default_rng(5)
+    coords = rng.uniform(-2.0, 8.0, size=(37, 3))
+    from fftisdf_tpu.basis.eval import eval_ao_kpts, eval_ao_numpy
+    ref = np.asarray(eval_ao_kpts(cell, coords, kpts))
+    out = eval_ao_numpy(cell, coords, kpts=kpts)
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-12)
+    # gamma path
+    ref_g = np.asarray(eval_ao_kpts(cell, coords, cell.get_kpts([1, 1, 1])))
+    out_g = eval_ao_numpy(cell, coords, kpts=None)
+    np.testing.assert_allclose(out_g, ref_g[0].real, rtol=0, atol=1e-12)
