@@ -217,7 +217,7 @@ def main():
     if (sweep is None and not args.quick and not args.production
             and not args.no_c0_sweep):
         sweep = [20.0]
-    out = run(args, budget=budget, c0_sweep=sweep)
+    out = run(args, budget=budget, c0_sweep=sweep, emit_partial=_emit)
     _emit(out)
 
     on_tpu = out.get("backend") == "tpu"
@@ -286,7 +286,7 @@ def main():
         _emit(out)
 
 
-def run(args, budget=None, c0_sweep=None):
+def run(args, budget=None, c0_sweep=None, emit_partial=None):
     budget = budget or _Budget(float("inf"))
     if args.production:
         args.system = "nio"
@@ -442,6 +442,24 @@ def run(args, budget=None, c0_sweep=None):
     # ---------------- stage: core ISDF build + serve ----------------
     t_build, t_isdf_jk, vj_i, vk_i, meta = isdf_arm(
         args.c0, args.max_memory_gb, args.build_reps)
+    if emit_partial is not None:
+        # first flushed line ~2 min into the run, BEFORE the (expensive)
+        # exact baseline: even the harshest driver timeout records the
+        # headline build+serve numbers (round-2 lesson; later stages
+        # re-print richer lines and the driver parses the LAST one)
+        emit_partial({
+            "metric": "isdf_build_jk_scf20_wall_s",
+            "value": round(t_build + 20 * t_isdf_jk, 4),
+            "unit": "s",
+            "vs_baseline": None,
+            "isdf_build_s": _r(t_build),
+            "isdf_jk_s": _r(t_isdf_jk),
+            "partial": "exact baseline pending",
+            "system": args.system, "backend": backend,
+            "nk": nk, "nao": nao, "ngrid": ngrid, "nip": meta["nip"],
+            "c0": args.c0, "ke_cutoff": ke,
+            "basis": args.basis or "gth-szv",
+            "nchunks": meta["nchunks"]})
 
     # ---------------- stage: exact plane-wave baseline ----------------
     ej = ek = sj = sk = t_exact = float("nan")

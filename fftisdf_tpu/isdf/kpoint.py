@@ -84,8 +84,13 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
         x2 = (flat.conj() @ flat.T).real
         x4 = (x2 * x2) / nk
         max_rank = min(int(min(c0, 1e6) * nao), ng0)
-        _, piv, rank, hist = pivoted_cholesky_np(x4, max_rank=max_rank,
+        # factor ~15% past the requested rank: `rank` is otherwise capped
+        # at max_rank and candidate-pool saturation (rank deficiency of
+        # the m0 grid, the dzvp accuracy limiter) is undetectable
+        probe = min(int(max_rank * 1.15) + 8, ng0)
+        _, piv, rank, hist = pivoted_cholesky_np(x4, max_rank=probe,
                                                  tol=select_tol)
+        rank_cap = probe
         x0 = to_device(x0_np, dtype=jnp.complex128
                        if dtype == jnp.float64 else jnp.complex64)
     else:
@@ -120,14 +125,16 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
                 log.debug("select: f32 fp-rank %d of %d pivots (cap-based "
                           "selection keeps all)", int(rank_fp), max_rank)
             rank = max_rank
+            rank_cap = max_rank
         else:
             _, piv, rank, hist = pivoted_cholesky(x4, max_rank=max_rank,
                                                   tol=select_tol)
+            rank_cap = max_rank
     piv = np.asarray(piv)
     rank = int(rank)
     nip = min(int(nao * c0), rank)
     mask = piv[:nip]
-    if nip >= 0.9 * rank and rank < ng0:
+    if nip >= 0.9 * rank and rank < rank_cap:
         # candidate-pool saturation: the requested compression is within
         # 10% of the parent grid's numerical pair-density rank, so raising
         # c0 buys almost nothing — densify m0 instead (measured at NiO
