@@ -44,17 +44,123 @@ from fftisdf_tpu.utils.logging import Logger
 from fftisdf_tpu.utils.device import to_device, jit_take, czeros
 
 
+class PoolSaturationWarning(UserWarning):
+    """Interpolation-point selection is candidate-pool limited: the
+    requested compression sits within 10% of the parent grid's numerical
+    pair-density rank, so raising ``c0`` buys almost nothing — densify
+    ``m0`` (or use ``m0='auto'``, which densifies itself)."""
+
+
+_saturation_warned = set()   # one warning per (m0, nip) per process
+
+
+def auto_selection_mesh(cell, nip_target, pool_factor=2.5, k0=None,
+                        floor=(15, 15, 15)):
+    """Cutoff-derived, basis-scaled selection (parent) mesh.
+
+    The reference's lstsq prototype derives its selection grid from an
+    energy cutoff that scales with the cell — ``gmesh =
+    pbctools.cutoff_to_mesh(lv, k0)`` (``/root/reference/
+    fftdf-with-k-lstsq.py:32``, knob ``k0`` at ``:20,210``).  Two modes:
+
+    - ``k0`` given: the reference's knob verbatim —
+      ``cell.cutoff_to_mesh(k0)``, no floor.
+    - ``k0=None`` (auto): the smallest cutoff whose mesh carries at least
+      ``pool_factor * nip_target`` candidate points (so the pivoted-
+      Cholesky pool is never the accuracy limiter — the round-3 finding:
+      at the production config the reference's fixed 15^3 pool saturates
+      at nip=2480 and c0 stops buying accuracy, while a 19^3 pool halves
+      the served J error), elementwise-maxed with ``floor`` (the
+      reference's fixed default, ``fftisdf.py:304``) so small systems
+      keep the dense default mesh and legacy behavior.
+
+    Deriving the mesh through ``cutoff_to_mesh`` (not a bare cube root)
+    keeps the per-axis density proportional to the reciprocal lattice —
+    anisotropic cells get anisotropic pools, exactly like the reference's
+    ``cutoff_to_mesh(lv, k0)``.
+    """
+    if k0 is not None:
+        return tuple(int(v) for v in cell.cutoff_to_mesh(float(k0)))
+    target = float(pool_factor) * float(nip_target)
+    ke_hi = 1.0
+    while np.prod(cell.cutoff_to_mesh(ke_hi)) < target and ke_hi < 1e6:
+        ke_hi *= 2.0
+    ke_lo = ke_hi / 2.0
+    for _ in range(40):
+        ke_mid = 0.5 * (ke_lo + ke_hi)
+        if np.prod(cell.cutoff_to_mesh(ke_mid)) >= target:
+            ke_hi = ke_mid
+        else:
+            ke_lo = ke_mid
+    m = np.asarray(cell.cutoff_to_mesh(ke_hi))
+    if floor is not None:
+        m = np.maximum(m, np.asarray(floor))
+    return tuple(int(v) for v in m)
+
+
 def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
                                 select_tol=None, log=None,
-                                host_f64=None):
+                                host_f64=None, auto_densify=False,
+                                max_densify=2):
     """Pivoted-Cholesky selection of interpolation points on the parent grid.
 
-    Returns (x_k (nk, nip, nao) device array, mask (nip,) host array, rank).
-    Mirrors the contract of ``fftisdf.py:357-388``: the pair-density gram
-    ``x4 = (sum_k X_k X_k^H)^2 / nk`` on the coarse m0 grid is pivoted; keep
-    ``nip = min(nao*c0, rank)`` pivots.  Host-syncs the pivots once (setup
-    step) so downstream shapes are static.
+    Returns (x_k (nk, nip, nao) device array, mask (nip,) host array, rank,
+    m0_used).  Mirrors the contract of ``fftisdf.py:357-388``: the
+    pair-density gram ``x4 = (sum_k X_k X_k^H)^2 / nk`` on the coarse m0
+    grid is pivoted; keep ``nip = min(nao*c0, rank)`` pivots.  Host-syncs
+    the pivots once (setup step) so downstream shapes are static.
+
+    ``auto_densify=True`` (the ``m0='auto'`` path): when the saturation
+    detector fires — nip within 10% of the pool's numerical rank — the
+    selection mesh is densified (pool x2 per retry, up to ``max_densify``
+    retries) and selection re-runs, so accuracy is never silently capped
+    by the candidate pool.  With an explicit m0 the legacy behavior is
+    kept: one :class:`PoolSaturationWarning` per (m0, nip).
     """
+    m0 = tuple(int(v) for v in m0)
+    prev_rank = -1
+    for attempt in range(max_densify + 1):
+        out = _select_once(cell, kpts, m0, c0, dtype=dtype,
+                           select_tol=select_tol, log=log,
+                           host_f64=host_f64)
+        x_k, mask, rank, saturated, ng0, nip = out
+        if not saturated:
+            break
+        if rank <= prev_rank:
+            # densifying bought no rank: the PHYSICAL pair-density space
+            # is exhausted (true full-rank fit), not the candidate pool —
+            # more points cannot help, and no warning is due
+            break
+        prev_rank = rank
+        if auto_densify and attempt < max_densify:
+            # pool x2: each axis grows by 2^(1/3), snapped up
+            m0_new = tuple(int(np.ceil(v * 2.0 ** (1.0 / 3.0)))
+                           for v in m0)
+            (log or Logger()).info(
+                "select: pool saturated (nip=%d vs rank %d on ng0=%d) — "
+                "densifying m0 %s -> %s", nip, rank, ng0, m0, m0_new)
+            m0 = m0_new
+            continue
+        key = (m0, nip)
+        if key not in _saturation_warned:
+            _saturation_warned.add(key)
+            import warnings
+
+            warnings.warn(
+                f"interpolation-point selection is pool-saturated: "
+                f"nip={nip} vs parent-grid rank {rank} (ng0={ng0}). "
+                f"Accuracy is limited by the m0={m0} candidate pool, not "
+                "by c0 — increase m0 (or use m0='auto') for more "
+                "accuracy.", PoolSaturationWarning, stacklevel=3)
+        break
+    return x_k, mask, rank, m0
+
+
+def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
+                 log=None, host_f64=None):
+    """One selection pass at a fixed parent mesh; see
+    :func:`select_interpolation_points` for the contract.  Returns
+    (x_k, mask, rank, saturated, ng0, nip)."""
     log = log or Logger()
     t0 = time.perf_counter()
     coords0 = cell.gen_uniform_grids(m0)
@@ -67,11 +173,13 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
         # fit metric (measured on the TPU, NiO 4x4x4 szv ke=100 c0=40:
         # f32 device selection vj_rel 1.44e-3 vs f64 host selection
         # 7.4e-4 — the single largest accuracy lever in the f32 regime).
-        # The parent-grid problem is small (ng0 <= ~3.4k for the capped
-        # m0=15^3), so the one-time host cost is seconds; guard against
-        # user-supplied huge parent grids where the 1-core host would
-        # crawl.
-        host_f64 = dtype != jnp.float64 and ng0_est <= 8192
+        # The parent-grid problem is modest (ng0 ~ 3-14k for the default
+        # and auto-densified meshes), so the one-time host cost is tens of
+        # seconds; guard against user-supplied huge parent grids where the
+        # 1-core host would crawl.  (The cap was 8192 in round 3; raised so
+        # the auto-densify path — 19^3/24^3 pools at the production config
+        # — keeps the f64 pivot ordering that IS the accuracy mechanism.)
+        host_f64 = dtype != jnp.float64 and ng0_est <= 20000
     if host_f64:
         from fftisdf_tpu.basis.eval import eval_ao_numpy
         from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky_np
@@ -134,19 +242,13 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
     rank = int(rank)
     nip = min(int(nao * c0), rank)
     mask = piv[:nip]
-    if nip >= 0.9 * rank and rank < rank_cap:
-        # candidate-pool saturation: the requested compression is within
-        # 10% of the parent grid's numerical pair-density rank, so raising
-        # c0 buys almost nothing — densify m0 instead (measured at NiO
-        # dzvp ke=200: m0 15^3 -> 19^3 HALVES the served J error at fixed
-        # c0=40; PARITY.md production-accuracy notes)
-        import warnings
-
-        warnings.warn(
-            f"interpolation-point selection is pool-saturated: nip={nip} "
-            f"vs parent-grid rank {rank} (ng0={ng0}). Accuracy is limited "
-            f"by the m0={tuple(m0)} candidate pool, not by c0 — increase "
-            "m0 for more accuracy.", stacklevel=3)
+    # candidate-pool saturation detector: the requested compression is
+    # within 10% of the parent grid's numerical pair-density rank, so
+    # raising c0 buys almost nothing — densify m0 instead (measured at NiO
+    # dzvp ke=200: m0 15^3 -> 19^3 HALVES the served J error at fixed
+    # c0=40; PARITY.md production-accuracy notes).  The caller decides
+    # whether to densify (m0='auto') or warn (explicit m0).
+    saturated = nip >= 0.9 * rank and rank < rank_cap
     if log.verbose >= 3:  # residual fetch only when the line is printed
         hist = np.asarray(hist)
         err = float(hist[min(nip, len(hist) - 1)])
@@ -154,7 +256,7 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
                  "pivot-residual=%.2e (%.2fs)", ng0, rank, nip, err,
                  time.perf_counter() - t0)
     x_k = _mask_rows(x0, jnp.asarray(mask))
-    return x_k, mask, rank
+    return x_k, mask, rank, saturated, ng0, nip
 
 
 @jax.jit
@@ -260,6 +362,10 @@ _take_cols = jax.jit(lambda a, i: a[:, i])
 _mask_rows = jax.jit(lambda a, m: a[:, m, :])
 _scatter_trs = jax.jit(lambda w, o, c: jnp.where(
     c[:, None, None], jnp.conj(w[o]), w[o]))
+# device-reduced scalar probe: the only reliable sync on the async axon
+# tunnel is a host fetch that DEPENDS on the result (block_until_ready
+# returns immediately there) — used by the per-stage build profiler
+_probe_abs = jax.jit(lambda a: jnp.sum(jnp.abs(jnp.real(a))))
 # scale = vol/ngrid^2 computed on host (f64): ngrid^2 overflows int32.
 # abs, not max(.,0): truncated 2D kernels carry a finite NEGATIVE q+G=0
 # sample whose magnitude must survive the PSD-style split — its sign is
@@ -311,13 +417,17 @@ def _chunk_factors(x_k, phase_full, qs, *, nq, solver, rcond, refine):
         a, method=solver, rcond=rcond, refine=refine)[1])(x4_c)
 
 
-@partial(jax.jit, static_argnames=("fn", "kind", "nip_pad"))
-def _sweep_chunk(coords_p, x_k, phase_full, phase_cols, data_c, *, fn,
-                 kind, nip_pad):
+def _sweep_chunk_body(coords_p, x_k, phase_full, phase_cols, data_c, *, fn,
+                      kind, nip_pad):
     """RHS grid sweep for one chunk of momentum sectors (ref HOT LOOP 1,
     fftisdf.py:72-87), streaming each grid block straight through the
     half solve: the accumulated O(nq * nip * ngrid) tensor is g = H B
     directly and the raw RHS y never exists.
+
+    Plain (un-jitted) body: the single-chip wrapper ``_sweep_chunk`` jits
+    it; the sharded build (parallel.build) runs the SAME body per device
+    inside ``shard_map`` over its local grid blocks — one implementation
+    for both paths (round-3 verdict item #2).
 
     The stripe square y_s stays REAL through the sweep (it *is* real —
     casting it complex, as a naive einsum chain does, doubles the HBM
@@ -362,12 +472,16 @@ def _sweep_chunk(coords_p, x_k, phase_full, phase_cols, data_c, *, fn,
     return jax.lax.fori_loop(0, nblk, body, g0)
 
 
-@partial(jax.jit, static_argnames=("mesh", "ngrid", "rblk"),
-         donate_argnums=(0, 1))
-def _spectral_inplace(g_re, g_im, eiqr_c, sqk_c, *, mesh, ngrid, rblk):
+_sweep_chunk = partial(jax.jit, static_argnames=("fn", "kind", "nip_pad"))(
+    _sweep_chunk_body)
+
+
+def _spectral_body(g_re, g_im, eiqr_c, sqk_c, *, mesh, ngrid, rblk):
     """Overwrite the swept g planes IN PLACE (donated) with the
     sqrt-Coulomb-scaled spectrum h_q = sqrt(coulG_q vol/ngrid^2)
     FFT[g_q e^{-iqr}], sector by sector in row slabs of ``rblk``.
+
+    Plain body shared with the sharded build (sector axis local there).
 
     This factors the Coulomb metric through the PSD split (coulG >= 0)
     M_q = h_q h_q^H — so every row is FFT'd exactly ONCE per build (the
@@ -400,8 +514,13 @@ def _spectral_inplace(g_re, g_im, eiqr_c, sqk_c, *, mesh, ngrid, rblk):
     return g_re, g_im
 
 
-@partial(jax.jit, static_argnames=("q", "rblk", "kind", "neg_cols"))
-def _sector_gram(g_re, g_im, data_q, *, q, rblk, kind, neg_cols=()):
+_spectral_inplace = partial(jax.jit, static_argnames=("mesh", "ngrid",
+                                                      "rblk"),
+                            donate_argnums=(0, 1))(_spectral_body)
+
+
+def _sector_gram_body(g_re, g_im, data_q, *, q, rblk, kind, neg_cols=(),
+                      sign=None):
     """One momentum sector's w_q from the in-place spectral planes (ref
     HOT LOOP 2, fftisdf.py:97-124): the Coulomb-metric gram
     M_q = h_q h_q^H over the padded grid width (pad columns are zero),
@@ -419,11 +538,20 @@ def _sector_gram(g_re, g_im, data_q, *, q, rblk, kind, neg_cols=()):
     The planes hold |coulG|^{1/2}-scaled spectra (_sqrt_kernel uses abs),
     so each such column j contributes +a a^H to the gram where the true
     metric wants -a a^H; the exact fix is the rank-1 subtraction of
-    2 a a^H per column (linalg.coulomb module docstring)."""
+    2 a a^H per column (linalg.coulomb module docstring).
+
+    ``sign``: dynamic alternative to ``neg_cols`` — a (ngrid_pad,) +-1 row
+    scaling the LEFT gram operand, forming the indefinite metric
+    M = H diag(sign) H^H directly (still hermitian, the triangle mirror
+    holds).  Used by the sharded build, where every device runs the same
+    program and per-sector static column indices are impossible; costs one
+    extra elementwise pass over each left slab.  Mutually exclusive with
+    ``neg_cols``."""
     nq, nip_pad, ngrid_pad = g_re.shape
     nip = data_q[0].shape[-1]
     rblk = min(rblk, nip_pad)
     nrb = nip_pad // rblk
+    assert sign is None or not neg_cols
 
     def slab(r):
         r0 = r * rblk
@@ -431,6 +559,8 @@ def _sector_gram(g_re, g_im, data_q, *, q, rblk, kind, neg_cols=()):
 
     def cgram(a, b):
         (re_i, im_i), (re_j, im_j) = a, b
+        if sign is not None:
+            re_i, im_i = re_i * sign[None, :], im_i * sign[None, :]
         return jax.lax.complex(re_i @ re_j.T + im_i @ im_j.T,
                                im_i @ re_j.T - re_i @ im_j.T)
 
@@ -451,6 +581,11 @@ def _sector_gram(g_re, g_im, data_q, *, q, rblk, kind, neg_cols=()):
         a = jax.lax.complex(g_re[q, :nip, j], g_im[q, :nip, j])
         m_q = m_q - 2.0 * a[:, None] * a.conj()[None, :]
     return finish_apply(kind, data_q, m_q), data_q[-1]
+
+
+_sector_gram = partial(jax.jit, static_argnames=("q", "rblk", "kind",
+                                                 "neg_cols"))(
+    _sector_gram_body)
 
 
 def clear_build_caches():
@@ -480,7 +615,15 @@ class FFTISDF:
 
     Knobs (mirroring ``fftisdf.py:297-306`` and the prototype kwargs):
       c0       — interpolation points per AO (default 20.0; driver used 40.0)
-      m0       — parent (selection) mesh, default (15, 15, 15)
+      m0       — parent (selection) mesh: 'auto' (default — cutoff-derived
+                 and basis-scaled so the candidate pool is never the
+                 accuracy limiter, auto-densifying when the saturation
+                 detector fires; see :func:`auto_selection_mesh`) or an
+                 explicit tuple (the reference's fixed (15, 15, 15),
+                 ``fftisdf.py:304``)
+      k0       — selection-mesh energy cutoff in Ha (the reference lstsq
+                 prototype's knob, ``fftdf-with-k-lstsq.py:20``); sets
+                 m0 = cell.cutoff_to_mesh(k0) when m0='auto'
       solver   — 'ridge' (Tikhonov+Cholesky, default: backward-stable and
                  eigh-free, 40-150x more accurate than spectral truncation
                  in f32) | 'lstsq' | 'pinv' | 'svd' (the reference's
@@ -491,7 +634,13 @@ class FFTISDF:
     cell: object
     kpts: np.ndarray
     c0: float = 20.0
-    m0: tuple = (15, 15, 15)
+    m0: object = "auto"        # 'auto' (cutoff-derived, auto-densifying)
+                               # | explicit tuple (ref default (15,15,15))
+    k0: float = None           # selection cutoff in Ha ('auto' mode only;
+                               # the ref lstsq knob fftdf-with-k-lstsq.py:20)
+    m0_pool: float = 2.5       # 'auto': candidate pool >= m0_pool * nip
+    m0_floor: tuple = (15, 15, 15)  # 'auto': elementwise mesh floor (the
+                               # reference's fixed default)
     solver: str = "ridge"      # ridge (default) | lstsq | pinv | svd
     rcond: float = None        # None: dtype-aware (1e-10 f64, 1e-5 f32)
     refine: int = None         # refinement steps; None: dtype-aware (0/1)
@@ -517,6 +666,13 @@ class FFTISDF:
     verbose: int = 3
     validate: bool = False     # debug: check stripe-reality invariants
                                # (the asserts at ref fftisdf.py:43,81)
+    profile_build: bool = False  # per-stage wall-clock attribution
+                               # (selection/factors/sweep/spectral/gram):
+                               # inserts a device-probe sync after every
+                               # stage, which SERIALIZES the async dispatch
+                               # pipeline — use for attribution runs, not
+                               # for headline timings.  Results land in
+                               # self._stage_s.
 
     # built state
     x_k: object = None          # (nk, nip, nao)
@@ -550,6 +706,17 @@ class FFTISDF:
         self.kpts = np.asarray(self.kpts)
         self.kmesh = np.asarray(kpt_mod.kpts_to_kmesh(self.cell, self.kpts))
         self._log = Logger(self.verbose)
+        # resolve the selection mesh: 'auto'/None derives it from the
+        # requested rank (and auto-densifies on saturation at build time);
+        # an explicit tuple is kept verbatim (reference-parity knob)
+        self._m0_auto = self.m0 is None or (isinstance(self.m0, str)
+                                            and self.m0 == "auto")
+        if self._m0_auto:
+            self.m0 = auto_selection_mesh(
+                self.cell, self.c0 * self.cell.nao_nr(),
+                pool_factor=self.m0_pool, k0=self.k0, floor=self.m0_floor)
+        else:
+            self.m0 = tuple(int(v) for v in self.m0)
         self._kconserv2 = None
         self._kconserv3 = None
 
@@ -598,10 +765,13 @@ class FFTISDF:
         cdtype = jnp.complex128 if self.dtype == jnp.float64 else jnp.complex64
         t_all = time.perf_counter()
 
-        x_k, mask, rank = select_interpolation_points(
+        t_sel = time.perf_counter()
+        x_k, mask, rank, m0_used = select_interpolation_points(
             cell, kpts, self.m0, self.c0, dtype=self.dtype,
             select_tol=self.select_tol, log=log,
-            host_f64=self.select_host_f64)
+            host_f64=self.select_host_f64, auto_densify=self._m0_auto)
+        self._t_select = time.perf_counter() - t_sel
+        self.m0 = m0_used   # densified mesh: mask indexes into THIS grid
         self.mask = mask
         self.x_k = x_k
 
@@ -780,17 +950,32 @@ class FFTISDF:
                     np.flatnonzero(np.asarray(coulG_sel[i] < 0)))
         wq_sel = czeros((nsec, nip, nip), cdtype)
         rank_parts = []
+        # per-stage wall-clock attribution (profile_build): a device-probe
+        # fetch after every stage serializes the dispatch queue so the
+        # deltas are real stage times, not dispatch latencies
+        prof = {"factors": 0.0, "sweep": 0.0, "spectral": 0.0, "gram": 0.0}
+
+        def _tick(name, t0, arr):
+            if self.profile_build:
+                float(_probe_abs(arr))
+            prof[name] += time.perf_counter() - t0
+            return time.perf_counter()
+
         for q0 in range(0, nsec, qchunk):
             q1 = min(q0 + qchunk, nsec)
+            tc = time.perf_counter()
             data_c = _chunk_factors(
                 x_k, phase, jnp.asarray(qsel[q0:q1]), nq=q1 - q0,
                 solver=self.solver, rcond=self.rcond, refine=self.refine)
+            tc = _tick("factors", tc, jax.tree_util.tree_leaves(data_c)[0])
             g_re, g_im = _sweep_chunk(
                 coords_p, x_k, phase, _take_cols(phase, qsel_j[q0:q1]),
                 data_c, fn=fn, kind=kind, nip_pad=nrb * rblk)
+            tc = _tick("sweep", tc, g_re)
             g_re, g_im = _spectral_inplace(
                 g_re, g_im, eiqr_sel[q0:q1], sqk_sel[q0:q1],
                 mesh=mesh, ngrid=ngrid, rblk=rblk)
+            tc = _tick("spectral", tc, g_re)
             for iq in range(q1 - q0):
                 data_q = jax.tree_util.tree_map(lambda a: a[iq], data_c)
                 wq_q, rank_q = _sector_gram(
@@ -798,6 +983,7 @@ class FFTISDF:
                     neg_cols=neg_cols_sel[q0 + iq])
                 wq_sel = _wq_write(wq_sel, wq_q, q0 + iq)
                 rank_parts.append(rank_q)
+            _tick("gram", tc, wq_sel)
             del g_re, g_im, data_c
         if self.use_trs and len(qsel) < nk:
             # scatter canonical sectors and their conjugate mirrors
@@ -826,6 +1012,10 @@ class FFTISDF:
         self._nsec_solved = len(qsel)
         self._nchunks = -(-len(qsel) // qchunk)
         self._rblk = rblk
+        self._stage_s = {k: round(v, 3) for k, v in prof.items()}
+        if self.profile_build:
+            log.info("build: stage attribution %s (+ selection %.2fs)",
+                     self._stage_s, getattr(self, "_t_select", float("nan")))
         log.info("build: %d/%d sectors solved in %d chunk(s), fit ranks %s "
                  "(%.2fs)", len(qsel), nk, self._nchunks, ranks[:8],
                  time.perf_counter() - t0)

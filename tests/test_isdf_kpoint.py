@@ -248,3 +248,70 @@ def test_trs_sector_mirroring(he2):
     e1 = np.asarray(df1.get_eri((0, 1, 2, k4)))
     e2 = np.asarray(df2.get_eri((0, 1, 2, k4)))
     np.testing.assert_allclose(e1, e2, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Selection-mesh mechanism (round-4): cutoff-derived auto m0, auto-densify
+# on pool saturation, and the saturation warning contract.
+
+def test_auto_selection_mesh_contract(he2):
+    """auto mode: floor respected, pool target monotone, k0 = the reference
+    lstsq knob (fftdf-with-k-lstsq.py:32 cutoff_to_mesh(lv, k0))."""
+    from fftisdf_tpu.isdf.kpoint import auto_selection_mesh
+
+    cell, kpts, _, _ = he2
+    # tiny target: the floor (reference default mesh) wins
+    assert auto_selection_mesh(cell, 10) == (15, 15, 15)
+    # large target: pool >= pool_factor * target, floor exceeded
+    m_big = auto_selection_mesh(cell, 4000)
+    assert np.prod(m_big) >= 2.5 * 4000
+    assert all(b >= 15 for b in m_big)
+    # monotone in the target
+    m_sm = auto_selection_mesh(cell, 2000)
+    assert np.prod(m_sm) <= np.prod(m_big)
+    # anisotropy follows the lattice (he2 cell is 5 x 5 x 7 bohr: the long
+    # axis carries proportionally more points)
+    assert m_big[2] > m_big[0] == m_big[1]
+    # explicit k0: exactly the cutoff-derived mesh, no floor
+    assert auto_selection_mesh(cell, 0, k0=5.0) == tuple(
+        int(v) for v in cell.cutoff_to_mesh(5.0))
+
+
+def test_auto_densify_on_saturation(he2):
+    """A starved starting pool (m0_floor (3,3,4): 36 candidates for a
+    requested nip of 10*nao=20 on sto-3g He2) must densify itself until the
+    detector clears, and df.m0 must record the mesh the mask indexes."""
+    from fftisdf_tpu.isdf import jk as jk_mod
+
+    cell, kpts, coords, ao = he2
+    df = FFTISDF(cell, kpts, c0=10.0, m0="auto", m0_floor=(3, 3, 4),
+                 verbose=0)
+    m0_start = df.m0
+    df.build()
+    # served J/K finite and sane vs the exact oracle (loose: tiny pool)
+    dm = trs_dm(cell, kpts, df.x_k.shape[2])[0]
+    vj, vk = df.get_jk(dm)
+    assert np.isfinite(np.asarray(vj)).all()
+    # the recorded m0 is the FINAL mesh (mask must index into its grid)
+    assert np.prod(df.m0) > int(np.asarray(df.mask).max())
+    if df.m0 != m0_start:
+        assert np.prod(df.m0) > np.prod(m0_start)
+
+
+def test_pool_saturation_warning(he2):
+    """Explicit (reference-parity) m0 keeps the legacy contract: one
+    PoolSaturationWarning when the pool caps the requested compression."""
+    import warnings as _w
+    from fftisdf_tpu.isdf.kpoint import (PoolSaturationWarning,
+                                         select_interpolation_points,
+                                         _saturation_warned)
+
+    cell, kpts, _, _ = he2
+    _saturation_warned.clear()
+    with pytest.warns(PoolSaturationWarning):
+        select_interpolation_points(cell, kpts, (3, 3, 4), 10.0)
+    # deduplicated: the same config warns once per process
+    with _w.catch_warnings():
+        _w.simplefilter("error", PoolSaturationWarning)
+        select_interpolation_points(cell, kpts, (3, 3, 4), 10.0)
+    _saturation_warned.clear()
