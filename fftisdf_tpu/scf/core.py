@@ -18,8 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
-    "fori_host", "diis_extrapolate", "smeared_occ", "aufbau_occ",
-    "smeared_occupations", "fixed_occupations",
+    "fori_host", "diis_extrapolate", "adiis_coeffs", "smeared_occ",
+    "aufbau_occ", "smeared_occupations", "fixed_occupations",
 ]
 
 
@@ -66,6 +66,63 @@ def diis_extrapolate(errs, focks, valid, xp):
                           -xp.ones((1,), dtype=b.dtype)])
     coef = xp.linalg.solve(a, rhs)[:m] * valid.astype(b.dtype)
     return xp.einsum("i,il->l", coef, focks)
+
+
+def adiis_coeffs(dms, focks, ref, valid, xp, fori, n_steps=400):
+    """ADIIS simplex coefficients (Hu & Yang, JCP 132, 054109 (2010)).
+
+    Pulay/CDIIS extrapolates the *error*, which is a local model: far from
+    convergence (the NiO d-manifold competition: near-degenerate states
+    swapping occupation between iterations) its coefficients go wild and
+    the SCF limit-cycles — the round-3 artifact needed damp=0.4 and 179
+    cycles.  ADIIS instead minimizes a quadratic model of the ENERGY over
+    the convex hull of the stored densities,
+
+        f(c) = 2 sum_i c_i Re<D_i - D_ref, F_ref>
+             + sum_ij c_i c_j Re<D_i - D_ref, F_j - F_ref>,
+        c on the simplex (c_i >= 0, sum c_i = 1),
+
+    which is globally damped by construction (no coefficient can leave
+    [0, 1]).  Drivers blend: ADIIS while the commutator error is large,
+    CDIIS for the terminal quadratic phase (PySCF's DIIS policy).
+
+    dms/focks: (m, L) flattened complex histories; ``ref`` the slot index
+    of the current (D, F); valid: (m,) bool.  Solved by entropic mirror
+    descent (c <- c * exp(-eta g), renormalized) — dead/zero slots are
+    absorbing, every iterate is feasible, and the whole solve traces under
+    ``jit`` (the device-resident driver runs this exact code; scipy-free).
+    Returns c (m,) real.
+    """
+    m = dms.shape[0]
+    rdt = _real_finfo(dms.dtype).dtype
+    d_ref = dms[ref]
+    f_ref = focks[ref]
+    dd = dms - d_ref[None, :]
+    df = focks - f_ref[None, :]
+    vf = valid.astype(rdt)
+    # dead slots masked to 0 BEFORE the scale normalization: their garbage
+    # rows would otherwise blow up through a near-zero scale (single live
+    # slot: scale ~ tiny) and 0 * exp(inf) = NaN in the multiplicative
+    # update
+    a = xp.real(xp.einsum("il,l->i", dd.conj(), f_ref)).astype(rdt) * vf
+    b = xp.real(xp.einsum("il,jl->ij", dd.conj(), df)).astype(rdt) \
+        * vf[:, None] * vf[None, :]
+    # scale-invariant objective (the minimizer ignores a positive rescale;
+    # the mirror-descent step size does not)
+    scale = xp.max(xp.abs(a)) + xp.max(xp.abs(b)) + _real_finfo(rdt).tiny
+    a = a / scale
+    b = b / scale
+    c0 = vf / xp.sum(vf)
+
+    def body(t, c):
+        g = (2.0 * a + (b + b.T) @ c) * vf
+        g = g - xp.sum(c * g)                   # gauge: tangent of simplex
+        gmax = xp.max(xp.abs(g) * vf) + _real_finfo(rdt).tiny
+        eta = 2.0 / (1.0 + 0.02 * t)
+        c = c * xp.exp(-eta * g / gmax) * vf
+        return c / (xp.sum(c) + _real_finfo(rdt).tiny)
+
+    return fori(0, n_steps, body, c0)
 
 
 def smeared_occ(e, ok, nelec_target, sigma, method, xp, fori):

@@ -56,21 +56,43 @@ def orth_and_penalty(s1e, cutoff):
     return x, pen
 
 
-def _diis_update(errs, focks, n, err_flat, fock_flat):
-    """Ring-buffer DIIS state management, fully on device.
+def _diis_update(errs, focks, dms, ok, n, err_flat, fock_flat, dm_flat,
+                 adiis_switch, allow_adiis):
+    """Ring-buffer ADIIS/CDIIS state management, fully on device.
 
-    errs/focks: (m, L) complex; n: int32 count.  Returns the extrapolated
-    fock (L,) and the new state.  The extrapolation math is the shared
-    ``scf.core.diis_extrapolate`` (same code the host driver runs)."""
+    errs/focks/dms: (m, L) complex; ok: (m,) bool (slot eligible for the
+    ADIIS hull); n: int32 count.  Returns the extrapolated fock (L,) and
+    the new state.  The extrapolation math is the shared ``scf.core`` code
+    (same code the host driver runs): the globally-damped ADIIS energy
+    model while |FDS-SDF| > ``adiis_switch`` (a traced ``where`` — both
+    coefficient solves are tiny next to one J/K serve), CDIIS in the
+    terminal quadratic phase.  Rows stored while ``allow_adiis`` was False
+    (bias cycles: the energy model would average the broken-symmetry seed
+    away) never enter the ADIIS hull — the same masking the host DIIS
+    applies."""
     m = errs.shape[0]
     idx = jnp.mod(n, m)
     zero = jnp.zeros((), dtype=idx.dtype)
     errs = jax.lax.dynamic_update_slice(errs, err_flat[None], (idx, zero))
     focks = jax.lax.dynamic_update_slice(focks, fock_flat[None], (idx, zero))
+    dms = jax.lax.dynamic_update_slice(dms, dm_flat[None], (idx, zero))
+    ok = jax.lax.dynamic_update_slice(
+        ok, jnp.reshape(allow_adiis, (1,)).astype(ok.dtype), (idx,))
     n = n + 1
     valid = (jnp.arange(m) < n)
-    fock_out = core.diis_extrapolate(errs, focks, valid, jnp)
-    return fock_out, errs, focks, n
+    fock_c = core.diis_extrapolate(errs, focks, valid, jnp)
+    if adiis_switch > 0.0:
+        valid_a = jnp.logical_and(valid, ok)
+        c_a = core.adiis_coeffs(dms, focks, idx, valid_a, jnp,
+                                jax.lax.fori_loop)
+        fock_a = jnp.einsum("i,il->l", c_a.astype(focks.real.dtype), focks)
+        err_norm = jnp.max(jnp.abs(err_flat))
+        use_a = (err_norm > adiis_switch) & allow_adiis \
+            & (jnp.sum(valid_a) >= 2)
+        fock_out = jnp.where(use_a, fock_a, fock_c)
+    else:
+        fock_out = fock_c
+    return fock_out, errs, focks, dms, ok, n
 
 
 # Penalized (dropped-overlap-direction) eigenvalues sit at ~+1e6 Ha AFTER
@@ -180,9 +202,11 @@ class DeviceKUHF(KUHF):
         # complex allocations must happen inside jit on complex-hostile
         # transports (an eager broadcast of a complex 0 constant round-trips
         # through the host)
-        errs0, focks0 = jax.jit(
+        errs0, focks0, dms0 = jax.jit(
             lambda: (jnp.zeros((m, L), dtype=cdtype),
+                     jnp.zeros((m, L), dtype=cdtype),
                      jnp.zeros((m, L), dtype=cdtype)))()
+        ok0 = jnp.zeros((m,), dtype=bool)
 
         if self.level_shift:
             raise NotImplementedError(
@@ -194,18 +218,23 @@ class DeviceKUHF(KUHF):
         e_nuc = float(self.e_nuc)
         bias_cycles = int(self.bias_cycles)
         damp = float(self.damp)
+        adiis_switch = float(self.adiis_switch)
+        has_bias = bool(self.init_spin)
 
         @partial(jax.jit, static_argnames=())
-        def step(dm, errs, focks, n, it, x_k, w0, h1e, s1e, xo, pen, bias,
-                 ws, *veff_extra):
+        def step(dm, errs, focks, dms, ok, n, it, x_k, w0, h1e, s1e, xo,
+                 pen, bias, ws, *veff_extra):
             fock, e_elec = self._trace_veff(dm, x_k, w0, ws, h1e,
                                             *veff_extra)
             e_tot = e_elec + e_nuc
 
             err = jnp.einsum("skmn,sknl,klo->skmo", fock, dm, s1e) \
                 - jnp.einsum("kmn,sknl,sklo->skmo", s1e, dm, fock)
-            fock_x, errs, focks, n = _diis_update(
-                errs, focks, n, err.reshape(-1), fock.reshape(-1))
+            allow_adiis = (jnp.asarray(True) if not has_bias
+                           else it >= bias_cycles)
+            fock_x, errs, focks, dms, ok, n = _diis_update(
+                errs, focks, dms, ok, n, err.reshape(-1), fock.reshape(-1),
+                dm.reshape(-1), adiis_switch, allow_adiis)
             fock = fock_x.reshape(fock.shape)
             fock = fock + jnp.where(it < bias_cycles, 1.0, 0.0) * bias
 
@@ -234,18 +263,19 @@ class DeviceKUHF(KUHF):
             ddm = jnp.max(jnp.abs(dm_new - dm))
             stats = jnp.stack([e_tot.astype(rdtype),
                                ddm.real.astype(rdtype), ent])
-            return dm_new, errs, focks, n, stats
+            return dm_new, errs, focks, dms, ok, n, stats
 
         dm = to_device(self.get_init_guess() if dm0 is None
                        else np.asarray(dm0), dtype=cdtype)
         veff_extra = self._veff_args()
-        errs, focks, n = errs0, focks0, jnp.asarray(0, jnp.int32)
+        errs, focks, dms, ok = errs0, focks0, dms0, ok0
+        n = jnp.asarray(0, jnp.int32)
         e_last, self.converged = 0.0, False
         it = -1
         for it in range(self.max_cycle):
             t0 = time.perf_counter()
-            dm, errs, focks, n, stats = step(
-                dm, errs, focks, n, jnp.asarray(it, jnp.int32),
+            dm, errs, focks, dms, ok, n, stats = step(
+                dm, errs, focks, dms, ok, n, jnp.asarray(it, jnp.int32),
                 df.x_k, w0, consts["h1e"], consts["s1e"], consts["xo"],
                 consts["pen"], bias, ws, *veff_extra)
             e_tot, ddm, ent = [float(v) for v in to_host(stats)]

@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from fftisdf_tpu.scf import integrals
-from fftisdf_tpu.scf.core import (diis_extrapolate, fixed_occupations,
-                                  smeared_occupations)
+from fftisdf_tpu.scf.core import (adiis_coeffs, diis_extrapolate, fori_host,
+                                  fixed_occupations, smeared_occupations)
 from fftisdf_tpu.basis.eval import make_evaluator
 from fftisdf_tpu.utils.logging import Logger
 from fftisdf_tpu.utils.device import to_host, to_device
@@ -86,24 +86,46 @@ class PWDF:
 
 
 class DIIS:
-    """Pulay DIIS over flattened (error, fock) pairs.
+    """ADIIS-stabilized Pulay DIIS over flattened (dm, fock, error) rows.
 
     Storage management only — the extrapolation math is the shared
-    ``scf.core.diis_extrapolate`` (same code the traced device driver
-    runs)."""
+    ``scf.core`` code (same code the traced device driver runs).  Policy
+    (PySCF's): while the commutator error is large the coefficients come
+    from the globally-damped ADIIS energy model (``scf.core.adiis_coeffs``
+    — the fix for the round-3 d-manifold limit cycle that needed damp=0.4
+    and 179 cycles); once |FDS-SDF| < ``adiis_switch`` the terminal
+    quadratic phase uses plain CDIIS.  ``adiis_switch=0`` disables ADIIS
+    (legacy behavior)."""
 
-    def __init__(self, space=8):
+    def __init__(self, space=8, adiis_switch=1e-2):
         self.space = space
+        self.adiis_switch = float(adiis_switch)
         self.errs = []
         self.focks = []
+        self.dms = []
 
-    def update(self, fock_flat, err_flat):
+    def update(self, fock_flat, err_flat, dm_flat=None):
         self.errs.append(np.asarray(err_flat, dtype=np.complex128))
         self.focks.append(np.asarray(fock_flat, dtype=np.complex128))
+        self.dms.append(None if dm_flat is None
+                        else np.asarray(dm_flat, dtype=np.complex128))
         if len(self.errs) > self.space:
             self.errs.pop(0)
             self.focks.pop(0)
+            self.dms.pop(0)
         n = len(self.errs)
+        err_norm = float(np.abs(self.errs[-1]).max())
+        # ADIIS can only extrapolate over slots that carry a density (rows
+        # stored while the caller withheld dm — e.g. bias cycles — are
+        # masked out)
+        valid = np.array([d is not None for d in self.dms])
+        if (self.adiis_switch > 0 and self.dms[-1] is not None
+                and valid.sum() >= 2 and err_norm > self.adiis_switch):
+            dms = np.stack([np.zeros_like(self.focks[0]) if d is None else d
+                            for d in self.dms])
+            c = adiis_coeffs(dms, np.asarray(self.focks),
+                             n - 1, valid, np, fori_host)
+            return np.einsum("i,il->l", c, np.asarray(self.focks))
         return diis_extrapolate(np.asarray(self.errs), np.asarray(self.focks),
                                 np.ones(n, dtype=bool), np)
 
@@ -137,6 +159,12 @@ class KRHF:
     max_cycle: int = 50
     conv_tol: float = 1e-8
     diis_space: int = 8
+    adiis_switch: float = 1e-2  # |FDS-SDF| above which the globally-damped
+                               # ADIIS energy model supplies the DIIS
+                               # coefficients (Hu & Yang 2010; kills the
+                               # d-manifold limit cycles that plain CDIIS
+                               # needs hand-tuned damping for).  0 = legacy
+                               # CDIIS-only.
     exxdiv: str = None         # None (ref semantics) | 'ewald' (Madelung
                                # probe-charge correction of the G=0 exchange)
     level_shift: float = 0.0   # Ha shift of virtuals (helps small-gap SCF)
@@ -305,7 +333,7 @@ class KRHF:
     def kernel(self, dm0=None):
         log = self._log
         dm = self.get_init_guess() if dm0 is None else np.asarray(dm0)
-        diis = DIIS(self.diis_space)
+        diis = DIIS(self.diis_space, adiis_switch=self.adiis_switch)
         nk, nao = self.h1e.shape[:2]
         e_last = 0.0
         it = -1
@@ -318,8 +346,8 @@ class KRHF:
                 fock[k] @ dm[k] @ self.s1e[k] - self.s1e[k] @ dm[k] @ fock[k]
                 for k in range(nk)
             ])
-            fock = diis.update(fock.reshape(-1), err.reshape(-1)).reshape(
-                fock.shape)
+            fock = diis.update(fock.reshape(-1), err.reshape(-1),
+                               dm_flat=dm.reshape(-1)).reshape(fock.shape)
             if self.level_shift:
                 # virtual-space shift applied only to the diagonalized Fock:
                 # F += shift * (S - S D S / 2); stationary points unchanged
@@ -563,7 +591,7 @@ class KUHF(KRHF):
     def kernel(self, dm0=None):
         log = self._log
         dm = self.get_init_guess() if dm0 is None else np.asarray(dm0)
-        diis = DIIS(self.diis_space)
+        diis = DIIS(self.diis_space, adiis_switch=self.adiis_switch)
         nk, nao = self.h1e.shape[:2]
         na, nb = self.nocc_ab
         e_last = 0.0
@@ -577,8 +605,15 @@ class KUHF(KRHF):
                 - self.s1e[k] @ dm[s, k] @ fock[s, k]
                 for s in range(2) for k in range(nk)
             ])
-            fock = diis.update(fock.reshape(-1), err.reshape(-1)).reshape(
-                fock.shape)
+            # no ADIIS while the symmetry-breaking bias drives the Fock:
+            # the energy-model extrapolation over biased iterates averages
+            # the broken-symmetry seed away (measured: stretched-H2 BS test
+            # relaxes to the symmetric state) — CDIIS until the bias is off
+            dm_for_adiis = (dm.reshape(-1)
+                            if (not self.init_spin
+                                or it >= self.bias_cycles) else None)
+            fock = diis.update(fock.reshape(-1), err.reshape(-1),
+                               dm_flat=dm_for_adiis).reshape(fock.shape)
             if it < self.bias_cycles:
                 fock = self._apply_bias(fock)
             if self.level_shift:
