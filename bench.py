@@ -15,16 +15,23 @@ recorded numbers).  Stages, in value order:
                   (NiO 4x4x4 gth-szv ke=100 c0=40)
   2. exact      — exact plane-wave J/K baseline + vj/vk errors at 1.
   3. c0_sweep   — ISDF errors vs the SAME exact baseline at extra c0
-                  values (accuracy-vs-compression convergence evidence)
+                  values (accuracy-vs-compression convergence evidence),
+                  plus the compact-cderi (GDF-analog) arm at the core
+                  config: ISDF-metric PSD-root factors (naux = nip) served
+                  GDF-style (isdf.cderi) — the reference harness's third
+                  column (``fftisdf.py:446-457``) with in-repo machinery
   4. production — the reference driver's exact config (NiO 4x4x4,
                   gth-dzvp-molopt-sr, ke=200, c0=40, m0=15^3 —
                   ``fftisdf.py:423-432,461-462``), build + serve time +
                   roofline (the exact baseline is infeasible at this scale
-                  on one chip — the regime ISDF exists for)
+                  on one chip — the regime ISDF exists for), plus one
+                  PROFILED build recording the per-stage attribution
+                  (selection/factors/sweep/spectral/gram)
   5. production_accuracy — same basis/ke/c0 on a 2x2x2 sub-mesh, where the
-                  exact plane-wave oracle DOES fit one chip: vj/vk errors
-                  at the production compression regime, plus a c0=60 point
-                  for the convergence direction.
+                  exact plane-wave oracle DOES fit one chip: a JOINT
+                  (c0, m0) accuracy grid — the reference's m0=15^3 next to
+                  denser/auto selection meshes — recording where the error
+                  bottoms out and which knob moves it.
 
 Each stage is gated on a wall-clock budget (``FFTISDF_BENCH_BUDGET_S`` env
 or --budget-s, default 2700 s): a stage whose estimated cost exceeds the
@@ -36,12 +43,13 @@ build) beats the exact plane-wave J/K path it replaces over a 20-iteration
 SCF, at the reported accuracy.  On TPU the run uses f32/complex64 (no c128
 on TPU); on CPU f64.
 
-GDF arm status (reference harness's third column, ``fftisdf.py:446-457``):
-the reference times PySCF GDF, whose compact auxiliary basis (naux ~ 3-10x
-nao) this framework does not implement — the in-repo cderi machinery
-(isdf.thc.pw_cderi) is a FULL-RANK plane-wave oracle (naux = ngrid), so
-timing it would re-time the exact baseline, not a GDF analog.  Recorded
-in the JSON as ``gdf_arm`` with this reason.
+GDF arm (reference harness's third column, ``fftisdf.py:446-457``): the
+reference times PySCF GDF — build + J/K from a compact auxiliary basis
+(naux ~ 3-10x nao).  The in-repo analog (round-3 verdict item #5) is the
+ISDF-compact cderi (isdf.cderi): the metric's PSD square root gives
+naux = nip auxiliary vectors, served with the GDF per-k-pair half-transform
+algorithm; recorded as ``cderi_arm`` (honestly named: same compression as
+the ISDF arm, GDF serve structure).
 
 FLOP / bandwidth accounting: closed-form real-FLOP counts of the dense
 algebra (complex GEMM = 8 mn k real flops, 3D FFT = 5 n log2 n per row) for
@@ -181,6 +189,10 @@ def main():
     # coarse quick parent grid m0=13 is a pathological fit nobody runs:
     # over-complete selection, f32-hostile)
     p.add_argument("--c0", type=float, default=None)
+    p.add_argument("--m0", type=int, nargs=3, default=None,
+                   help="explicit selection mesh (default: capped 15^3, "
+                        "the reference's; the accuracy grid also probes "
+                        "denser and auto meshes)")
     p.add_argument("--ke", type=float, default=None)
     p.add_argument("--kmesh", type=int, nargs=3, default=None)
     p.add_argument("--basis", default=None)
@@ -217,7 +229,8 @@ def main():
     if (sweep is None and not args.quick and not args.production
             and not args.no_c0_sweep):
         sweep = [20.0]
-    out = run(args, budget=budget, c0_sweep=sweep, emit_partial=_emit)
+    out = run(args, budget=budget, c0_sweep=sweep, emit_partial=_emit,
+              with_cderi=(not args.quick and not args.production))
     _emit(out)
 
     on_tpu = out.get("backend") == "tpu"
@@ -228,6 +241,7 @@ def main():
         if budget.allows(240.0):
             pargs = copy.copy(args)
             pargs.production, pargs.basis = True, None
+            pargs.profile = True
             pargs.build_reps, pargs.exact_reps = 1, 0
             # 14.6 GB reaches qchunk=2 (two sectors per grid sweep) on the
             # 15.75 GB v5e with the split-stage pipeline; run() falls back
@@ -240,7 +254,7 @@ def main():
                     "nip", "c0", "ke_cutoff", "basis", "nchunks",
                     "max_memory_gb", "build_tflops", "build_mfu",
                     "build_hbm_gb", "build_hbm_bw_util", "jk_tflops",
-                    "jk_mfu")}
+                    "jk_mfu", "select_s", "stage_s", "m0")}
             except Exception as e:  # noqa: BLE001 — record, keep emitting
                 out["production"] = {"error": f"{type(e).__name__}: {e}"}
         else:
@@ -261,32 +275,41 @@ def main():
             aargs.basis = "gth-dzvp-molopt-sr"
             aargs.build_reps, aargs.exact_reps = 1, 1
             aargs.max_memory_gb = 12.0
+            aargs.m0 = (15, 15, 15)   # the reference's own accuracy point
             try:
-                aout = run(aargs, budget=budget, c0_sweep=[60.0])
+                grid = [(40.0, (19, 19, 19)), (40.0, (23, 23, 23)),
+                        (60.0, (19, 19, 19)), (60.0, None)]
+                aout = run(aargs, budget=budget, accuracy_grid=grid)
                 out["production_accuracy"] = {
                     "oracle": "exact plane-wave J/K at the full ke=200 "
                               "FFT mesh, NiO 2x2x2 sub-mesh",
+                    "note": "joint (c0, m0) grid; the main entry is the "
+                            "reference's own c0=40/m0=15^3 point, m0=None "
+                            "rows use the auto (cutoff-derived, "
+                            "auto-densifying) selection mesh",
                     **{k: aout[k] for k in (
                         "isdf_build_s", "isdf_jk_s", "exact_jk_s", "nk",
-                        "nao", "ngrid", "nip", "c0", "vj_maxerr",
-                        "vj_scale", "vk_maxerr", "vk_scale", "c0_sweep",
-                        "exact_error") if aout.get(k) is not None}}
+                        "nao", "ngrid", "nip", "c0", "m0", "select_s",
+                        "vj_maxerr", "vj_scale", "vk_maxerr", "vk_scale",
+                        "accuracy_grid", "exact_error")
+                       if aout.get(k) is not None}}
             except Exception as e:  # noqa: BLE001
                 out["production_accuracy"] = {
                     "error": f"{type(e).__name__}: {e}"}
         else:
             out["production_accuracy"] = {"skipped": "budget"}
         out["gdf_arm"] = {
-            "skipped": "no GDF analog in-repo: the reference's GDF arm "
-                       "(fftisdf.py:446-457) times PySCF GDF's compact "
-                       "auxiliary basis (naux ~ 3-10x nao); the in-repo "
-                       "cderi oracle (isdf.thc.pw_cderi) is full-rank "
-                       "plane-wave (naux = ngrid), so timing it would "
-                       "re-time the exact baseline column"}
+            "see": "cderi_arm",
+            "note": "the reference's GDF column (fftisdf.py:446-457) is "
+                    "filled by the ISDF-compact cderi arm (isdf.cderi: "
+                    "naux = nip PSD-root auxiliaries, GDF-style per-pair "
+                    "serve) at the core config — see the top-level "
+                    "cderi_arm field"}
         _emit(out)
 
 
-def run(args, budget=None, c0_sweep=None, emit_partial=None):
+def run(args, budget=None, c0_sweep=None, emit_partial=None,
+        accuracy_grid=None, with_cderi=False):
     budget = budget or _Budget(float("inf"))
     if args.production:
         args.system = "nio"
@@ -355,8 +378,11 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None):
     # parent-grid density drives selection quality: (7,7,7) starves NiO's
     # semicore Ni (nip capped at 343 -> ~8% J error); (13,13,13) reaches the
     # usual f32 floor in quick mode too
-    m0 = (tuple(min(15, int(m)) for m in cell.mesh) if not args.quick
-          else tuple(min(13, int(m)) for m in cell.mesh))
+    if getattr(args, "m0", None):
+        m0 = tuple(int(v) for v in args.m0)
+    else:
+        m0 = (tuple(min(15, int(m)) for m in cell.mesh) if not args.quick
+              else tuple(min(13, int(m)) for m in cell.mesh))
 
     # NB: block_until_ready does not actually block on async tunnel
     # transports — sync through a jitted device-reduced scalar fetch (also
@@ -378,12 +404,17 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None):
     def _errs(a, b):
         return jnp.max(jnp.abs(a - b)), jnp.max(jnp.abs(b))
 
-    def isdf_arm(c0, max_gb, build_reps, with_warmup=True):
-        """Build + serve at compression c0.  Returns timings, metadata and
-        the served (vj, vk) device arrays."""
+    def isdf_arm(c0, max_gb, build_reps, m0_use=None, profile=False,
+                 warmup=True):
+        """Build + serve at compression (c0, m0).  Returns timings,
+        metadata and the served (vj, vk) device arrays.  ``profile=True``
+        runs the timed build with the per-stage attribution sync
+        (FFTISDF.profile_build — serializes dispatch, so the headline
+        build time and the attribution come from different builds)."""
         def make_df(budget_gb):
-            return FFTISDF(cell, kpts, c0=c0, m0=m0, verbose=0,
-                           dtype=dtype, max_memory_gb=budget_gb)
+            return FFTISDF(cell, kpts, c0=c0, m0=m0_use or m0, verbose=0,
+                           dtype=dtype, max_memory_gb=budget_gb,
+                           profile_build=profile)
 
         @jax.jit
         def _wq_probe(w):
@@ -396,27 +427,31 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None):
         # per-stage peak model does not see — fall back to the
         # conservative default instead of dying.
         gb = max_gb
-        try:
-            df = make_df(gb).build()
-            float(_wq_probe(df.wq))  # surface async execution-time OOM too
-        except Exception as e:
-            if gb <= 12.0 or "memory" not in str(e).lower():
-                raise
-            gb = 12.0
-            df = make_df(gb).build()
-        nip_first = df.nip
-        # free the warmup state before the timed build: at production
-        # sizes the retained w_q (3+ GB) would steal the headroom the
-        # pipeline needs.  Warm timing is best-of-N (remote dispatch
-        # varies ~20%).
-        df.x_k = df.wq = None
-        del df
+        nip_first = None
+        if warmup:
+            try:
+                df = make_df(gb).build()
+                float(_wq_probe(df.wq))  # surface async exec-time OOM too
+            except Exception as e:
+                if gb <= 12.0 or "memory" not in str(e).lower():
+                    raise
+                gb = 12.0
+                df = make_df(gb).build()
+            nip_first = df.nip
+            # free the warmup state before the timed build: at production
+            # sizes the retained w_q (3+ GB) would steal the headroom the
+            # pipeline needs.  Warm timing is best-of-N (remote dispatch
+            # varies ~20%).
+            df.x_k = df.wq = None
+            del df
         t_build = float("inf")
         for _ in range(max(build_reps, 1)):
             t0 = time.perf_counter()
             df = make_df(gb).build()
             float(_sync(df.wq))
             t_build = min(t_build, time.perf_counter() - t0)
+            if nip_first is None:
+                nip_first = df.nip   # warmup-free call: compile included
         if df.nip != nip_first:  # shape change would retrigger compiles
             t_build = float("nan")
 
@@ -433,7 +468,11 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None):
                 "nchunks": int(getattr(df, "_nchunks", 1)),
                 "nsec": int(getattr(df, "_nsec_solved", nk)),
                 "rblk": getattr(df, "_rblk", None),
-                "max_gb": gb}
+                "max_gb": gb,
+                "m0": tuple(int(v) for v in df.m0),
+                "select_s": round(getattr(df, "_t_select", float("nan")), 2),
+                "stage_s": (getattr(df, "_stage_s", None)
+                            if profile else None)}
         # drop the big build state before returning (vj/vk are small)
         df.x_k = df.wq = None
         del df, ws, args_i
@@ -460,6 +499,22 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None):
             "c0": args.c0, "ke_cutoff": ke,
             "basis": args.basis or "gth-szv",
             "nchunks": meta["nchunks"]})
+
+    # ---------------- stage: profiled per-stage attribution ----------
+    # (production only): ONE extra build with the per-stage device-probe
+    # sync, attributing t_build across selection/factors/sweep/spectral/
+    # gram (round-3 verdict item #3 — where did the regression go)
+    if (getattr(args, "profile", False)
+            and budget.allows(1.6 * t_build + 60.0)):
+        try:
+            _tb, _tj, _vjp, _vkp, mp = isdf_arm(
+                args.c0, args.max_memory_gb, 1, profile=True, warmup=False)
+            meta["stage_s"] = mp["stage_s"]
+            meta["select_s"] = mp["select_s"]
+            meta["stage_s"]["profiled_total"] = _r(_tb, 2)
+            del _vjp, _vkp
+        except Exception as e:  # noqa: BLE001
+            meta["stage_s"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     # ---------------- stage: exact plane-wave baseline ----------------
     ej = ek = sj = sk = t_exact = float("nan")
@@ -536,6 +591,78 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None):
                                   "error": f"{type(e).__name__}: {e}"})
         sweep_out.sort(key=lambda d: d.get("c0", 0.0))
 
+    # ---------------- stage: joint (c0, m0) accuracy grid ----------------
+    # the round-3 finding: at the reference's own m0=15^3 the candidate
+    # pool saturates and c0 stops buying accuracy — this grid records
+    # where the error actually bottoms out and which knob moves it
+    # (selection pool vs fit floor)
+    grid_out = None
+    if accuracy_grid:
+        grid_out = []
+        for c0x, m0x in accuracy_grid:
+            if not budget.allows(180.0):
+                grid_out.append({"c0": c0x, "m0": m0x, "skipped": "budget"})
+                continue
+            try:
+                tb, tj, vj_x, vk_x, mx = isdf_arm(
+                    c0x, args.max_memory_gb, 1, m0_use=m0x, warmup=False)
+                entry = {"c0": c0x, "m0": list(mx["m0"]),
+                         "nip": mx["nip"], "isdf_build_s": _r(tb),
+                         "select_s": mx["select_s"]}
+                if vj_e is not None:
+                    eja, _ = _errs(vj_x, vj_e)
+                    eka, _ = _errs(vk_x, vk_e)
+                    entry.update(vj_maxerr=_r(float(eja), 8),
+                                 vk_maxerr=_r(float(eka), 8))
+                grid_out.append(entry)
+                del vj_x, vk_x
+            except Exception as e:  # noqa: BLE001
+                grid_out.append({"c0": c0x, "m0": m0x,
+                                 "error": f"{type(e).__name__}: {e}"[:200]})
+
+    # ---------------- stage: compact-cderi (GDF-analog) arm --------------
+    # the reference harness's third column (fftisdf.py:446-457) times
+    # PySCF GDF: build + J/K from a COMPACT auxiliary basis.  The in-repo
+    # analog is the ISDF metric's PSD square root (isdf.cderi): naux = nip
+    # auxiliaries (vs ngrid for the exact plane-wave factor), served
+    # GDF-style (per-(k1,k2) half-transforms of the on-the-fly 3-index
+    # factor — the disk-free TPU equivalent of PySCF's HDF5-streamed loop)
+    cderi_out = None
+    if with_cderi and budget.allows(240.0):
+        try:
+            from fftisdf_tpu.isdf import cderi as cd_mod
+
+            df_c = FFTISDF(cell, kpts, c0=args.c0, m0=m0, verbose=0,
+                           dtype=dtype,
+                           max_memory_gb=args.max_memory_gb).build()
+            q_of = jnp.asarray(cd_mod.q_index_table(cell, kpts))
+            t0 = time.perf_counter()
+            cd = cd_mod.wq_to_cd(df_c.wq)
+            float(_sync(cd))
+            t_cd = time.perf_counter() - t0
+            k2c = max(1, nk // 8)
+            while nk % k2c:
+                k2c -= 1
+            jk_c = partial(cd_mod.get_jk_cderi, k2_chunk=k2c)
+            vj_c, vk_c = jk_c(df_c.x_k, cd, q_of, dm_dev)  # compile
+            float(_sync(vj_c, vk_c))
+            t0 = time.perf_counter()
+            vj_c, vk_c = jk_c(df_c.x_k, cd, q_of, dm_dev)
+            float(_sync(vj_c, vk_c))
+            t_cjk = time.perf_counter() - t0
+            cderi_out = {"naux": int(df_c.nip),
+                         "cderi_factor_s": _r(t_cd),
+                         "cderi_jk_s": _r(t_cjk)}
+            if vj_e is not None:
+                ejc, _ = _errs(vj_c, vj_e)
+                ekc, _ = _errs(vk_c, vk_e)
+                cderi_out.update(vj_maxerr=_r(float(ejc), 8),
+                                 vk_maxerr=_r(float(ekc), 8))
+            df_c.x_k = df_c.wq = None
+            del df_c, cd, vj_c, vk_c
+        except Exception as e:  # noqa: BLE001
+            cderi_out = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # the north-star comparison (BASELINE.md): build + SCF-converged J/K.
     # An SCF needs ~n_scf J/K builds; ISDF pays the build once and serves
     # each iteration from (x_k, w_q), the exact path pays t_exact every
@@ -594,6 +721,15 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None):
         out["exact_error"] = exact_error
     if sweep_out is not None:
         out["c0_sweep"] = sweep_out
+    if grid_out is not None:
+        out["accuracy_grid"] = grid_out
+    if cderi_out is not None:
+        out["cderi_arm"] = cderi_out
+    # per-stage attribution fields (populated by profiled builds)
+    if meta.get("stage_s"):
+        out["stage_s"] = meta["stage_s"]
+    out["select_s"] = meta.get("select_s")
+    out["m0"] = list(meta.get("m0") or [])
     return out
 
 

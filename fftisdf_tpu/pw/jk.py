@@ -19,6 +19,11 @@ from fftisdf_tpu.linalg.fft import fft3, ifft3
 from fftisdf_tpu.linalg.coulomb import get_coulG, _coulG_vec, check_trunc
 
 
+# auto row_block: HBM budget of one bra-row block's pair-density + FFT
+# temps in the exchange sweep (docstring and code share this one number)
+_ROW_BLOCK_BUDGET_B = 2.0e9
+
+
 def get_j_kpts(cell, dm_kpts, ao_kpts, mesh=None, ao_band=None, omega=0.0,
                trunc=None):
     """Hartree matrix vj[k] from AO values ao_kpts (nk, ng, nao).
@@ -69,7 +74,8 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
     250047 x 3844 complex64 = 7.7 GB, with FFT temps 2-3x that — the
     device allocator, and hence the remote AOT compile, fails outright);
     the body therefore sweeps bra rows in blocks of ``row_block``
-    (auto: ~1.2 GB of per-block pair-density+FFT temps), an exact
+    (auto: ``_ROW_BLOCK_BUDGET_B`` bytes of per-block pair-density+FFT
+    temps), an exact
     reorganization of the same sums.
 
     ``ao_band``/``kpts_band`` (nb, ng, nao)/(nb, 3): compute vk at band
@@ -125,12 +131,14 @@ def get_k_kpts(cell, dm_kpts, ao_kpts, kpts, mesh=None, coords=None,
 
     if row_block is None:
         # per-bra-row footprint: pair-density block + FFT work + v, all
-        # complex (~3 ng*nao-sized temps); target ~2 GB per block (chosen
-        # so the bench's core config stays single-block — blocking is for
-        # production cutoffs where the full pair density cannot exist)
+        # complex (~3 ng*nao-sized temps); one shared budget constant
+        # (chosen so the bench's core config stays single-block — blocking
+        # is for production cutoffs where the full pair density cannot
+        # exist)
         itemsize = 8 if jnp.real(ao_kpts).dtype == jnp.float32 else 16
         per_row = 3 * ng * nao * itemsize
-        row_block = max(1, min(nao, int(2.0e9 // max(per_row, 1))))
+        row_block = max(1, min(nao,
+                               int(_ROW_BLOCK_BUDGET_B // max(per_row, 1))))
     row_block = int(min(row_block, nao))
     nmb = -(-nao // row_block)
     nao_pad = nmb * row_block
