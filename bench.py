@@ -278,7 +278,7 @@ def main():
             aargs.m0 = (15, 15, 15)   # the reference's own accuracy point
             try:
                 grid = [(40.0, (19, 19, 19)), (40.0, (23, 23, 23)),
-                        (60.0, (19, 19, 19)), (60.0, None)]
+                        (60.0, (19, 19, 19)), (60.0, "auto")]
                 aout = run(aargs, budget=budget, accuracy_grid=grid)
                 out["production_accuracy"] = {
                     "oracle": "exact plane-wave J/K at the full ke=200 "
@@ -601,7 +601,8 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
         grid_out = []
         for c0x, m0x in accuracy_grid:
             if not budget.allows(180.0):
-                grid_out.append({"c0": c0x, "m0": m0x, "skipped": "budget"})
+                grid_out.append({"c0": c0x, "m0": list(m0x) if isinstance(m0x, tuple) else m0x,
+                                 "skipped": "budget"})
                 continue
             try:
                 tb, tj, vj_x, vk_x, mx = isdf_arm(
@@ -617,7 +618,8 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
                 grid_out.append(entry)
                 del vj_x, vk_x
             except Exception as e:  # noqa: BLE001
-                grid_out.append({"c0": c0x, "m0": m0x,
+                grid_out.append({"c0": c0x,
+                                 "m0": list(m0x) if isinstance(m0x, tuple) else m0x,
                                  "error": f"{type(e).__name__}: {e}"[:200]})
 
     # ---------------- stage: compact-cderi (GDF-analog) arm --------------

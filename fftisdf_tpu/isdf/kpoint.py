@@ -44,6 +44,15 @@ from fftisdf_tpu.utils.logging import Logger
 from fftisdf_tpu.utils.device import to_device, jit_take, czeros
 
 
+# largest parent-grid size the f64 HOST selection path accepts on f32
+# devices (see _select_once): beyond it selection falls back to the f32
+# device path whose scrambled pivot ordering is the accuracy failure the
+# host path exists to fix — the auto-densify loop therefore never crosses
+# this boundary (measured: a 29^3 auto-densified pool on the f32 device
+# path served a 300x WORSE energy than the 18^3 f64-host pool it replaced)
+HOST_SELECT_MAX_NG0 = 20000
+
+
 class PoolSaturationWarning(UserWarning):
     """Interpolation-point selection is candidate-pool limited: the
     requested compression sits within 10% of the parent grid's numerical
@@ -136,6 +145,19 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
             # pool x2: each axis grows by 2^(1/3), snapped up
             m0_new = tuple(int(np.ceil(v * 2.0 ** (1.0 / 3.0)))
                            for v in m0)
+            if (dtype != jnp.float64 and host_f64 is not True
+                    and np.prod(m0_new) > HOST_SELECT_MAX_NG0):
+                # densifying further would push selection off the f64 host
+                # path onto the f32 device path, which LOSES accuracy
+                # (scrambled pivot ordering) — a denser pool is worthless
+                # without f64 ordering, so stop here
+                (log or Logger()).info(
+                    "select: pool still saturated (nip=%d vs rank %d on "
+                    "ng0=%d) but m0 %s -> %s would exceed the f64 host-"
+                    "selection guard (%d points) — keeping the f64-ordered "
+                    "pool", nip, rank, ng0, m0, m0_new,
+                    HOST_SELECT_MAX_NG0)
+                break
             (log or Logger()).info(
                 "select: pool saturated (nip=%d vs rank %d on ng0=%d) — "
                 "densifying m0 %s -> %s", nip, rank, ng0, m0, m0_new)
@@ -179,7 +201,7 @@ def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
         # 1-core host would crawl.  (The cap was 8192 in round 3; raised so
         # the auto-densify path — 19^3/24^3 pools at the production config
         # — keeps the f64 pivot ordering that IS the accuracy mechanism.)
-        host_f64 = dtype != jnp.float64 and ng0_est <= 20000
+        host_f64 = dtype != jnp.float64 and ng0_est <= HOST_SELECT_MAX_NG0
     if host_f64:
         from fftisdf_tpu.basis.eval import eval_ao_numpy
         from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky_np

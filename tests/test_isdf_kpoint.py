@@ -315,3 +315,18 @@ def test_pool_saturation_warning(he2):
         _w.simplefilter("error", PoolSaturationWarning)
         select_interpolation_points(cell, kpts, (3, 3, 4), 10.0)
     _saturation_warned.clear()
+
+
+def test_densify_respects_host_guard(he2, monkeypatch):
+    """Auto-densify must never push the pool past the f64 host-selection
+    guard on f32 devices: a pool the f32 device path orders is WORSE than
+    a smaller f64-ordered one (measured on NiO: 300x worse energy)."""
+    from fftisdf_tpu.isdf import kpoint as kp
+
+    cell, kpts, _, _ = he2
+    monkeypatch.setattr(kp, "HOST_SELECT_MAX_NG0", 80)
+    x_k, mask, rank, m0 = kp.select_interpolation_points(
+        cell, kpts, (3, 3, 4), 10.0, dtype=jnp.float32, auto_densify=True)
+    # (3,3,4)=36 candidates saturate, but the next step (4,4,6)=96 would
+    # cross the guard -> selection stays on the f64-ordered 36-point pool
+    assert m0 == (3, 3, 4)
