@@ -71,7 +71,10 @@ def main():
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
 
     import jax
-    if args.cpu:
+    if args.cpu or args.a64:
+        # platform pin must precede ANY backend touch (the a64 curve is a
+        # pure-CPU f64 run; enable_persistent_cache below would otherwise
+        # instantiate the TPU client first and c128 jits would route there)
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
 
@@ -88,9 +91,6 @@ def main():
 
     # ---------------- part A64: f64 accuracy curve (CPU) ----------------
     if args.a64:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_enable_x64", True)
         from fftisdf_tpu.scf import KUHF
 
         cell = structure.to_cell(*structure.nio_afm(), basis="gth-szv",
