@@ -571,7 +571,8 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
                 continue
             try:
                 tb, tj, vj_x, vk_x, mx = isdf_arm(
-                    c0x, args.max_memory_gb, 1)
+                    c0x, args.max_memory_gb, 1,
+                    warmup=(c0x == args.c0))
                 entry = {"c0": c0x, "nip": mx["nip"],
                          "isdf_build_s": _r(tb)}
                 if vj_e is not None:
@@ -630,7 +631,9 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
     # GDF-style (per-(k1,k2) half-transforms of the on-the-fly 3-index
     # factor — the disk-free TPU equivalent of PySCF's HDF5-streamed loop)
     cderi_out = None
-    if with_cderi and budget.allows(240.0):
+    if with_cderi and not budget.allows(240.0):
+        cderi_out = {"skipped": "budget"}
+    elif with_cderi:
         try:
             from fftisdf_tpu.isdf import cderi as cd_mod
 
