@@ -49,8 +49,14 @@ from fftisdf_tpu.utils.device import to_device, jit_take, czeros
 # device path whose scrambled pivot ordering is the accuracy failure the
 # host path exists to fix — the auto-densify loop therefore never crosses
 # this boundary (measured: a 29^3 auto-densified pool on the f32 device
-# path served a 300x WORSE energy than the 18^3 f64-host pool it replaced)
-HOST_SELECT_MAX_NG0 = 20000
+# path served a 300x WORSE energy than the 18^3 f64-host pool it replaced).
+# Cost model behind the cap (measured on the 1-core host at the NiO dzvp
+# production config, nk=64, after the SYRK gram: 15^3 -> 27 s,
+# 23^3 -> 161 s, 29^3 extrapolates to ~5 min): selection is a one-time
+# setup cost, and the bench accuracy grid shows dzvp error still FALLING
+# with pool density at 23^3 — so the cap sits where cost, not accuracy,
+# says it should
+HOST_SELECT_MAX_NG0 = 32768
 
 
 class PoolSaturationWarning(UserWarning):
@@ -208,11 +214,26 @@ def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
 
         x0_np = eval_ao_numpy(cell, coords0, kpts)
         nk, ng0, nao = x0_np.shape
-        # gram as one BLAS zgemm: x2[g,h] = sum_km conj(x[k,g,m]) x[k,h,m]
+        # gram x2[g,h] = Re sum_km conj(x[k,g,m]) x[k,h,m] as two real
+        # SYRKs (re re^T + im im^T, upper triangle): 4x fewer flops than
+        # the complex zgemm whose imaginary part is discarded anyway —
+        # measured 136 s -> ~35 s at the production 23^3/nk=64 pool, where
+        # the gram dominates selection
+        from scipy.linalg.blas import dsyrk
+
         flat = np.ascontiguousarray(
             np.transpose(x0_np, (1, 0, 2)).reshape(ng0, nk * nao))
-        x2 = (flat.conj() @ flat.T).real
-        x4 = (x2 * x2) / nk
+        re = np.ascontiguousarray(flat.real)
+        im = np.ascontiguousarray(flat.imag)
+        del flat
+        x2 = dsyrk(1.0, re)
+        x2 = dsyrk(1.0, im, beta=1.0, c=x2, overwrite_c=1)
+        del re, im
+        il = np.tril_indices(ng0, -1)
+        x2[il] = x2.T[il]              # mirror the computed upper triangle
+        np.multiply(x2, x2, out=x2)    # in place: no second ng0^2 buffer
+        x2 /= nk
+        x4 = x2
         max_rank = min(int(min(c0, 1e6) * nao), ng0)
         # factor ~15% past the requested rank: `rank` is otherwise capped
         # at max_rank and candidate-pool saturation (rank deficiency of
