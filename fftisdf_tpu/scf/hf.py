@@ -243,6 +243,7 @@ class KRHF:
         else:
             coords_d = jnp.asarray(coords, dtype=self.dtype)
             s_parts, h_parts = [], []
+            chunk_keys = []
             for k0 in range(0, nk, kchunk):
                 kp = self.kpts[k0:k0 + kchunk]
                 fn = make_evaluator(cell, kpts=kp, dtype=self.dtype)
@@ -251,8 +252,18 @@ class KRHF:
                 h_parts.append(to_host(integrals.get_hcore(
                     cell, ao, kp, coords, trunc=self.trunc)))
                 del ao
+                chunk_keys.append(kp.tobytes())
             self.s1e = np.concatenate(s_parts, axis=0)
             self.h1e = np.concatenate(h_parts, axis=0)
+            # drop the per-chunk evaluator cache entries: this setup is
+            # one-shot and the slices never recur (the full-kpts evaluator
+            # other consumers use has a different key), so the entries
+            # would just sit on the cell for its lifetime (round-3
+            # advisor note)
+            ecache = cell.__dict__.get("_evaluator_cache", {})
+            for key in list(ecache):
+                if key[0] in chunk_keys:
+                    del ecache[key]
         self.e_nuc = (integrals.energy_nuc_trunc(cell, self.trunc)
                       if self.trunc is not None else integrals.ewald(cell))
         if self.with_df is None:

@@ -188,7 +188,11 @@ def test_utda_closed_shell_reduction(gamma_setup, xc):
     wu, info = utda(mf_u, df, q=0, nroots=0, dense=True)
     assert info["nonhermiticity"] < 1e-10
     union = np.sort(np.concatenate([ws, wt]))
-    np.testing.assert_allclose(wu, union, atol=1e-8)
+    # the block identity is exact only at the SAME reference density; the
+    # two independently-converged SCFs (whose accelerator paths differ)
+    # agree to the convergence residual — conv_tol 1e-10 in energy bounds
+    # the density residual near 1e-5 and the spectra near 1e-7
+    np.testing.assert_allclose(wu, union, atol=1e-6)
 
 
 def test_momentum_matrix_local_potential_identity():
