@@ -72,7 +72,15 @@ def main():
           f"{args.ndev} devices")
 
     dev_mesh = make_device_mesh(n_devices=args.ndev)
-    fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
+    # evaluator over the TRS-canonical k half, matching the halved sweep
+    # operands below (isdf.kpoint._trs_sweep_inputs)
+    s_kpts = cell.get_scaled_kpts(kpts)
+    from fftisdf_tpu.lattice import kpoints as kpt_mod
+    mirror = np.array([kpt_mod.member(-s_kpts[q], s_kpts, strict=False)
+                       for q in range(nk)])
+    ksel = np.array([k for k in range(nk) if k <= mirror[k]])
+    assert len(ksel) == nsec
+    fn = make_evaluator(cell, kpts=kpts[ksel], dtype=dtype)
     step = make_chunk_step(fn=fn, dev_mesh=dev_mesh,
                            fmesh=tuple(int(m) for m in cell.mesh),
                            ngrid=ngrid, rblk=plan["rblk"],
@@ -86,9 +94,12 @@ def main():
     data_c = jax.eval_shape(
         partial(_chunk_factors, nq=nq_pad, solver="ridge", rcond=1e-5,
                 refine=2), x_k, phase, qs)
+    # the sweep producers run on the TRS-canonical k half (the same nsec
+    # canonical set as the sectors: isdf.kpoint._trs_sweep_inputs)
     operands = (
         S((plan["nblk"], plan["blk"], 3), dtype),          # coords_p
-        x_k, phase,
+        S((nsec, nip, nao), cdtype),                       # x (k-half)
+        S((nk, nsec), cdtype),                             # stripe phase
         S((nk, nq_pad), cdtype),                           # phase_cols
         data_c,
         S((nq_pad, ngrid), cdtype),                        # eiqr_c

@@ -113,6 +113,13 @@ def auto_selection_mesh(cell, nip_target, pool_factor=2.5, k0=None,
     return tuple(int(v) for v in m)
 
 
+def _trs_mirror(cell, kpts):
+    """Index of -k in the k list (mod G) per k; -1 where unpaired."""
+    s = cell.get_scaled_kpts(np.asarray(kpts))
+    return np.array([kpt_mod.member(-s[q], s, strict=False)
+                     for q in range(len(s))])
+
+
 def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
                                 select_tol=None, log=None,
                                 host_f64=None, auto_densify=False,
@@ -208,12 +215,34 @@ def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
         # the auto-densify path — 19^3/24^3 pools at the production config
         # — keeps the f64 pivot ordering that IS the accuracy mechanism.)
         host_f64 = dtype != jnp.float64 and ng0_est <= HOST_SELECT_MAX_NG0
+    trs_scatter = None
     if host_f64:
         from fftisdf_tpu.basis.eval import eval_ao_numpy
         from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky_np
 
-        x0_np = eval_ao_numpy(cell, coords0, kpts)
-        nk, ng0, nao = x0_np.shape
+        # TRS halving (x_{-k} = conj(x_k), exact for real AOs): evaluate
+        # only the canonical k half — eval_ao_numpy and the SYRK gram are
+        # the two selection costs on the 1-core host and both halve — and
+        # weight conjugate pairs by 2 in the gram (their Re contributions
+        # are equal); the full-k x at the selected points is reconstructed
+        # below by conjugate scatter.
+        nk = len(kpts)
+        mirror = _trs_mirror(cell, kpts)
+        if not (mirror < 0).any():
+            ksel = np.array([k for k in range(nk) if k <= mirror[k]])
+        else:
+            ksel = np.arange(nk)
+        if len(ksel) < nk:
+            wk = np.where(mirror[ksel] == ksel, 1.0, 2.0)
+            pos = {int(k): i for i, k in enumerate(ksel)}
+            trs_scatter = (
+                jnp.asarray([pos.get(k, pos.get(int(mirror[k]), 0))
+                             for k in range(nk)]),
+                jnp.asarray([k not in pos for k in range(nk)]))
+        else:
+            wk = np.ones(nk)
+        x0_np = eval_ao_numpy(cell, coords0, np.asarray(kpts)[ksel])
+        nku, ng0, nao = x0_np.shape
         # gram x2[g,h] = Re sum_km conj(x[k,g,m]) x[k,h,m] as two real
         # SYRKs (re re^T + im im^T, upper triangle): 4x fewer flops than
         # the complex zgemm whose imaginary part is discarded anyway —
@@ -222,10 +251,13 @@ def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
         from scipy.linalg.blas import dsyrk
 
         flat = np.ascontiguousarray(
-            np.transpose(x0_np, (1, 0, 2)).reshape(ng0, nk * nao))
+            np.transpose(x0_np, (1, 0, 2)).reshape(ng0, nku * nao))
         re = np.ascontiguousarray(flat.real)
         im = np.ascontiguousarray(flat.imag)
         del flat
+        w_cols = np.repeat(np.sqrt(wk), nao)
+        re *= w_cols[None, :]
+        im *= w_cols[None, :]
         x2 = dsyrk(1.0, re)
         x2 = dsyrk(1.0, im, beta=1.0, c=x2, overwrite_c=1)
         del re, im
@@ -299,6 +331,9 @@ def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
                  "pivot-residual=%.2e (%.2fs)", ng0, rank, nip, err,
                  time.perf_counter() - t0)
     x_k = _mask_rows(x0, jnp.asarray(mask))
+    if trs_scatter is not None:
+        # conjugate-scatter the canonical k half back to the full k axis
+        x_k = _scatter_trs(x_k, *trs_scatter)
     return x_k, mask, rank, saturated, ng0, nip
 
 
@@ -402,6 +437,7 @@ def _solve_coulomb_q(x4_q, y_q, coulG_q, eiqr, mesh, vol, ngrid,
 # on every call — measured at ~8s/build on a single-core host for NiO 4x4x4).
 _take_rows = jax.jit(lambda a, i: a[i])
 _take_cols = jax.jit(lambda a, i: a[:, i])
+_weight_cols = jax.jit(lambda a, i, w: a[:, i] * w[None, :])
 _mask_rows = jax.jit(lambda a, m: a[:, m, :])
 _scatter_trs = jax.jit(lambda w, o, c: jnp.where(
     c[:, None, None], jnp.conj(w[o]), w[o]))
@@ -472,6 +508,11 @@ def _sweep_chunk_body(coords_p, x_k, phase_full, phase_cols, data_c, *, fn,
     inside ``shard_map`` over its local grid blocks — one implementation
     for both paths (round-3 verdict item #2).
 
+    On TRS-paired meshes both callers pass the CANONICAL K HALF here:
+    ``x_k``/``fn`` over the k <= mirror(k) subset and ``phase_full`` the
+    weight-folded effective stripe phase (``_trs_sweep_inputs``); the
+    image axis R and everything downstream are unchanged.
+
     The stripe square y_s stays REAL through the sweep (it *is* real —
     casting it complex, as a naive einsum chain does, doubles the HBM
     traffic of the sweep's largest intermediate on a bandwidth-bound
@@ -517,6 +558,37 @@ def _sweep_chunk_body(coords_p, x_k, phase_full, phase_cols, data_c, *, fn,
 
 _sweep_chunk = partial(jax.jit, static_argnames=("fn", "kind", "nip_pad"))(
     _sweep_chunk_body)
+
+
+def _trs_sweep_inputs(cell, kpts, mirror, x_k, phase, dtype):
+    """TRS-halved producer inputs (fn, x, stripe-phase) for the RHS sweep.
+
+    Real AOs make f_{-k} = conj(f_k) exact (the Bloch phase e^{ikT} is the
+    only k-dependence), hence z_{-k} = conj(z_k) for the projected pair
+    factor z_k = f_k^* x_k the sweep builds — so the real image stripe
+    y_s[R] = Re sum_k p[R,k] z_k needs only the canonical half of the k
+    axis, a conjugate pair contributing 2 Re(p z).  Folding that weight
+    into an effective stripe phase keeps ``_sweep_chunk_body`` byte-for-
+    byte unchanged: the body already computes P.real @ Re z - P.imag @
+    Im z = sum_k w_k Re(p_k z_k).  The AO evaluation, the z projection
+    gemm and the stripe gemm — the three producer costs the sweep re-pays
+    on EVERY chunk pass over the grid — all halve (64 -> 36 k at 4x4x4).
+
+    Returns ``None`` for a mesh without full time-reversal pairing
+    (e.g. shifted): such meshes already run the unhalved path everywhere.
+    """
+    nk = len(mirror)
+    if (np.asarray(mirror) < 0).any():
+        return None
+    ksel = np.array([k for k in range(nk) if k <= mirror[k]])
+    if len(ksel) == nk:
+        return None
+    wk = np.where(mirror[ksel] == ksel, 1.0, 2.0)
+    fn_u = make_evaluator(cell, kpts=np.asarray(kpts)[ksel], dtype=dtype)
+    ks_j = jnp.asarray(ksel)
+    rdt = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    return (fn_u, _take_rows(x_k, ks_j),
+            _weight_cols(phase, ks_j, jnp.asarray(wk, dtype=rdt)))
 
 
 def _spectral_body(g_re, g_im, eiqr_c, sqk_c, *, mesh, ngrid, rblk):
@@ -904,10 +976,15 @@ class FFTISDF:
         persist_gb = ((nsec + 4) * nip * nip + nk * nip * nao
                       + 2 * nsec * ngrid) * itemsize / 1e9
 
+        # the sweep's producer chain (AO eval, z projection, stripe) runs
+        # on the TRS-canonical k half when the mesh pairs
+        # (_trs_sweep_inputs); the image-space stripe/square stay full
+        nk_sw = nsec if (self.use_trs and nsec < nk) else nk
+
         def peak_gb(nq, blk, rblk):
             planes = nq * per_sector_gb
             factors = (3 * nq + 2) * nip * nip * itemsize / 1e9
-            sweep = blk * (2 * nk * nip + nk * nao
+            sweep = blk * ((nk_sw + nk) * nip + nk_sw * nao
                            + 2 * nq * nip) * itemsize / 1e9
             spectral = 4.0 * rblk * ngrid * itemsize / 1e9
             gram = (2 * rblk * ngrid + 3 * nip * nip) * itemsize / 1e9
@@ -941,7 +1018,15 @@ class FFTISDF:
                  peak_gb(qchunk, blk, rblk))
 
         t_set = time.perf_counter()
-        fn = make_evaluator(cell, kpts=kpts, dtype=self.dtype)
+        # sweep producers on the TRS-canonical k half when the mesh pairs
+        # (the g planes and everything downstream are per-SECTOR and
+        # unaffected; see _trs_sweep_inputs)
+        sweep_in = (_trs_sweep_inputs(cell, kpts, mirror, x_k, phase,
+                                      self.dtype) if self.use_trs else None)
+        if sweep_in is None:
+            sweep_in = (make_evaluator(cell, kpts=kpts, dtype=self.dtype),
+                        x_k, phase)
+        fn, x_sw, phase_sw = sweep_in
         nblk = -(-ngrid // blk)
         pad = nblk * blk - ngrid
         coords_p = jnp.asarray(np.concatenate(
@@ -1012,7 +1097,7 @@ class FFTISDF:
                 solver=self.solver, rcond=self.rcond, refine=self.refine)
             tc = _tick("factors", tc, jax.tree_util.tree_leaves(data_c)[0])
             g_re, g_im = _sweep_chunk(
-                coords_p, x_k, phase, _take_cols(phase, qsel_j[q0:q1]),
+                coords_p, x_sw, phase_sw, _take_cols(phase, qsel_j[q0:q1]),
                 data_c, fn=fn, kind=kind, nip_pad=nrb * rblk)
             tc = _tick("sweep", tc, g_re)
             g_re, g_im = _spectral_inplace(

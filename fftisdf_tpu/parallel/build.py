@@ -52,7 +52,7 @@ from fftisdf_tpu.lattice import kpoints as kpt_mod
 from fftisdf_tpu.isdf.kpoint import (
     _chunk_factors, _sweep_chunk_body, _spectral_body, _sector_gram_body,
     _eiqr_kernel, _sqrt_kernel, _take_rows, _take_cols, _scatter_trs,
-    get_coulG_batched)
+    _trs_sweep_inputs, get_coulG_batched)
 from fftisdf_tpu.isdf import jk as jk_mod
 from fftisdf_tpu.parallel.mesh import sector_sharding, replicated
 from fftisdf_tpu.utils.device import to_device
@@ -192,7 +192,6 @@ def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",
     eiqr = _eiqr_kernel(coords_d, kpts_d).astype(cdtype)
     phase_dev = to_device(phase, dtype=cdtype)
     sqk = _sqrt_kernel(coulG, vol / ngrid**2)
-    fn = make_evaluator(cell, kpts=kpts, dtype=dtype)
 
     # ---- time-reversal sector halving (identical to the single-chip
     # build, isdf.kpoint.FFTISDF._metric_pass)
@@ -204,6 +203,15 @@ def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",
     else:
         qsel = np.arange(nk)
     nsec = len(qsel)
+
+    # sweep producers on the TRS-canonical k half (same identity as the
+    # single-chip build; the sector stages are unaffected)
+    sweep_in = (_trs_sweep_inputs(cell, kpts, mirror, x_k, phase_dev,
+                                  dtype) if use_trs else None)
+    if sweep_in is None:
+        sweep_in = (make_evaluator(cell, kpts=kpts, dtype=dtype),
+                    x_k, phase_dev)
+    fn, x_sw, phase_sw = sweep_in
 
     plan = plan_sharded(ngrid, nip, ndev, nsec, dtype=dtype,
                         max_memory_gb=max_memory_gb, blksize=blksize)
@@ -242,7 +250,7 @@ def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",
         data_c = _chunk_factors(x_k, phase_dev, qs_j, nq=nq_pad,
                                 solver=solver, rcond=rcond, refine=refine)
         wq_c = chunk_step(
-            coords_p, x_k, phase_dev, _take_cols(phase_dev, qs_j), data_c,
+            coords_p, x_sw, phase_sw, _take_cols(phase_dev, qs_j), data_c,
             _take_rows(eiqr, qs_j), _take_rows(sqk, qs_j),
             _take_rows(sign, qs_j) if signed else None)
         wq_parts.append(wq_c[:len(qs)])
