@@ -211,6 +211,11 @@ def main():
         from fftisdf_tpu.scf.analysis import atom_charges_and_moments
         _c, moments = atom_charges_and_moments(cell, mf.dm, mf.s1e)
         ncyc = int(getattr(mf, "cycles", getattr(mf, "niter", -1)))
+        ct = list(getattr(mf, "cycle_times", []))
+        # steady state = median of the post-compile cycles (cycle 0 pays
+        # the jitted step's compile; the round-4 verdict flagged the
+        # missing compile-excluded number)
+        steady = (float(np.median(ct[1:])) if len(ct) > 1 else None)
         emit(args.out, {
             "part": "B_production_scf",
             "config": "NiO AFM 4x4x4 gth-dzvp-molopt-sr ke=200 c0=40 "
@@ -219,6 +224,8 @@ def main():
             "cycles": ncyc,
             "scf_wall_s": round(t_scf, 2),
             "s_per_cycle": round(t_scf / max(ncyc, 1), 3),
+            "s_per_cycle_steady": round(steady, 3) if steady else None,
+            "cycle_times_s": [round(t, 3) for t in ct],
             "ni_moments": [round(float(m), 3) for m in moments[:2]],
             "smearing_ha": args.smearing,
             "damp": args.damp,

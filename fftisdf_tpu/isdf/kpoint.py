@@ -123,7 +123,7 @@ def _trs_mirror(cell, kpts):
 def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
                                 select_tol=None, log=None,
                                 host_f64=None, auto_densify=False,
-                                max_densify=2):
+                                max_densify=2, use_trs=True):
     """Pivoted-Cholesky selection of interpolation points on the parent grid.
 
     Returns (x_k (nk, nip, nao) device array, mask (nip,) host array, rank,
@@ -144,7 +144,7 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
     for attempt in range(max_densify + 1):
         out = _select_once(cell, kpts, m0, c0, dtype=dtype,
                            select_tol=select_tol, log=log,
-                           host_f64=host_f64)
+                           host_f64=host_f64, use_trs=use_trs)
         x_k, mask, rank, saturated, ng0, nip = out
         if not saturated:
             break
@@ -192,7 +192,7 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
 
 
 def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
-                 log=None, host_f64=None):
+                 log=None, host_f64=None, use_trs=True):
     """One selection pass at a fixed parent mesh; see
     :func:`select_interpolation_points` for the contract.  Returns
     (x_k, mask, rank, saturated, ng0, nip)."""
@@ -225,18 +225,22 @@ def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
         # the two selection costs on the 1-core host and both halve — and
         # weight conjugate pairs by 2 in the gram (their Re contributions
         # are equal); the full-k x at the selected points is reconstructed
-        # below by conjugate scatter.
+        # below by conjugate scatter.  ``use_trs=False`` disables the
+        # halving here too, so the knob yields a TRS-assumption-free
+        # selection oracle (advisor round-4 item).
         nk = len(kpts)
         mirror = _trs_mirror(cell, kpts)
-        if not (mirror < 0).any():
+        if use_trs and not (mirror < 0).any():
             ksel = np.array([k for k in range(nk) if k <= mirror[k]])
         else:
             ksel = np.arange(nk)
         if len(ksel) < nk:
             wk = np.where(mirror[ksel] == ksel, 1.0, 2.0)
             pos = {int(k): i for i, k in enumerate(ksel)}
+            # every non-canonical k must map to a canonical mirror; a logic
+            # error here must raise, not silently scatter sector 0
             trs_scatter = (
-                jnp.asarray([pos.get(k, pos.get(int(mirror[k]), 0))
+                jnp.asarray([pos[k] if k in pos else pos[int(mirror[k])]
                              for k in range(nk)]),
                 jnp.asarray([k not in pos for k in range(nk)]))
         else:
@@ -762,7 +766,9 @@ class FFTISDF:
     select_tol: float = None   # pivot threshold; ref isdf.py:45 uses 1e-20
     blksize: int = 16384
     max_memory_gb: float = 12.0  # HBM budget driving sector chunking
-    use_trs: bool = True       # exploit w_{-q} = conj(w_q) in the build
+    use_trs: bool = True       # exploit w_{-q} = conj(w_q) in the build,
+    #                            and x_{-k} = conj(x_k) in host selection;
+    #                            False disables BOTH (TRS-free oracle)
     trunc: object = None       # Coulomb truncation for low-dimensional
                                # systems: None (3D periodic) | "0d" | "2d"
                                # (auto rc from the cell) | ("0d"|"2d", rc).
@@ -884,7 +890,8 @@ class FFTISDF:
         x_k, mask, rank, m0_used = select_interpolation_points(
             cell, kpts, self.m0, self.c0, dtype=self.dtype,
             select_tol=self.select_tol, log=log,
-            host_f64=self.select_host_f64, auto_densify=self._m0_auto)
+            host_f64=self.select_host_f64, auto_densify=self._m0_auto,
+            use_trs=self.use_trs)
         self._t_select = time.perf_counter() - t_sel
         self.m0 = m0_used   # densified mesh: mask indexes into THIS grid
         self.mask = mask

@@ -285,7 +285,8 @@ def build_sharded(df, dev_mesh):
         df.cell, df.kpts, df.m0, df.c0, dtype=df.dtype,
         select_tol=df.select_tol, log=df._log,
         host_f64=df.select_host_f64,
-        auto_densify=getattr(df, "_m0_auto", False))
+        auto_densify=getattr(df, "_m0_auto", False),
+        use_trs=df.use_trs)
     df.m0 = m0_used
     df.mask = mask
     phase = df.phase

@@ -272,6 +272,9 @@ class DeviceKUHF(KUHF):
         n = jnp.asarray(0, jnp.int32)
         e_last, self.converged = 0.0, False
         it = -1
+        self.cycle_times = []   # per-cycle wall (the host stats fetch
+        #                         syncs the device each cycle, so these are
+        #                         real; cycle 0 pays the step compile)
         for it in range(self.max_cycle):
             t0 = time.perf_counter()
             dm, errs, focks, dms, ok, n, stats = step(
@@ -280,8 +283,9 @@ class DeviceKUHF(KUHF):
                 consts["pen"], bias, ws, *veff_extra)
             e_tot, ddm, ent = [float(v) for v in to_host(stats)]
             de = abs(e_tot - e_last)
+            self.cycle_times.append(time.perf_counter() - t0)
             log.info("dSCF it %2d  E = %.10f  dE = %.2e  |ddm| = %.2e (%.2fs)",
-                     it, e_tot, de, ddm, time.perf_counter() - t0)
+                     it, e_tot, de, ddm, self.cycle_times[-1])
             if it > max(2, bias_cycles) and de < self.conv_tol \
                     and ddm < np.sqrt(self.conv_tol) * 30:
                 self.converged = True
