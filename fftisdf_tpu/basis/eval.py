@@ -230,10 +230,28 @@ def eval_ao_numpy(cell, coords, kpts=None, precision=None):
     coords0 = coords - tvec
     gamma = kpts is None
     kpts_arr = None if gamma else np.asarray(kpts)
+    precision = cell.precision if precision is None else precision
     blocks = []
     for group in groups:
         images = group.images
         centers = group.center[None, :] + images          # (T, 3)
+        if not gamma:
+            # native screened evaluation (C++ engine): per-shell image
+            # screening with a precision margin of 1e-4, so skipped
+            # contributions stay ~4 orders below the evaluator's 1e-12
+            # agreement contract with the jitted path.  The dense numpy
+            # formulation below materializes (g, T, f) temporaries whose
+            # memory traffic dominated host-side selection at production
+            # pools (measured 72 s of the 29^3 NiO dzvp selection).
+            from fftisdf_tpu import native
+
+            t = images @ kpts_arr.T                        # (T, nk)
+            out_n = native.eval_ao_group(
+                coords0, centers, np.cos(t), np.sin(t), group.specs,
+                screen_precision=precision * 1e-4)
+            if out_n is not None:
+                blocks.append(out_n)
+                continue
         d = coords0[:, None, :] - centers[None, :, :]      # (g, T, 3)
         dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
         r2 = dx * dx + dy * dy + dz * dz

@@ -44,19 +44,44 @@ from fftisdf_tpu.utils.logging import Logger
 from fftisdf_tpu.utils.device import to_device, jit_take, czeros
 
 
-# largest parent-grid size the f64 HOST selection path accepts on f32
-# devices (see _select_once): beyond it selection falls back to the f32
-# device path whose scrambled pivot ordering is the accuracy failure the
-# host path exists to fix — the auto-densify loop therefore never crosses
-# this boundary (measured: a 29^3 auto-densified pool on the f32 device
-# path served a 300x WORSE energy than the 18^3 f64-host pool it replaced).
-# Cost model behind the cap (measured on the 1-core host at the NiO dzvp
-# production config, nk=64, after the SYRK gram: 15^3 -> 27 s,
-# 23^3 -> 161 s, 29^3 extrapolates to ~5 min): selection is a one-time
-# setup cost, and the bench accuracy grid shows dzvp error still FALLING
-# with pool density at 23^3 — so the cap sits where cost, not accuracy,
-# says it should
-HOST_SELECT_MAX_NG0 = 32768
+# f64 HOST selection guard (see _select_once): past the cap selection
+# falls back to the f32 device path whose scrambled pivot ordering is the
+# accuracy failure the host path exists to fix — the auto-densify loop
+# therefore never crosses this boundary (measured: a 29^3 auto-densified
+# pool on the f32 device path served a 300x WORSE energy than the 18^3
+# f64-host pool it replaced).  Round 5 replaced the dense SYRK-gram +
+# unblocked pivot loop (O(ng0^2 ncol), the round-4 126.5 s wall at 23^3)
+# with the matrix-free blocked factorization
+# (linalg.pivoted_cholesky_pairgram_np, O(probe ng0 (ncol + probe)) all
+# dgemm-shaped) plus the native screened AO evaluator, so the cap is now
+# a COST MODEL (host_select_max_ng0), not a fixed point count: measured
+# anchors on the 1-core host at the NiO dzvp production config (nk=64,
+# probe=2860, ncol=4464): eval 15.5 s + factor 69 s at 29^3.  The
+# absolute ceiling below only backstops the model (and is the
+# test-monkeypatch point).
+HOST_SELECT_MAX_NG0 = 262144           # hard ceiling (64^3)
+HOST_SELECT_FLOP_BUDGET = 2.5e12       # ~3 min at the measured ~12 GF/s
+HOST_SELECT_MEM_BUDGET_B = 4e9         # the (probe, ng0) f64 factor
+
+
+def host_select_max_ng0(cell, kpts, c0, use_trs=True):
+    """Largest selection pool the f64 host path accepts, from the cost
+    model of the matrix-free blocked pivoted Cholesky: generated-row +
+    correction dgemms cost 2 * probe * ng0 * (ncol + probe) flops with
+    ncol = 2 * nku * nao real columns, capped by the flop budget, the
+    factor's memory, and the absolute ceiling."""
+    nk = len(kpts)
+    nao = cell.nao_nr()
+    nku = nk
+    if use_trs:
+        mirror = _trs_mirror(cell, kpts)
+        if not (mirror < 0).any():
+            nku = sum(1 for k in range(nk) if k <= mirror[k])
+    probe = int(min(c0, 1e6) * nao * 1.15) + 8
+    ncol = 2 * nku * nao
+    cap_flops = HOST_SELECT_FLOP_BUDGET / (2.0 * probe * (ncol + probe))
+    cap_mem = HOST_SELECT_MEM_BUDGET_B / (8.0 * probe)
+    return int(min(HOST_SELECT_MAX_NG0, cap_flops, cap_mem))
 
 
 class PoolSaturationWarning(UserWarning):
@@ -158,8 +183,9 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
             # pool x2: each axis grows by 2^(1/3), snapped up
             m0_new = tuple(int(np.ceil(v * 2.0 ** (1.0 / 3.0)))
                            for v in m0)
+            ng0_cap = host_select_max_ng0(cell, kpts, c0, use_trs=use_trs)
             if (dtype != jnp.float64 and host_f64 is not True
-                    and np.prod(m0_new) > HOST_SELECT_MAX_NG0):
+                    and np.prod(m0_new) > ng0_cap):
                 # densifying further would push selection off the f64 host
                 # path onto the f32 device path, which LOSES accuracy
                 # (scrambled pivot ordering) — a denser pool is worthless
@@ -168,8 +194,7 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
                     "select: pool still saturated (nip=%d vs rank %d on "
                     "ng0=%d) but m0 %s -> %s would exceed the f64 host-"
                     "selection guard (%d points) — keeping the f64-ordered "
-                    "pool", nip, rank, ng0, m0, m0_new,
-                    HOST_SELECT_MAX_NG0)
+                    "pool", nip, rank, ng0, m0, m0_new, ng0_cap)
                 break
             (log or Logger()).info(
                 "select: pool saturated (nip=%d vs rank %d on ng0=%d) — "
@@ -208,17 +233,16 @@ def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
         # fit metric (measured on the TPU, NiO 4x4x4 szv ke=100 c0=40:
         # f32 device selection vj_rel 1.44e-3 vs f64 host selection
         # 7.4e-4 — the single largest accuracy lever in the f32 regime).
-        # The parent-grid problem is modest (ng0 ~ 3-14k for the default
-        # and auto-densified meshes), so the one-time host cost is tens of
-        # seconds; guard against user-supplied huge parent grids where the
-        # 1-core host would crawl.  (The cap was 8192 in round 3; raised so
-        # the auto-densify path — 19^3/24^3 pools at the production config
-        # — keeps the f64 pivot ordering that IS the accuracy mechanism.)
-        host_f64 = dtype != jnp.float64 and ng0_est <= HOST_SELECT_MAX_NG0
+        # The one-time host cost is bounded by the host_select_max_ng0
+        # cost model (matrix-free factorization + native screened eval).
+        host_f64 = (dtype != jnp.float64
+                    and ng0_est <= host_select_max_ng0(cell, kpts, c0,
+                                                       use_trs=use_trs))
     trs_scatter = None
     if host_f64:
         from fftisdf_tpu.basis.eval import eval_ao_numpy
-        from fftisdf_tpu.linalg.pivoted_cholesky import pivoted_cholesky_np
+        from fftisdf_tpu.linalg.pivoted_cholesky import (
+            pivoted_cholesky_pairgram_np)
 
         # TRS halving (x_{-k} = conj(x_k), exact for real AOs): evaluate
         # only the canonical k half — eval_ao_numpy and the SYRK gram are
@@ -247,36 +271,25 @@ def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
             wk = np.ones(nk)
         x0_np = eval_ao_numpy(cell, coords0, np.asarray(kpts)[ksel])
         nku, ng0, nao = x0_np.shape
-        # gram x2[g,h] = Re sum_km conj(x[k,g,m]) x[k,h,m] as two real
-        # SYRKs (re re^T + im im^T, upper triangle): 4x fewer flops than
-        # the complex zgemm whose imaginary part is discarded anyway —
-        # measured 136 s -> ~35 s at the production 23^3/nk=64 pool, where
-        # the gram dominates selection
-        from scipy.linalg.blas import dsyrk
-
+        # matrix-free blocked greedy factorization of the squared pair
+        # gram x4 = (Re sum_km conj(x[k,g,m]) x[k,h,m])^2 / nk: only the
+        # PIVOTS' gram rows are ever generated (one zgemm panel per pivot
+        # block), so the dense O(ng0^2 ncol) gram that dominated selection
+        # at production pools is gone — 23^3 NiO dzvp selection measured
+        # 126.5 s (round 4, SYRK gram + unblocked pivots) -> ~45 s, and
+        # 29^3 (infeasible before) runs in ~85 s
         flat = np.ascontiguousarray(
             np.transpose(x0_np, (1, 0, 2)).reshape(ng0, nku * nao))
-        re = np.ascontiguousarray(flat.real)
-        im = np.ascontiguousarray(flat.imag)
-        del flat
         w_cols = np.repeat(np.sqrt(wk), nao)
-        re *= w_cols[None, :]
-        im *= w_cols[None, :]
-        x2 = dsyrk(1.0, re)
-        x2 = dsyrk(1.0, im, beta=1.0, c=x2, overwrite_c=1)
-        del re, im
-        il = np.tril_indices(ng0, -1)
-        x2[il] = x2.T[il]              # mirror the computed upper triangle
-        np.multiply(x2, x2, out=x2)    # in place: no second ng0^2 buffer
-        x2 /= nk
-        x4 = x2
+        flat *= w_cols[None, :]
         max_rank = min(int(min(c0, 1e6) * nao), ng0)
         # factor ~15% past the requested rank: `rank` is otherwise capped
         # at max_rank and candidate-pool saturation (rank deficiency of
         # the m0 grid, the dzvp accuracy limiter) is undetectable
         probe = min(int(max_rank * 1.15) + 8, ng0)
-        _, piv, rank, hist = pivoted_cholesky_np(x4, max_rank=probe,
-                                                 tol=select_tol)
+        piv, rank, hist = pivoted_cholesky_pairgram_np(
+            flat, nk, probe, tol=select_tol)
+        del flat
         rank_cap = probe
         x0 = to_device(x0_np, dtype=jnp.complex128
                        if dtype == jnp.float64 else jnp.complex64)

@@ -99,6 +99,100 @@ def pivoted_cholesky_np(a, tol=None, max_rank=None):
     return L, piv, rank, hist
 
 
+def pivoted_cholesky_pairgram_np(flat, nk, max_rank, tol=None, block=96):
+    """Matrix-free blocked greedy pivoted Cholesky of the SQUARED pair
+    gram ``x4 = (Re(flat flat^H))**2 / nk`` — never forms the ng0 x ng0
+    matrix.
+
+    ``flat`` is the (ng0, ncol) complex (or real) AO matrix whose rows are
+    grid points and whose columns run over (k, ao) — exactly the operand
+    the dense host path fed to SYRK; any TRS k-weighting must already be
+    folded into the columns (sqrt(w) scaling).  The gram entry is
+    ``x4[g,h] = (Re <flat[g], flat[h]>)^2 / nk``.
+
+    Returns ``(piv, rank, hist)`` with the same semantics as
+    :func:`pivoted_cholesky_np` (pivots in selection order, numerical rank
+    by the dpstrf-style ``tol``, Schur-diagonal history).  The pivot
+    SEQUENCE equals the dense greedy algorithm's up to floating-point
+    tie-breaking: candidates are taken from the live Schur diagonal in
+    blocks, their gram rows are generated on the fly (one zgemm panel),
+    corrected against the existing factor (one dgemm), and a candidate is
+    only accepted while its updated diagonal is still the global argmax —
+    otherwise the block is abandoned and re-selected, so the greedy
+    invariant is exact.
+
+    Cost: O(max_rank * ng0 * ncol) for the generated rows plus
+    O(max_rank^2 * ng0) for the corrections — both dgemm-shaped — versus
+    the dense path's O(ng0^2 * ncol) gram that dominated selection at
+    production pools (the round-4 126.5 s / 23^3 wall, VERDICT item #2).
+    Memory: the (max_rank, ng0) factor instead of the ng0^2 gram.
+    """
+    flat = np.ascontiguousarray(flat)
+    ng0, ncol = flat.shape
+    k = int(min(max_rank, ng0))
+    iscomplex = np.iscomplexobj(flat)
+    if iscomplex:
+        fre = np.ascontiguousarray(flat.real)
+        fim = np.ascontiguousarray(flat.imag)
+    else:
+        fre = np.ascontiguousarray(flat, dtype=np.float64)
+        fim = None
+    # diagonal of x4: row norms squared, squared
+    nrm2 = np.einsum("gc,gc->g", fre, fre)
+    if fim is not None:
+        nrm2 += np.einsum("gc,gc->g", fim, fim)
+    d = (nrm2 * nrm2) / nk
+    if tol is None:
+        tol = ng0 * np.finfo(np.float64).eps * max(d.max(), 0.0)
+    L = np.zeros((k, ng0))
+    piv = np.full(k, -1, dtype=np.int64)
+    hist = np.zeros(k)
+    j = 0
+    while j < k:
+        if not np.isfinite(d).any() or d.max() <= 0:
+            break
+        b = min(block, k - j)
+        # candidate block: current top-b of the live Schur diagonal
+        cand = np.argpartition(d, -b)[-b:]
+        cand = cand[np.argsort(d[cand])[::-1]]
+        # their x4 rows, matrix-free: (Re <flat[c], flat[.]>)^2 / nk
+        g = fre[cand] @ fre.T
+        if fim is not None:
+            g += fim[cand] @ fim.T
+        np.multiply(g, g, out=g)
+        g /= nk
+        # correct against the existing factor: one dgemm panel
+        if j:
+            g -= L[:j, cand].T @ L[:j, :]
+        pos = {int(c): i for i, c in enumerate(cand)}
+        taken = 0
+        while j < k and taken < b:
+            i = int(np.argmax(d))
+            dmax = d[i]
+            if dmax <= 0:
+                j = k  # numerical exhaustion: mirror the dense path's break
+                break
+            if i not in pos:
+                # a non-candidate point now dominates the diagonal (its
+                # value rose past the block's survivors is impossible —
+                # diagonals only fall — but the candidates' values FELL
+                # below it): re-select the block, greedy order preserved
+                break
+            hist[j] = dmax
+            row = g[pos[i]]
+            lj = row / np.sqrt(dmax)
+            d -= lj * lj
+            d[i] = -np.inf
+            L[j] = lj
+            piv[j] = i
+            # within-block correction for the remaining candidates
+            g -= np.outer(lj[cand], lj)
+            j += 1
+            taken += 1
+    rank = int(np.sum(hist > tol))
+    return piv, rank, hist
+
+
 def pivoted_cholesky(a, tol=None, max_rank=None):
     """Greedy pivoted Cholesky of a hermitian PSD matrix.
 

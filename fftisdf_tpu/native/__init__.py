@@ -60,6 +60,14 @@ def _declare(lib):
     lib.ewald_real.restype = ctypes.c_double
     lib.ewald_real.argtypes = [d, d, ctypes.c_int64, d, ctypes.c_int64,
                                ctypes.c_double]
+    lib.eval_ao_group.restype = ctypes.c_int64
+    lib.eval_ao_group.argtypes = [
+        d, ctypes.c_int64,            # coords, ng
+        d, ctypes.c_int64,            # centers, nimg
+        d, d, ctypes.c_int64,         # cosk, sink, nk
+        ctypes.c_int64, i64, i64, i64, i64,  # nspec, ls, rpows, nprims, nctrs
+        d, d, d,                      # exps, coeffs, rcut2
+        d, d]                         # out_re, out_im
 
 
 def _dptr(a):
@@ -100,6 +108,56 @@ def build_kconserv(skpts):
     if rc != 0:
         return None
     return k2, k3
+
+
+def eval_ao_group(coords, centers, cosk, sink, specs, screen_precision):
+    """Native screened Bloch-AO evaluation for one center group.
+
+    ``specs`` is the group's list of ShellSpec-like objects (attributes
+    l, rpow, exps, coeffs, rcut).  Returns (nk, ng, nf) complex128 or
+    None if the native library is unavailable / a shell is unsupported.
+    Screening radii use each shell's decay radius re-derived at
+    ``screen_precision`` (tighter than the shell's own precision by the
+    caller's margin, so skipped image contributions stay far below the
+    evaluator's accuracy contract).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    from fftisdf_tpu.basis.gto import shell_rcut
+
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    centers = np.ascontiguousarray(centers, dtype=np.float64)
+    cosk = np.ascontiguousarray(cosk, dtype=np.float64)
+    sink = np.ascontiguousarray(sink, dtype=np.float64)
+    ng, nimg, nk = len(coords), len(centers), cosk.shape[1]
+    ls = np.array([s.l for s in specs], dtype=np.int64)
+    if (ls > 4).any():
+        return None
+    rpows = np.array([s.rpow for s in specs], dtype=np.int64)
+    nprims = np.array([len(s.exps) for s in specs], dtype=np.int64)
+    nctrs = np.array([s.coeffs.shape[1] for s in specs], dtype=np.int64)
+    exps = np.ascontiguousarray(
+        np.concatenate([np.asarray(s.exps, dtype=np.float64)
+                        for s in specs]))
+    coeffs = np.ascontiguousarray(
+        np.concatenate([np.asarray(s.coeffs, dtype=np.float64).ravel()
+                        for s in specs]))
+    rcut2 = np.array([shell_rcut(s.l + 2 * s.rpow, s.exps,
+                                 s.coeffs, screen_precision) ** 2
+                     for s in specs], dtype=np.float64)
+    nf = int(np.sum((2 * ls + 1) * nctrs))
+    out_re = np.empty((nk, ng, nf))
+    out_im = np.empty((nk, ng, nf))
+    rc = lib.eval_ao_group(
+        _dptr(coords), ctypes.c_int64(ng), _dptr(centers),
+        ctypes.c_int64(nimg), _dptr(cosk), _dptr(sink), ctypes.c_int64(nk),
+        ctypes.c_int64(len(specs)), _iptr(ls), _iptr(rpows), _iptr(nprims),
+        _iptr(nctrs), _dptr(exps), _dptr(coeffs), _dptr(rcut2),
+        _dptr(out_re), _dptr(out_im))
+    if rc != nf:
+        return None
+    return out_re + 1j * out_im
 
 
 def ewald_real(coords, charges, ts, eta):

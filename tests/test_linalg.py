@@ -201,3 +201,36 @@ def test_ridge_factor_survives_indefinite_f32_gram():
 
     g = jax.grad(loss)(a32)
     assert bool(jnp.isfinite(g.real).all() & jnp.isfinite(g.imag).all())
+
+
+def test_pivoted_cholesky_pairgram_matrix_free():
+    """The matrix-free blocked factorization (the round-5 host selection
+    engine) reproduces the dense greedy algorithm's pivot SEQUENCE, rank
+    and Schur-diagonal history exactly (no symmetry ties in a random
+    problem), including on a rank-deficient pair gram."""
+    from fftisdf_tpu.linalg.pivoted_cholesky import (
+        pivoted_cholesky_np, pivoted_cholesky_pairgram_np)
+
+    rng = np.random.default_rng(7)
+    ng0, ncol, nk = 500, 40, 4
+    flat = (rng.standard_normal((ng0, ncol))
+            + 1j * rng.standard_normal((ng0, ncol)))
+    x2 = (flat @ flat.conj().T).real
+    x4 = x2 * x2 / nk
+    for k in (60, 300):
+        _, piv_d, rank_d, hist_d = pivoted_cholesky_np(x4, max_rank=k)
+        piv_m, rank_m, hist_m = pivoted_cholesky_pairgram_np(
+            flat, nk, k, block=29)
+        assert np.array_equal(piv_d[:k], piv_m[:k])
+        assert rank_d == rank_m
+        np.testing.assert_allclose(hist_m, hist_d,
+                                   rtol=1e-12, atol=1e-12 * hist_d.max())
+    # rank-deficient: x4 = (Re u u^H)^2 has bounded rank << ng0; the
+    # matrix-free rank detection must agree with the dense oracle
+    u = (rng.standard_normal((ng0, 7)) + 1j * rng.standard_normal((ng0, 7)))
+    x2l = (u @ u.conj().T).real
+    _, piv_d, rank_d, hist_d = pivoted_cholesky_np(x2l * x2l / nk,
+                                                   max_rank=200)
+    piv_m, rank_m, hist_m = pivoted_cholesky_pairgram_np(u, nk, 200)
+    assert rank_d == rank_m
+    assert np.array_equal(piv_d[:rank_d], piv_m[:rank_d])
