@@ -9,29 +9,37 @@ re-prints the (flushed) cumulative JSON line after EVERY completed stage —
 the driver parses the LAST line of stdout, so a timeout that kills the
 process anywhere loses only the unfinished stage, never the whole run
 (round-2 lesson: one print at the very end + a driver timeout = zero
-recorded numbers).  Stages, in value order:
+recorded numbers).  Stages, in value order (round-5 reorder: production
+BEFORE the sweep — the round-4 driver run timed out in the sweep and lost
+the headline production numbers):
 
   1. core       — ISDF build + J/K serve at the headline config
                   (NiO 4x4x4 gth-szv ke=100 c0=40)
   2. exact      — exact plane-wave J/K baseline + vj/vk errors at 1.
-  3. c0_sweep   — ISDF errors vs the SAME exact baseline at extra c0
-                  values (accuracy-vs-compression convergence evidence),
-                  plus the compact-cderi (GDF-analog) arm at the core
-                  config: ISDF-metric PSD-root factors (naux = nip) served
-                  GDF-style (isdf.cderi) — the reference harness's third
-                  column (``fftisdf.py:446-457``) with in-repo machinery
-  4. production — the reference driver's exact config (NiO 4x4x4,
+  3. production — the reference driver's exact config (NiO 4x4x4,
                   gth-dzvp-molopt-sr, ke=200, c0=40, m0=15^3 —
                   ``fftisdf.py:423-432,461-462``), build + serve time +
                   roofline (the exact baseline is infeasible at this scale
                   on one chip — the regime ISDF exists for), plus one
                   PROFILED build recording the per-stage attribution
                   (selection/factors/sweep/spectral/gram)
-  5. production_accuracy — same basis/ke/c0 on a 2x2x2 sub-mesh, where the
+  4. production_accuracy — same basis/ke/c0 on a 2x2x2 sub-mesh, where the
                   exact plane-wave oracle DOES fit one chip: a JOINT
                   (c0, m0) accuracy grid — the reference's m0=15^3 next to
                   denser/auto selection meshes — recording where the error
-                  bottoms out and which knob moves it.
+                  bottoms out and which knob moves it
+  5. c0_sweep   — ISDF errors vs the stage-2 exact baseline at extra c0
+                  values (accuracy-vs-compression convergence evidence)
+  6. cderi_arm  — the compact-cderi (GDF-analog) arm at the core config:
+                  ISDF-metric PSD-root factors (naux = nip) served
+                  GDF-style (isdf.cderi) — the reference harness's third
+                  column (``fftisdf.py:446-457``) with in-repo machinery
+
+COMPILE/EXECUTE SEPARATION (round-4 verdict): every timed point pays its
+own warmup, and each entry reports the warm time next to
+``build_compile_s``/``jk_compile_s`` (first minus warm) — the remote
+compile's 30 s-8 min variance never lands in a comparable number again.
+Stage budget estimates are fed by measured point costs, not constants.
 
 Each stage is gated on a wall-clock budget (``FFTISDF_BENCH_BUDGET_S`` env
 or --budget-s, default 2700 s): a stage whose estimated cost exceeds the
@@ -223,22 +231,30 @@ def main():
         args.quick = True
         args.exact_reps = min(args.exact_reps, 1)
 
-    # stage 1+2(+3): the core config (or the production config under
-    # --production, or the small config under --quick)
+    # stage 1+2: the core config (or the production config under
+    # --production, or the small config under --quick).  The c0 sweep and
+    # cderi arm are DEFERRED to the end of the run (round-4 lesson: the
+    # production stage ran last and was lost to a driver timeout when an
+    # unwarmed sweep point swallowed 705 s of remote compile; now a
+    # timeout loses the sweep, never the headline).
     sweep = args.c0_sweep
     if (sweep is None and not args.quick and not args.production
             and not args.no_c0_sweep):
         sweep = [20.0]
+    with_cderi = (not args.quick and not args.production)
+    defer = {}
     out = run(args, budget=budget, c0_sweep=sweep, emit_partial=_emit,
-              with_cderi=(not args.quick and not args.production))
+              with_cderi=with_cderi, defer=defer)
     _emit(out)
 
     on_tpu = out.get("backend") == "tpu"
     if (not args.production and not args.quick and not args.no_production
             and on_tpu):
-        # stage 4: the reference driver's production config, time+roofline
+        # stage 3: the reference driver's production config, time+roofline
+        # (estimate: warmup + timed + profiled builds at ~2 min each plus
+        # selection — 600 s, replacing the round-4 240 s under-estimate)
         import copy
-        if budget.allows(240.0):
+        if budget.allows(600.0):
             pargs = copy.copy(args)
             pargs.production, pargs.basis = True, None
             pargs.profile = True
@@ -250,7 +266,8 @@ def main():
             try:
                 pout = run(pargs, budget=budget)
                 out["production"] = {k: pout.get(k) for k in (
-                    "isdf_build_s", "isdf_jk_s", "nk", "nao", "ngrid",
+                    "isdf_build_s", "first_build_s", "build_compile_s",
+                    "isdf_jk_s", "jk_compile_s", "nk", "nao", "ngrid",
                     "nip", "c0", "ke_cutoff", "basis", "nchunks",
                     "max_memory_gb", "build_tflops", "build_mfu",
                     "build_hbm_gb", "build_hbm_bw_util", "jk_tflops",
@@ -261,11 +278,13 @@ def main():
             out["production"] = {"skipped": "budget"}
         _emit(out)
 
-        # stage 5: production-regime ACCURACY on the 2x2x2 sub-mesh where
+        # stage 4: production-regime ACCURACY on the 2x2x2 sub-mesh where
         # the exact plane-wave oracle fits one chip (same basis/ke/c0/m0;
-        # oracle: pw.jk on the full ke=200 FFT mesh), plus a c0=60 point
-        # for the convergence direction
-        if budget.allows(300.0):
+        # oracle: pw.jk on the full ke=200 FFT mesh), plus denser-pool and
+        # higher-c0 points for the convergence direction (the round-5
+        # selection engine reaches 29^3-35^3 pools the round-4 guard
+        # capped at 23^3)
+        if budget.allows(420.0):
             aargs = copy.copy(args)
             aargs.production = False
             aargs.quick = False
@@ -277,8 +296,9 @@ def main():
             aargs.max_memory_gb = 12.0
             aargs.m0 = (15, 15, 15)   # the reference's own accuracy point
             try:
-                grid = [(40.0, (19, 19, 19)), (40.0, (23, 23, 23)),
-                        (60.0, (19, 19, 19)), (60.0, "auto")]
+                grid = [(40.0, (23, 23, 23)), (40.0, (29, 29, 29)),
+                        (40.0, (35, 35, 35)), (60.0, (29, 29, 29)),
+                        (60.0, "auto")]
                 aout = run(aargs, budget=budget, accuracy_grid=grid)
                 out["production_accuracy"] = {
                     "oracle": "exact plane-wave J/K at the full ke=200 "
@@ -307,9 +327,18 @@ def main():
                     "cderi_arm field"}
         _emit(out)
 
+    # deferred core-config stages, LAST in value order: a timeout here
+    # loses convergence evidence, not the headline
+    if sweep and defer.get("sweep") is not None:
+        out["c0_sweep"] = defer["sweep"](sweep)
+        _emit(out)
+    if with_cderi and defer.get("cderi") is not None:
+        out["cderi_arm"] = defer["cderi"]()
+        _emit(out)
+
 
 def run(args, budget=None, c0_sweep=None, emit_partial=None,
-        accuracy_grid=None, with_cderi=False):
+        accuracy_grid=None, with_cderi=False, defer=None):
     budget = budget or _Budget(float("inf"))
     if args.production:
         args.system = "nio"
@@ -428,7 +457,9 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
         # conservative default instead of dying.
         gb = max_gb
         nip_first = None
+        t_first = None
         if warmup:
+            t0 = time.perf_counter()
             try:
                 df = make_df(gb).build()
                 float(_wq_probe(df.wq))  # surface async exec-time OOM too
@@ -436,7 +467,15 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
                 if gb <= 12.0 or "memory" not in str(e).lower():
                     raise
                 gb = 12.0
+                t0 = time.perf_counter()
                 df = make_df(gb).build()
+                float(_wq_probe(df.wq))
+            # first build wall: includes whatever compile/cache-load cost
+            # was actually paid (remote compile variance is 30 s-8 min,
+            # CLAUDE.md) — recorded so warm and cold are SEPARATE numbers
+            # (round-4 verdict item 3: compile contamination made the
+            # sweep timings incomparable and killed the driver run)
+            t_first = time.perf_counter() - t0
             nip_first = df.nip
             # free the warmup state before the timed build: at production
             # sizes the retained w_q (3+ GB) would steal the headroom the
@@ -458,8 +497,10 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
         kmesh_t = tuple(int(m) for m in df.kmesh)
         ws = df.get_ws()  # density-independent image-space serve metric
         args_i = (df.x_k, df.wq[0], ws, dm_dev)
+        t0 = time.perf_counter()
         vj_i, vk_i = isdf_jk(*args_i, kmesh=kmesh_t)  # compile
         float(_sync(vj_i, vk_i))
+        t_jk_first = time.perf_counter() - t0
         t0 = time.perf_counter()
         vj_i, vk_i = isdf_jk(*args_i, kmesh=kmesh_t)
         float(_sync(vj_i, vk_i))
@@ -471,6 +512,13 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
                 "max_gb": gb,
                 "m0": tuple(int(v) for v in df.m0),
                 "select_s": round(getattr(df, "_t_select", float("nan")), 2),
+                "first_build_s": (None if t_first is None
+                                  else round(t_first, 2)),
+                "build_compile_s": (None if t_first is None
+                                    or t_build != t_build
+                                    else round(max(t_first - t_build, 0.0),
+                                               2)),
+                "jk_compile_s": round(max(t_jk_first - t_jk, 0.0), 3),
                 "stage_s": (getattr(df, "_stage_s", None)
                             if profile else None)}
         # drop the big build state before returning (vj/vk are small)
@@ -557,24 +605,31 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
     # ---------------- stage: c0 sweep against the same oracle ----------
     # with a live oracle, per-c0 vj/vk errors; with the oracle down, the
     # delta against the main-run (args.c0) serve — a c0-convergence
-    # measure that needs no exact arm
-    sweep_out = None
-    if c0_sweep:
+    # measure that needs no exact arm.  Every point pays its OWN warmup
+    # build and reports warm time + compile separately (round-4: the
+    # unwarmed c0=20 point recorded 705 s of remote compile as "build"),
+    # and the budget estimate is fed by the measured cost of the previous
+    # point instead of a fixed 120 s guess.
+    def sweep_stage(c0_values):
         entry = {"c0": args.c0, "nip": meta["nip"],
-                 "isdf_build_s": _r(t_build)}
+                 "isdf_build_s": _r(t_build),
+                 "build_compile_s": meta["build_compile_s"]}
         if vj_e is not None:
             entry.update(vj_maxerr=_r(ej, 8), vk_maxerr=_r(ek, 8))
         sweep_out = [entry]
-        for c0x in c0_sweep:
-            if not budget.allows(120.0):
-                sweep_out.append({"c0": c0x, "skipped": "budget"})
+        est = 2.0 * (meta.get("first_build_s") or t_build) + 60.0
+        for c0x in c0_values:
+            if not budget.allows(est):
+                sweep_out.append({"c0": c0x, "skipped": "budget",
+                                  "est_s": _r(est, 1)})
                 continue
+            t_point = time.perf_counter()
             try:
                 tb, tj, vj_x, vk_x, mx = isdf_arm(
-                    c0x, args.max_memory_gb, 1,
-                    warmup=(c0x == args.c0))
+                    c0x, args.max_memory_gb, 1, warmup=True)
                 entry = {"c0": c0x, "nip": mx["nip"],
-                         "isdf_build_s": _r(tb)}
+                         "isdf_build_s": _r(tb),
+                         "build_compile_s": mx["build_compile_s"]}
                 if vj_e is not None:
                     eja, _ = _errs(vj_x, vj_e)
                     eka, _ = _errs(vk_x, vk_e)
@@ -590,7 +645,13 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
             except Exception as e:  # noqa: BLE001
                 sweep_out.append({"c0": c0x,
                                   "error": f"{type(e).__name__}: {e}"})
+            est = 1.3 * (time.perf_counter() - t_point) + 30.0
         sweep_out.sort(key=lambda d: d.get("c0", 0.0))
+        return sweep_out
+
+    sweep_out = None
+    if c0_sweep and defer is None:
+        sweep_out = sweep_stage(c0_sweep)
 
     # ---------------- stage: joint (c0, m0) accuracy grid ----------------
     # the round-3 finding: at the reference's own m0=15^3 the candidate
@@ -600,16 +661,26 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
     grid_out = None
     if accuracy_grid:
         grid_out = []
+        est = 180.0
+        # build shapes depend on (c0 -> nip), not on the selection mesh:
+        # the main entry already warmed args.c0's executables, so only the
+        # FIRST point of each new c0 pays a warmup build (compile); the
+        # rest are warm without doubling the (selection-dominated) cost
+        warmed_c0 = {args.c0}
         for c0x, m0x in accuracy_grid:
-            if not budget.allows(180.0):
+            if not budget.allows(est):
                 grid_out.append({"c0": c0x, "m0": list(m0x) if isinstance(m0x, tuple) else m0x,
-                                 "skipped": "budget"})
+                                 "skipped": "budget", "est_s": _r(est, 1)})
                 continue
+            t_point = time.perf_counter()
             try:
                 tb, tj, vj_x, vk_x, mx = isdf_arm(
-                    c0x, args.max_memory_gb, 1, m0_use=m0x, warmup=False)
+                    c0x, args.max_memory_gb, 1, m0_use=m0x,
+                    warmup=(c0x not in warmed_c0))
+                warmed_c0.add(c0x)
                 entry = {"c0": c0x, "m0": list(mx["m0"]),
                          "nip": mx["nip"], "isdf_build_s": _r(tb),
+                         "build_compile_s": mx["build_compile_s"],
                          "select_s": mx["select_s"]}
                 if vj_e is not None:
                     eja, _ = _errs(vj_x, vj_e)
@@ -622,6 +693,7 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
                 grid_out.append({"c0": c0x,
                                  "m0": list(m0x) if isinstance(m0x, tuple) else m0x,
                                  "error": f"{type(e).__name__}: {e}"[:200]})
+            est = 1.3 * (time.perf_counter() - t_point) + 30.0
 
     # ---------------- stage: compact-cderi (GDF-analog) arm --------------
     # the reference harness's third column (fftisdf.py:446-457) times
@@ -630,10 +702,9 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
     # auxiliaries (vs ngrid for the exact plane-wave factor), served
     # GDF-style (per-(k1,k2) half-transforms of the on-the-fly 3-index
     # factor — the disk-free TPU equivalent of PySCF's HDF5-streamed loop)
-    cderi_out = None
-    if with_cderi and not budget.allows(240.0):
-        cderi_out = {"skipped": "budget"}
-    elif with_cderi:
+    def cderi_stage():
+        if not budget.allows(240.0):
+            return {"skipped": "budget"}
         try:
             from fftisdf_tpu.isdf import cderi as cd_mod
 
@@ -641,6 +712,9 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
                            dtype=dtype,
                            max_memory_gb=args.max_memory_gb).build()
             q_of = jnp.asarray(cd_mod.q_index_table(cell, kpts))
+            # factor warmup (compile) + warm timing, reported separately
+            cd = cd_mod.wq_to_cd(df_c.wq)
+            float(_sync(cd))
             t0 = time.perf_counter()
             cd = cd_mod.wq_to_cd(df_c.wq)
             float(_sync(cd))
@@ -665,8 +739,19 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
                                  vk_maxerr=_r(float(ekc), 8))
             df_c.x_k = df_c.wq = None
             del df_c, cd, vj_c, vk_c
+            return cderi_out
         except Exception as e:  # noqa: BLE001
-            cderi_out = {"error": f"{type(e).__name__}: {e}"[:300]}
+            return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    cderi_out = None
+    if with_cderi and defer is None:
+        cderi_out = cderi_stage()
+    if defer is not None:
+        # deferred-stage closures: main() runs the PRODUCTION stages first
+        # (round-4 lesson: a driver timeout must lose the sweep, never the
+        # headline), then calls these with the oracle still alive
+        defer["sweep"] = sweep_stage
+        defer["cderi"] = cderi_stage
 
     # the north-star comparison (BASELINE.md): build + SCF-converged J/K.
     # An SCF needs ~n_scf J/K builds; ISDF pays the build once and serves
@@ -696,6 +781,9 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
         "vs_baseline": _r(t_exact_total / t_isdf_total),
         "isdf_jk_s": _r(t_isdf_jk),
         "isdf_build_s": _r(t_build),
+        "first_build_s": meta.get("first_build_s"),
+        "build_compile_s": meta.get("build_compile_s"),
+        "jk_compile_s": meta.get("jk_compile_s"),
         "exact_jk_s": _r(t_exact),
         "jk_speedup_steady": _r(t_exact / max(t_isdf_jk, 1e-9), 2),
         "vj_maxerr": _r(ej, 8),
