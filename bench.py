@@ -712,24 +712,28 @@ def run(args, budget=None, c0_sweep=None, emit_partial=None,
                            dtype=dtype,
                            max_memory_gb=args.max_memory_gb).build()
             q_of = jnp.asarray(cd_mod.q_index_table(cell, kpts))
-            # factor warmup (compile) + warm timing, reported separately
-            cd = cd_mod.wq_to_cd(df_c.wq)
+            # SIGNED factors (round-5): exact w.r.t. the fitting metric —
+            # the plain PSD clip lost the indefinite fit-noise tail and
+            # with it 10x serve accuracy (round-4 verdict item 6).
+            # Factor warmup (compile) + warm timing, reported separately.
+            cd, sgn = cd_mod.wq_to_cd_signed(df_c.wq)
             float(_sync(cd))
             t0 = time.perf_counter()
-            cd = cd_mod.wq_to_cd(df_c.wq)
+            cd, sgn = cd_mod.wq_to_cd_signed(df_c.wq)
             float(_sync(cd))
             t_cd = time.perf_counter() - t0
             k2c = max(1, nk // 8)
             while nk % k2c:
                 k2c -= 1
             jk_c = partial(cd_mod.get_jk_cderi, k2_chunk=k2c)
-            vj_c, vk_c = jk_c(df_c.x_k, cd, q_of, dm_dev)  # compile
-            float(_sync(vj_c, vk_c))
+            vj_c, vk_c = jk_c(df_c.x_k, cd, q_of, dm_dev, sign=sgn)
+            float(_sync(vj_c, vk_c))  # compile pass
             t0 = time.perf_counter()
-            vj_c, vk_c = jk_c(df_c.x_k, cd, q_of, dm_dev)
+            vj_c, vk_c = jk_c(df_c.x_k, cd, q_of, dm_dev, sign=sgn)
             float(_sync(vj_c, vk_c))
             t_cjk = time.perf_counter() - t0
             cderi_out = {"naux": int(df_c.nip),
+                         "factors": "signed (wq_to_cd_signed)",
                          "cderi_factor_s": _r(t_cd),
                          "cderi_jk_s": _r(t_cjk)}
             if vj_e is not None:

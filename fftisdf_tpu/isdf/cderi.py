@@ -47,12 +47,36 @@ def wq_to_cd(wq):
     mesh skew part is shared with the plane-wave oracle, isdf.kpoint) and
     negative eigenvalues (fit noise) are clipped: the clip is what makes
     the Cholesky form exist, and its size is bounded by the fitting-solve
-    floor the c0 sweep measures."""
+    floor the c0 sweep measures.  In the f32 regime the clipped mass is
+    NOT negligible (round-4: vk error 10x the ISDF serve's at identical
+    naux) — prefer :func:`wq_to_cd_signed`, which keeps it."""
     w_h = 0.5 * (wq + jnp.conj(jnp.swapaxes(wq, -1, -2)))
     s, u = jnp.linalg.eigh(w_h)
     root = jnp.sqrt(jnp.maximum(s, 0.0)).astype(wq.dtype)
     # cd[P, I] = sqrt(s_P) conj(u[I, P])
     return root[:, :, None] * jnp.conj(jnp.swapaxes(u, -1, -2))
+
+
+@jax.jit
+def wq_to_cd_signed(wq):
+    """SIGNED square-root factors: w_h[q] = cd_q^H diag(sign_q) cd_q
+    exactly (up to eigh roundoff), with cd = sqrt(|s|) U^H and
+    sign = sign(s).
+
+    The fitting metric is indefinite at the fit-noise level (ridge solve
+    floor; in f32 the negative tail carries ~1e-3 of the spectrum), and
+    the ISDF image-space serve uses that metric verbatim — clipping it
+    (the plain PSD root above) is where the round-4 cderi arm lost 10x
+    accuracy vs the ISDF serve.  A diagonal sign costs one elementwise
+    multiply per contraction and restores exactness: the GDF pairing
+    becomes sum_P sign_P A12[P] conj(A43[P]) — structurally identical to
+    PySCF GDF's j2c-sqrt serve, which handles the same indefiniteness
+    with its j2c eigendecomposition."""
+    w_h = 0.5 * (wq + jnp.conj(jnp.swapaxes(wq, -1, -2)))
+    s, u = jnp.linalg.eigh(w_h)
+    root = jnp.sqrt(jnp.abs(s)).astype(wq.dtype)
+    cd = root[:, :, None] * jnp.conj(jnp.swapaxes(u, -1, -2))
+    return cd, jnp.sign(s).astype(jnp.real(wq).dtype)
 
 
 @jax.jit
@@ -65,19 +89,23 @@ def pair_cderi(cd_q, x1, x2):
 
 
 @jax.jit
-def assemble_eri_cderi(cd_q, x1, x2, x3, x4):
-    """ERI via the GDF pairing: sum_P A12[P,mn] conj(A43[P,sl])."""
+def assemble_eri_cderi(cd_q, x1, x2, x3, x4, sign_q=None):
+    """ERI via the GDF pairing: sum_P sign_P A12[P,mn] conj(A43[P,sl])
+    (sign_q=None: the PSD-clipped convention)."""
     a12 = pair_cderi(cd_q, x1, x2)
     a43 = pair_cderi(cd_q, x4, x3)
+    if sign_q is not None:
+        a12 = a12 * sign_q[:, None, None].astype(a12.dtype)
     return jnp.einsum("Pmn,Psl->mnls", a12, jnp.conj(a43))
 
 
 @partial(jax.jit, static_argnames=("k2_chunk",))
-def get_jk_cderi(x_k, cd, q_of, dm, k2_chunk=None):
+def get_jk_cderi(x_k, cd, q_of, dm, k2_chunk=None, sign=None):
     """J/K from the compact factors, GDF-style (one density).
 
     x_k (nk, nip, nao); cd (nk, naux, nip) per-sector factors;
-    q_of (nk, nk) int: q_of[k1, k2] = index of k2 - k1; dm (nk, nao, nao).
+    q_of (nk, nk) int: q_of[k1, k2] = index of k2 - k1; dm (nk, nao, nao);
+    ``sign`` (nk, naux) from :func:`wq_to_cd_signed` (None: PSD-clipped).
 
     J uses only the q=0 factor (aux-space two-step: the GDF J algorithm);
     K loops k1 rows, regenerating the (nk2, naux, nao, nao) slab on the
@@ -91,10 +119,12 @@ def get_jk_cderi(x_k, cd, q_of, dm, k2_chunk=None):
     # ---- J: rho_I = (1/nk) sum_k (x dm x^H)_II ; two aux-space gemms
     rho = jnp.einsum("kIm,kIn,kmn->I", x_k, x_k.conj(), dm) / nk
     vaux = cd[0] @ rho                      # (naux,)
+    if sign is not None:
+        vaux = vaux * sign[0].astype(vaux.dtype)
     v = cd[0].conj().T @ vaux               # (nip,)
     vj = jnp.einsum("kIm,kIn,I->kmn", x_k.conj(), x_k, v)
 
-    # ---- K: vk[k1]_{ms} = (1/nk) sum_{k2,P,l} G[P,m,l] conj(A[P,s,l]),
+    # ---- K: vk[k1]_{ms} = (1/nk) sum_{k2,P,l} s_P G[P,m,l] conj(A[P,s,l]),
     #         G = A @ dm[k2]
     def k1_row(k1):
         x1 = x_k[k1]
@@ -107,6 +137,9 @@ def get_jk_cderi(x_k, cd, q_of, dm, k2_chunk=None):
             a = jnp.einsum("cPI,cIx->cPx", cdq.conj(), t12).reshape(
                 -1, naux, nao, nao)
             g = jnp.einsum("cPmn,cnl->cPml", a, dm[k2s])
+            if sign is not None:
+                g = g * sign[q_of[k1]][k2s][:, :, None, None].astype(
+                    g.dtype)
             return c + jnp.einsum("cPml,cPsl->ms", g, jnp.conj(a)), None
 
         ks = jnp.arange(nk).reshape(-1, k2_chunk)

@@ -167,11 +167,15 @@ def make_chunk_step(*, fn, dev_mesh, fmesh, ngrid, rblk, nip_pad, kind,
 def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",
                      rcond=1e-10, dtype=jnp.float64, refine=None,
                      use_trs=True, max_memory_gb=12.0, blksize=16384,
-                     trunc=None, log=None):
+                     trunc=None, omega=0.0, log=None):
     """Compute w_q over the device mesh with the production four-stage
     pipeline.  Returns wq (nk, nip, nip), sector-sharded.  Sector chunks
     are padded to a device-count multiple (duplicate sectors, results
-    dropped) so every shard runs the same program."""
+    dropped) so every shard runs the same program.
+
+    ``omega``: range-separated (screened) Coulomb kernel, same erf/erfc
+    convention as the single-chip ``FFTISDF.get_wq_omega`` (exclusive
+    with ``trunc``; linalg.coulomb.check_trunc enforces that)."""
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     rdtype = jnp.float64 if dtype == jnp.float64 else jnp.float32
     itemsize = 16 if dtype == jnp.float64 else 8
@@ -188,7 +192,8 @@ def build_wq_sharded(cell, kpts, x_k, phase, dev_mesh, solver="lstsq",
     gv = jnp.asarray(cell.get_Gv(fmesh), dtype=dtype)
     kpts_d = jnp.asarray(np.asarray(kpts), dtype=dtype)
     coords_d = jnp.asarray(coords, dtype=dtype)
-    coulG = get_coulG_batched(cell, kpts_d, gv, dtype=dtype, trunc=trunc)
+    coulG = get_coulG_batched(cell, kpts_d, gv, dtype=dtype, trunc=trunc,
+                              omega=omega)
     eiqr = _eiqr_kernel(coords_d, kpts_d).astype(cdtype)
     phase_dev = to_device(phase, dtype=cdtype)
     sqk = _sqrt_kernel(coulG, vol / ngrid**2)

@@ -249,3 +249,47 @@ def test_sharded_kccsd_end_to_end():
                    dev_mesh=make_device_mesh(2))
     assert i1["converged"] and i2["converged"]
     np.testing.assert_allclose(e1, e2, atol=1e-10)
+
+
+def test_sharded_build_trunc_0d(he2k8):
+    """The 0D-truncated Coulomb kernel (signed metric split) through the
+    SHARDED four-stage pipeline matches the single-chip truncated build
+    (round-4 verdict item 7: the trunc path had no sharded gate)."""
+    cell, kpts = he2k8
+    from fftisdf_tpu.linalg.coulomb import trunc_for_cell
+
+    trunc = trunc_for_cell(cell, "0d")
+    df1 = FFTISDF(cell, kpts, c0=10.0, m0=(5, 5, 7), verbose=0,
+                  trunc=trunc).build()
+    df2 = FFTISDF(cell, kpts, c0=10.0, m0=(5, 5, 7), verbose=0,
+                  trunc=trunc)
+    mesh = make_device_mesh()
+    build_sharded(df2, mesh)
+    dm = trs_dm(cell, kpts, df1.x_k.shape[2])[0]
+    _jk_close(df1, df2, dm, 1e-6)
+
+
+def test_sharded_build_omega(he2k8):
+    """The range-separated (erf-screened) metric through the sharded
+    pipeline matches the single-chip get_wq_omega build: the sharded wq
+    is injected into the screened-metric cache and served through the
+    standard omega J/K path."""
+    cell, kpts = he2k8
+    from fftisdf_tpu.parallel.build import build_wq_sharded
+
+    omega = 0.4
+    df1 = FFTISDF(cell, kpts, c0=10.0, m0=(5, 5, 7), verbose=0).build()
+    dm = trs_dm(cell, kpts, df1.x_k.shape[2])[0]
+    vj1, vk1 = df1.get_jk(dm, omega=omega)
+
+    df2 = FFTISDF(cell, kpts, c0=10.0, m0=(5, 5, 7), verbose=0)
+    mesh = make_device_mesh()
+    build_sharded(df2, mesh)
+    wq_o = build_wq_sharded(cell, kpts, df2.x_k, df2.phase, mesh,
+                            solver=df2.solver, rcond=df2.rcond,
+                            dtype=df2.dtype, refine=df2.refine,
+                            use_trs=df2.use_trs, omega=omega)
+    df2._wq_omega = {float(omega): {"wq": wq_o, "ws": None}}
+    vj2, vk2 = df2.get_jk(dm, omega=omega)
+    np.testing.assert_allclose(np.asarray(vj1), np.asarray(vj2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vk1), np.asarray(vk2), atol=1e-6)
