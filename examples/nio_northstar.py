@@ -188,8 +188,12 @@ def main():
         for c0x, m0x in curve:
             try:
                 t0 = time.perf_counter()
+                # select_keep: trim near-null pivots at rank exhaustion —
+                # without it the c0 >= 60 points (past the 2x2x2 dzvp
+                # pair-space rank ~3440) serve catastrophically
+                # ill-conditioned K (bench accuracy_grid: vk 3.7e3)
                 df = FFTISDF(cell, kpts, c0=c0x, m0=m0x, verbose=0,
-                             max_memory_gb=12.0)
+                             max_memory_gb=12.0, select_keep=1e-9)
                 df.build()
                 t_build = time.perf_counter() - t0
                 mf = cls(cell, kpts, with_df=df, verbose=0, conv_tol=conv,

@@ -148,7 +148,8 @@ def _trs_mirror(cell, kpts):
 def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
                                 select_tol=None, log=None,
                                 host_f64=None, auto_densify=False,
-                                max_densify=2, use_trs=True):
+                                max_densify=2, use_trs=True,
+                                keep_tol=None):
     """Pivoted-Cholesky selection of interpolation points on the parent grid.
 
     Returns (x_k (nk, nip, nao) device array, mask (nip,) host array, rank,
@@ -169,7 +170,8 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
     for attempt in range(max_densify + 1):
         out = _select_once(cell, kpts, m0, c0, dtype=dtype,
                            select_tol=select_tol, log=log,
-                           host_f64=host_f64, use_trs=use_trs)
+                           host_f64=host_f64, use_trs=use_trs,
+                           keep_tol=keep_tol)
         x_k, mask, rank, saturated, ng0, nip = out
         if not saturated:
             break
@@ -217,7 +219,7 @@ def select_interpolation_points(cell, kpts, m0, c0, dtype=jnp.float64,
 
 
 def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
-                 log=None, host_f64=None, use_trs=True):
+                 log=None, host_f64=None, use_trs=True, keep_tol=None):
     """One selection pass at a fixed parent mesh; see
     :func:`select_interpolation_points` for the contract.  Returns
     (x_k, mask, rank, saturated, ng0, nip)."""
@@ -333,6 +335,22 @@ def _select_once(cell, kpts, m0, c0, dtype=jnp.float64, select_tol=None,
     piv = np.asarray(piv)
     rank = int(rank)
     nip = min(int(nao * c0), rank)
+    if keep_tol is not None:
+        # near-null-pivot guard: at pair-space rank exhaustion the last
+        # pivots sit at the selection tolerance (hist ~ 1e-12 of the
+        # leading pivot) — pure noise directions in an f32 serve, and the
+        # ridge fit amplifies them catastrophically (measured: the
+        # (c0=60, auto-31^3) dzvp point on the 2x2x2 sub-mesh served
+        # vk_maxerr 3.7e3 with them, 2.4e-2 without).  Keep only pivots
+        # whose Schur diagonal exceeds keep_tol * hist[0].
+        hist_np = np.asarray(hist)
+        nip_keep = int(np.sum(hist_np > float(keep_tol)
+                              * max(float(hist_np[0]), 0.0)))
+        if nip_keep < nip:
+            (log or Logger()).info(
+                "select: keep_tol=%.1e trims %d near-null pivots "
+                "(nip %d -> %d)", keep_tol, nip - nip_keep, nip, nip_keep)
+            nip = max(nip_keep, 1)
     mask = piv[:nip]
     # candidate-pool saturation detector: the requested compression is
     # within 10% of the parent grid's numerical pair-density rank, so
@@ -777,6 +795,9 @@ class FFTISDF:
     rcond: float = None        # None: dtype-aware (1e-10 f64, 1e-5 f32)
     refine: int = None         # refinement steps; None: dtype-aware (0/1)
     select_tol: float = None   # pivot threshold; ref isdf.py:45 uses 1e-20
+    select_keep: float = None  # relative Schur-diagonal floor: trim pivots
+    #                            below select_keep * hist[0] (near-null
+    #                            guard at rank exhaustion; None = keep all)
     blksize: int = 16384
     max_memory_gb: float = 12.0  # HBM budget driving sector chunking
     use_trs: bool = True       # exploit w_{-q} = conj(w_q) in the build,
@@ -904,7 +925,7 @@ class FFTISDF:
             cell, kpts, self.m0, self.c0, dtype=self.dtype,
             select_tol=self.select_tol, log=log,
             host_f64=self.select_host_f64, auto_densify=self._m0_auto,
-            use_trs=self.use_trs)
+            use_trs=self.use_trs, keep_tol=self.select_keep)
         self._t_select = time.perf_counter() - t_sel
         self.m0 = m0_used   # densified mesh: mask indexes into THIS grid
         self.mask = mask

@@ -291,7 +291,7 @@ def build_sharded(df, dev_mesh):
         select_tol=df.select_tol, log=df._log,
         host_f64=df.select_host_f64,
         auto_densify=getattr(df, "_m0_auto", False),
-        use_trs=df.use_trs)
+        use_trs=df.use_trs, keep_tol=getattr(df, "select_keep", None))
     df.m0 = m0_used
     df.mask = mask
     phase = df.phase

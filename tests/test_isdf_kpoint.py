@@ -365,3 +365,26 @@ def test_densify_respects_host_guard(he2, monkeypatch):
     # (3,3,4)=36 candidates saturate, but the next step (4,4,6)=96 would
     # cross the guard -> selection stays on the f64-ordered 36-point pool
     assert m0 == (3, 3, 4)
+
+
+def test_select_keep_trims_near_null(he2):
+    """select_keep trims pivots whose Schur diagonal sits below the
+    relative floor; at pool rank exhaustion (c0 past the pair-space
+    rank) the trimmed build still serves accurate J/K — the untrimmed
+    near-null directions are what ill-conditions the fit (round-5 bench:
+    vk blow-up to 3.7e3 at the dzvp c0=60/auto point)."""
+    cell, kpts, coords, ao = he2
+    # c0 huge: nip saturates at the pool rank, tail pivots are near-null
+    df_all = FFTISDF(cell, kpts, c0=1e5, m0=(5, 5, 7), verbose=0).build()
+    df_trim = FFTISDF(cell, kpts, c0=1e5, m0=(5, 5, 7), verbose=0,
+                      select_keep=1e-9).build()
+    assert df_trim.nip < df_all.nip
+    dm = trs_dm(cell, kpts, df_all.x_k.shape[2])[0]
+    vj_t, vk_t = df_trim.get_jk(dm)
+    # oracle: exact plane-wave J/K
+    from fftisdf_tpu.pw import get_jk_kpts
+    vj_e, vk_e = get_jk_kpts(cell, np.asarray(dm), ao, kpts)
+    sj = np.abs(np.asarray(vj_e)).max()
+    assert np.abs(np.asarray(vj_t) - np.asarray(vj_e)).max() < 1e-5 * max(sj, 1)
+    sk = np.abs(np.asarray(vk_e)).max()
+    assert np.abs(np.asarray(vk_t) - np.asarray(vk_e)).max() < 1e-5 * max(sk, 1)
