@@ -115,7 +115,16 @@ def build_flops(nk, nao, nip, ngrid, nimg, nsec, nchunk, rblk=None):
     complex MACs — only Re(fx_s) survives the square), every spectral row
     is FFT'd exactly once (isdf.kpoint._spectral_inplace overwrites the
     donated g planes), and the metric gram is triangular row-blocked
-    (upper block triangle only — isdf.kpoint._sector_gram)."""
+    (upper block triangle only — isdf.kpoint._sector_gram).
+
+    ACCOUNTING NOTE: the sector-stage terms use ``nsec`` (the executed
+    TRS-canonical count), but the sweep-producer terms are counted at the
+    FULL k count — on TRS-paired meshes the pipeline executes only the
+    canonical k half of those gemms (z_{-k} = conj(z_k)), so the reported
+    build MFU is *algorithmic* for the producers (symmetry savings count
+    as achieved flops, as in standard FFT flop accounting), hardware for
+    everything else.  The formula is the fixed yardstick across rounds
+    (unchanged since the TRS halving landed in round 4)."""
     rhs_per_sweep = (_gemm(nk * ngrid, nip, nao)          # fx_k (complex)
                      + _gemm(nimg, ngrid * nip, nk) / 2)  # stripe in (real x2)
     rhs_cols = _gemm(nsec, ngrid * nip, nimg) / 2         # projections (real)
