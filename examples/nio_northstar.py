@@ -74,6 +74,16 @@ def main():
                         "chip — the round-4 verdict's top ask): ISDF-vs-"
                         "exact KUHF energy deltas over (c0, pool density) "
                         "past the old 23^3 selection guard")
+    p.add_argument("--exact-e", type=float, default=None,
+                   help="reuse a previously recorded converged exact "
+                        "energy for the --dzvp curve (skips the ~30 min "
+                        "exact arm; pass --dm-seed too, else curve points "
+                        "start from the default init guess and UHF basin "
+                        "differences contaminate the deltas)")
+    p.add_argument("--dm-seed", default=None,
+                   help="path to a saved converged density (.npy) used to "
+                        "warm-start every --dzvp curve point (written by "
+                        "the exact arm as <out-dir>/nio_dzvp_exact_dm.npy)")
     args = p.parse_args()
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
 
@@ -164,43 +174,59 @@ def main():
         cls = KUHF if backend == "cpu" else DeviceKUHF
         conv = 1e-8 if backend == "cpu" else 1e-6
 
-        # exact arm: plane-wave J/K at the full ke=200 mesh each cycle
-        # (the r04 bench timed this serve at ~60 s/JK on the chip)
-        mf0 = KUHF(cell, kpts, verbose=3, conv_tol=conv,
-                   max_cycle=args.max_cycle, init_spin=init_spin,
-                   smearing=args.smearing)
-        t0 = time.perf_counter()
-        e_exact = mf0.kernel()
-        emit(args.out, {"part": "Adzvp_exact", "system": "NiO AFM",
-                        "basis": "gth-dzvp-molopt-sr", "ke_cutoff": 200.0,
-                        "kmesh": [2, 2, 2], "nao": cell.nao_nr(),
-                        "e_exact_ha": e_exact,
-                        "converged": bool(mf0.converged),
-                        "scf_exact_s": round(time.perf_counter() - t0, 2),
-                        "smearing_ha": args.smearing})
+        dm_seed = None
+        if args.dm_seed:
+            dm_seed = np.load(args.dm_seed)
+        if args.exact_e is not None:
+            e_exact = float(args.exact_e)
+        else:
+            # exact arm: plane-wave J/K at the full ke=200 mesh each cycle
+            # (the r04 bench timed this serve at ~60 s/JK on the chip)
+            mf0 = KUHF(cell, kpts, verbose=3, conv_tol=conv,
+                       max_cycle=args.max_cycle, init_spin=init_spin,
+                       smearing=args.smearing)
+            t0 = time.perf_counter()
+            e_exact = mf0.kernel()
+            dm_seed = mf0.dm
+            # persist the converged density: every curve point (and any
+            # rerun) must start from the SAME SCF basin — UHF NiO has
+            # nearby AFM solutions 0.01-0.04 Ha/atom apart, far above the
+            # ISDF errors the curve measures
+            np.save(os.path.join(os.path.dirname(args.out) or ".",
+                                 "nio_dzvp_exact_dm.npy"),
+                    np.asarray(dm_seed))
+            emit(args.out, {"part": "Adzvp_exact", "system": "NiO AFM",
+                            "basis": "gth-dzvp-molopt-sr",
+                            "ke_cutoff": 200.0,
+                            "kmesh": [2, 2, 2], "nao": cell.nao_nr(),
+                            "e_exact_ha": e_exact,
+                            "converged": bool(mf0.converged),
+                            "scf_exact_s": round(
+                                time.perf_counter() - t0, 2),
+                            "smearing_ha": args.smearing})
         # (c0, pool) curve: the reference's own point, then pool density
         # rising past the round-4 guard (23^3) at fixed c0, then c0 rising
-        # on the dense pool — separates the two knobs
-        curve = [(40.0, tuple(min(15, int(m)) for m in cell.mesh)),
-                 (40.0, (23, 23, 23)), (40.0, (29, 29, 29)),
-                 (40.0, (35, 35, 35)), (60.0, (29, 29, 29)),
-                 (60.0, (35, 35, 35)), (80.0, (35, 35, 35))]
-        for c0x, m0x in curve:
+        # on the dense pool — separates the two knobs.  c0=52 stays under
+        # the 2x2x2 pair-space rank (~3440); c0=60 exceeds it and runs
+        # with the near-null guard (select_keep) at a tolerance just above
+        # the selection rank floor — the bench accuracy_grid measured a
+        # vk blow-up to 3.7e3 there without the guard.
+        curve = [(40.0, tuple(min(15, int(m)) for m in cell.mesh), None),
+                 (40.0, (23, 23, 23), None), (40.0, (29, 29, 29), None),
+                 (52.0, (29, 29, 29), None),
+                 (60.0, (31, 31, 31), 1e-11)]
+        for c0x, m0x, keep in curve:
             try:
                 t0 = time.perf_counter()
-                # select_keep: trim near-null pivots at rank exhaustion —
-                # without it the c0 >= 60 points (past the 2x2x2 dzvp
-                # pair-space rank ~3440) serve catastrophically
-                # ill-conditioned K (bench accuracy_grid: vk 3.7e3)
                 df = FFTISDF(cell, kpts, c0=c0x, m0=m0x, verbose=0,
-                             max_memory_gb=12.0, select_keep=1e-9)
+                             max_memory_gb=12.0, select_keep=keep)
                 df.build()
                 t_build = time.perf_counter() - t0
                 mf = cls(cell, kpts, with_df=df, verbose=0, conv_tol=conv,
                          max_cycle=args.max_cycle, init_spin=init_spin,
                          smearing=args.smearing)
                 t0 = time.perf_counter()
-                e_isdf = mf.kernel(dm0=mf0.dm)
+                e_isdf = mf.kernel(dm0=dm_seed)
                 emit(args.out, {
                     "part": "Adzvp_curve_point", "c0": c0x,
                     "m0": [int(v) for v in df.m0], "nip": int(df.nip),
