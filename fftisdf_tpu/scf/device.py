@@ -216,7 +216,11 @@ class DeviceKUHF(KUHF):
         method_smear = sigma > 0.0
         smear_method = self.smearing_method
         e_nuc = float(self.e_nuc)
-        bias_cycles = int(self.bias_cycles)
+        # a caller-provided density already encodes its magnetic basin —
+        # the symmetry-breaking bias is for the init guess only (biasing a
+        # seeded Fock kicks the SCF out of the seed's basin; see the host
+        # driver's kernel for the measured failure)
+        bias_cycles = int(self.bias_cycles) if dm0 is None else 0
         damp = float(self.damp)
         adiis_switch = float(self.adiis_switch)
         has_bias = bool(self.init_spin)

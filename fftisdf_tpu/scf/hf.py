@@ -602,6 +602,13 @@ class KUHF(KRHF):
     def kernel(self, dm0=None):
         log = self._log
         dm = self.get_init_guess() if dm0 is None else np.asarray(dm0)
+        # the symmetry-breaking bias exists to steer the spin-restricted
+        # INIT GUESS into the requested magnetic order; a caller-provided
+        # density already encodes its basin, and biasing the Fock on top
+        # of it kicks the SCF OUT of that basin (measured: the A64 exact
+        # arm seeded with a converged ISDF density 4e-5 away landed in a
+        # metastable state 0.18 Ha up after the 0.5 Ha bias cycles)
+        bias_cycles = self.bias_cycles if dm0 is None else 0
         diis = DIIS(self.diis_space, adiis_switch=self.adiis_switch)
         nk, nao = self.h1e.shape[:2]
         na, nb = self.nocc_ab
@@ -622,10 +629,10 @@ class KUHF(KRHF):
             # relaxes to the symmetric state) — CDIIS until the bias is off
             dm_for_adiis = (dm.reshape(-1)
                             if (not self.init_spin
-                                or it >= self.bias_cycles) else None)
+                                or it >= bias_cycles) else None)
             fock = diis.update(fock.reshape(-1), err.reshape(-1),
                                dm_flat=dm_for_adiis).reshape(fock.shape)
-            if it < self.bias_cycles:
+            if it < bias_cycles:
                 fock = self._apply_bias(fock)
             if self.level_shift:
                 # per-spin virtual shift on the diagonalized Fock only
