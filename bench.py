@@ -305,9 +305,12 @@ def main():
             aargs.max_memory_gb = 12.0
             aargs.m0 = (15, 15, 15)   # the reference's own accuracy point
             try:
+                # (60, auto) dropped: past the 2x2x2 dzvp pair-space rank
+                # the f32 serve is unstable (documented blow-up —
+                # artifacts/nio_scf_r05.json Adzvp_c60_note); the stable
+                # grid bounds the c0/pool knobs on both sides
                 grid = [(40.0, (23, 23, 23)), (40.0, (29, 29, 29)),
-                        (40.0, (35, 35, 35)), (60.0, (29, 29, 29)),
-                        (60.0, "auto")]
+                        (40.0, (35, 35, 35)), (60.0, (29, 29, 29))]
                 aout = run(aargs, budget=budget, accuracy_grid=grid)
                 out["production_accuracy"] = {
                     "oracle": "exact plane-wave J/K at the full ke=200 "
